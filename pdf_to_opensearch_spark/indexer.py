@@ -1,0 +1,261 @@
+"""SPIMI index build (SURVEY.md A10/A11, S12/S13, §3.3 restatement).
+
+Replaces the Lucene segment build that sat behind the reference's bulk
+index sink (opensearch_loader.py:372-384) with a document-range-sharded
+inverted index:
+
+1. **Deterministic dense doc_ids** — global rank over sorted ``url``
+   (mirrors the reference's sorted-glob determinism, uploader.py:246;
+   required for rank-identical tie-breaks). Implemented scale-correctly as
+   range-repartition + per-partition offsets (zipWithIndex pattern), NOT a
+   single-partition global window.
+2. **Fixed-width doc ranges** — ``range_id = doc_id // docs_per_range``.
+   Ranges are a pure function of doc_id (no sampled boundaries), which is
+   what makes the build *resumable*: a restart recomputes identical ranges
+   and anti-joins the manifest for pending ones.
+3. **SPIMI per range** (``mapInPandas``): tokenize (frozen analyzer),
+   accumulate (term, doc_id) → tf with pandas groupby, sort by
+   (term, doc_id), delta+varint encode per-term runs with block-max
+   metadata. Because each document lives in exactly one range, per-term
+   runs across ranges are disjoint — the global index is the *union* of
+   range outputs and needs **no posting-merge shuffle at all**; the only
+   wide operations are the range repartition (by doc_id, balanced, never
+   skewed regardless of Zipfian term skew) and the tiny dictionary
+   aggregate (map-side combined sum — associative, skew-immune).
+4. **Term-bucket write partitioning** — postings written
+   ``partitionBy(bucket = crc32(term) % n_buckets)`` so query-time term
+   lookups prune partitions, plus parquet min/max row-group stats on
+   ``term`` within each bucket file.
+5. **Manifest + lineage** per range (the archive-sink analogue,
+   opensearch_loader.py:608-702): docs, terms, bytes, wall-clock,
+   analyzer version, commit timestamp.
+"""
+
+from __future__ import annotations
+
+import time
+import zlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import ANALYZER_VERSION, BM25_B, BM25_K1
+from .analyzer import tokenize_series
+from .codec import encode_postings
+
+POSTINGS_SCHEMA = (
+    "term string, range_id int, first_doc_id long, n long, cf long, "
+    "doc_ids binary, tfs binary, dls binary, block_maxes binary, "
+    "max_tf_norm float, wall_ms long"
+)
+
+DEFAULT_BUCKETS = 16
+
+
+def term_bucket_col(term_col, n_buckets: int = DEFAULT_BUCKETS):
+    """Deterministic term → bucket (crc32 mod n). Matches _bucket_of."""
+    return F.pmod(F.crc32(term_col.cast("string")), F.lit(n_buckets)).cast("int")
+
+
+def bucket_of(term: str, n_buckets: int = DEFAULT_BUCKETS) -> int:
+    return zlib.crc32(term.encode("utf-8")) % n_buckets
+
+
+def assign_doc_ids(docs_df: DataFrame, partitions: int = 32) -> DataFrame:
+    """docs(url, ...) → +doc_id: dense global rank by url.
+
+    zipWithIndex pattern: range-repartition by url, sort within partitions,
+    count per partition (one tiny job), then offset-add per partition.
+    Avoids the single-partition bottleneck of a global window while
+    producing the identical deterministic ordering.
+    """
+    ranged = (docs_df
+              .repartitionByRange(partitions, "url")
+              .sortWithinPartitions("url")
+              .withColumn("_pid", F.spark_partition_id()))
+    ranged = ranged.persist()
+    counts = dict(
+        (r["_pid"], r["cnt"])
+        for r in ranged.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
+    )
+    offsets = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in docs_df.schema.fields
+    ) + ", doc_id long"
+
+    def add_ids(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        seen = 0
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            pid = int(pdf["_pid"].iloc[0])
+            base = offsets[pid] + seen
+            seen += len(pdf)
+            out = pdf.drop(columns=["_pid"])
+            out["doc_id"] = np.arange(base, base + len(pdf), dtype=np.int64)
+            yield out
+
+    result = ranged.mapInPandas(add_ids, schema=out_schema)
+    return result
+
+
+def _spimi_batches(avgdl: float, docs_per_range: int):
+    """SPIMI kernel factory: per-Spark-partition posting-run builder."""
+
+    def spimi(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        t0 = time.monotonic()
+        frames = []
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            toks = tokenize_series(pdf["text"])
+            lens = toks.str.len().to_numpy(dtype=np.int64)
+            if lens.sum() == 0:
+                continue
+            doc_ids = np.repeat(pdf["doc_id"].to_numpy(np.int64), lens)
+            dls = np.repeat(lens, lens)
+            terms = np.concatenate([np.asarray(t, dtype=object) for t in toks
+                                    if len(t)])
+            frames.append(pd.DataFrame({
+                "term": terms, "doc_id": doc_ids, "dl": dls}))
+        if not frames:
+            yield _empty_postings_frame()
+            return
+        allp = pd.concat(frames, ignore_index=True)
+        # (term, doc_id) → tf; doc_ids unique per doc so no cross-batch dupes
+        grp = (allp.groupby(["term", "doc_id"], sort=True)
+               .agg(tf=("dl", "size"), dl=("dl", "first"))
+               .reset_index())
+        grp["range_id"] = (grp["doc_id"] // docs_per_range).astype(np.int32)
+        rows = []
+        for (term, range_id), g in grp.groupby(["term", "range_id"], sort=True):
+            enc = encode_postings(
+                g["doc_id"].to_numpy(np.int64),
+                g["tf"].to_numpy(np.int64),
+                g["dl"].to_numpy(np.int64),
+                avgdl,
+            )
+            rows.append((term, int(range_id), enc["first_doc_id"], enc["n"],
+                         enc["cf"], enc["doc_ids"], enc["tfs"], enc["dls"],
+                         enc["block_maxes"], enc["max_tf_norm"]))
+        out = pd.DataFrame(rows, columns=[
+            "term", "range_id", "first_doc_id", "n", "cf", "doc_ids", "tfs",
+            "dls", "block_maxes", "max_tf_norm"])
+        out["wall_ms"] = int((time.monotonic() - t0) * 1000)
+        yield out
+
+    return spimi
+
+
+def _empty_postings_frame() -> pd.DataFrame:
+    return pd.DataFrame({
+        "term": pd.Series(dtype="string"),
+        "range_id": pd.Series(dtype="int32"),
+        "first_doc_id": pd.Series(dtype="int64"),
+        "n": pd.Series(dtype="int64"),
+        "cf": pd.Series(dtype="int64"),
+        "doc_ids": pd.Series(dtype=object),
+        "tfs": pd.Series(dtype=object),
+        "dls": pd.Series(dtype=object),
+        "block_maxes": pd.Series(dtype=object),
+        "max_tf_norm": pd.Series(dtype="float32"),
+        "wall_ms": pd.Series(dtype="int64"),
+    })
+
+
+class IndexPaths:
+    def __init__(self, root: str):
+        self.root = root
+        self.docs = f"{root}/docs"
+        self.postings = f"{root}/postings"
+        self.dictionary = f"{root}/dictionary"
+        self.doc_stats = f"{root}/doc_stats"
+        self.stats = f"{root}/stats"
+        self.manifest = f"{root}/manifest"
+
+
+def build_index(spark: SparkSession, docs_df: DataFrame, out_dir: str,
+                num_ranges: int = 16, n_buckets: int = DEFAULT_BUCKETS,
+                id_partitions: int = 32, completed_ranges: set[int] | None = None,
+                ) -> IndexPaths:
+    """Full index build: docs(url, text, lang) → index tables at ``out_dir``.
+
+    ``completed_ranges`` (from :func:`resume_info`) skips already-committed
+    ranges — the resumable-checkpoint path (manifest anti-join).
+    """
+    from .analyzer import token_count_udf
+
+    paths = IndexPaths(out_dir)
+    with_ids = assign_doc_ids(docs_df, partitions=id_partitions)
+    docs = with_ids.withColumn("dl", token_count_udf(F.col("text")))
+    mode = "append" if completed_ranges else "overwrite"
+    if not completed_ranges:
+        docs.write.mode("overwrite").parquet(paths.docs)
+
+    docs_tbl = spark.read.parquet(paths.docs)
+    g = docs_tbl.agg(F.count("*").alias("N"), F.avg("dl").alias("avgdl")).collect()[0]
+    N, avgdl = int(g["N"]), float(g["avgdl"] or 0.0)
+    docs_per_range = max(1, -(-N // num_ranges))  # ceil
+
+    indexable = docs_tbl.withColumn(
+        "range_id", (F.col("doc_id") / F.lit(docs_per_range)).cast("int"))
+    if completed_ranges:
+        indexable = indexable.filter(
+            ~F.col("range_id").isin(*[int(r) for r in completed_ranges]))
+    # one Spark partition per doc range → SPIMI unit == checkpoint unit
+    spimi_in = indexable.select("doc_id", "text", "range_id").repartition(
+        num_ranges, "range_id")
+    postings = spimi_in.mapInPandas(
+        _spimi_batches(avgdl, docs_per_range), schema=POSTINGS_SCHEMA)
+    postings = postings.withColumn("bucket", term_bucket_col(F.col("term"), n_buckets))
+    (postings.write.mode(mode)
+     .partitionBy("bucket")
+     .parquet(paths.postings))
+
+    built = spark.read.parquet(paths.postings)
+    # dictionary: tiny associative agg (map-side combine ⇒ Zipf-skew immune)
+    (built.groupBy("term")
+     .agg(F.sum("n").alias("df"), F.sum("cf").alias("cf"))
+     .write.mode("overwrite").parquet(paths.dictionary))
+    (docs_tbl.select("doc_id", "dl")
+     .write.mode("overwrite").parquet(paths.doc_stats))
+    stats_pdf = pd.DataFrame([{
+        "N": N, "avgdl": avgdl, "avgdl_build": avgdl,
+        "docs_per_range": docs_per_range, "num_ranges": num_ranges,
+        "n_buckets": n_buckets, "analyzer_version": ANALYZER_VERSION,
+        "k1": BM25_K1, "b": BM25_B,
+    }])
+    spark.createDataFrame(stats_pdf).coalesce(1).write.mode("overwrite").parquet(
+        paths.stats)
+    # manifest/lineage per range (archive-sink analogue)
+    (built.groupBy("range_id")
+     .agg(F.sum("n").alias("n_postings"),
+          F.countDistinct("term").alias("n_terms"),
+          F.sum(F.length("doc_ids") + F.length("tfs") + F.length("dls"))
+          .alias("bytes"),
+          F.max("wall_ms").alias("wall_ms"))
+     .withColumn("status", F.lit("committed"))
+     .withColumn("analyzer_version", F.lit(ANALYZER_VERSION))
+     .withColumn("committed_at", F.current_timestamp())
+     .write.mode("overwrite").parquet(paths.manifest))
+    return paths
+
+
+def resume_info(spark: SparkSession, out_dir: str) -> set[int]:
+    """Committed range_ids from the manifest (empty set if no manifest)."""
+    paths = IndexPaths(out_dir)
+    try:
+        rows = (spark.read.parquet(paths.manifest)
+                .filter(F.col("status") == "committed")
+                .select("range_id").collect())
+        return {int(r["range_id"]) for r in rows}
+    except Exception:
+        return set()

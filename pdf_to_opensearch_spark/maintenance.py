@@ -1,0 +1,111 @@
+"""Index maintenance (SURVEY.md J8, §2.9): delete-by-metadata + resume.
+
+The reference's incremental story is delete-then-reinsert keyed by source
+metadata (uploader.py:152-167, 218-229 → opensearch_loader.py:410-451):
+idempotent re-ingestion of one source. Here:
+
+- :func:`delete_from_index` — copy-on-write snapshot: postings of
+  *affected doc ranges only* are rebuilt from the surviving docs (doc_ids
+  preserved), unaffected ranges' parquet rows are carried over unchanged;
+  stats are recomputed (N, avgdl shift). Because the stored block-max
+  metadata was computed at build-time avgdl, the new snapshot's stats keep
+  ``avgdl_build`` unchanged — the query engine detects
+  ``avgdl != avgdl_build`` and disables block pruning (stays sound) until
+  the next full rebuild refreshes the maxima.
+- :func:`reingest` — the full delete-then-reinsert idempotency path: drop
+  matching docs from the source, rebuild from scratch; byte-identical
+  output for identical input (tested).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import ANALYZER_VERSION
+from .indexer import (
+    POSTINGS_SCHEMA,
+    IndexPaths,
+    _spimi_batches,
+    build_index,
+    term_bucket_col,
+)
+from .query import load_stats
+
+
+def delete_from_index(spark: SparkSession, index_dir: str, out_dir: str,
+                      urls: list[str]) -> IndexPaths:
+    """Snapshot ``index_dir`` minus documents with the given urls into
+    ``out_dir``, rebuilding only the affected doc ranges."""
+    src = IndexPaths(index_dir)
+    dst = IndexPaths(out_dir)
+    stats = load_stats(spark, index_dir)
+    st_row = spark.read.parquet(src.stats).collect()[0]
+    docs_per_range = int(st_row["docs_per_range"])
+    n_buckets = int(st_row["n_buckets"])
+
+    docs = spark.read.parquet(src.docs).withColumn(
+        "range_id", (F.col("doc_id") / F.lit(docs_per_range)).cast("int"))
+    doomed = docs.filter(F.col("url").isin(urls))
+    affected = {int(r["range_id"]) for r in
+                doomed.select("range_id").distinct().collect()}
+    survivors = docs.filter(~F.col("url").isin(urls))
+    survivors.drop("range_id").write.mode("overwrite").parquet(dst.docs)
+
+    old_postings = spark.read.parquet(src.postings)
+    untouched = old_postings.filter(~F.col("range_id").isin(*affected)) \
+        if affected else old_postings
+    if affected:
+        rebuild_in = (survivors
+                      .filter(F.col("range_id").isin(*affected))
+                      .select("doc_id", "text", "range_id")
+                      .repartition(max(len(affected), 1), "range_id"))
+        # block maxes recomputed at the ORIGINAL build avgdl so that
+        # untouched + rebuilt ranges share one avgdl_build epoch
+        rebuilt = rebuild_in.mapInPandas(
+            _spimi_batches(stats.avgdl_build, docs_per_range),
+            schema=POSTINGS_SCHEMA)
+        rebuilt = rebuilt.withColumn(
+            "bucket", term_bucket_col(F.col("term"), n_buckets))
+        new_postings = untouched.unionByName(rebuilt)
+    else:
+        new_postings = untouched
+    new_postings.write.mode("overwrite").partitionBy("bucket").parquet(dst.postings)
+
+    built = spark.read.parquet(dst.postings)
+    (built.groupBy("term")
+     .agg(F.sum("n").alias("df"), F.sum("cf").alias("cf"))
+     .write.mode("overwrite").parquet(dst.dictionary))
+    surv_tbl = spark.read.parquet(dst.docs)
+    (surv_tbl.select("doc_id", "dl")
+     .write.mode("overwrite").parquet(dst.doc_stats))
+    g = surv_tbl.agg(F.count("*").alias("N"), F.avg("dl").alias("avgdl")).collect()[0]
+    stats_pdf = pd.DataFrame([{
+        "N": int(g["N"]), "avgdl": float(g["avgdl"] or 0.0),
+        "avgdl_build": stats.avgdl_build,
+        "docs_per_range": docs_per_range,
+        "num_ranges": int(st_row["num_ranges"]), "n_buckets": n_buckets,
+        "analyzer_version": ANALYZER_VERSION,
+        "k1": stats.k1, "b": stats.b,
+    }])
+    spark.createDataFrame(stats_pdf).coalesce(1).write.mode("overwrite").parquet(
+        dst.stats)
+    (built.groupBy("range_id")
+     .agg(F.sum("n").alias("n_postings"),
+          F.countDistinct("term").alias("n_terms"),
+          F.sum(F.length("doc_ids") + F.length("tfs") + F.length("dls"))
+          .alias("bytes"),
+          F.max("wall_ms").alias("wall_ms"))
+     .withColumn("status", F.lit("committed"))
+     .withColumn("analyzer_version", F.lit(ANALYZER_VERSION))
+     .withColumn("committed_at", F.current_timestamp())
+     .write.mode("overwrite").parquet(dst.manifest))
+    return dst
+
+
+def reingest(spark: SparkSession, source_docs: DataFrame, out_dir: str,
+             **build_kwargs) -> IndexPaths:
+    """Delete-then-reinsert idempotency (uploader.py:218-229 semantics):
+    a full rebuild from the current source of truth."""
+    return build_index(spark, source_docs, out_dir, **build_kwargs)

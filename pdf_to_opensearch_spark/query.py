@@ -1,0 +1,189 @@
+"""BM25 top-k query engine (SURVEY.md J9, O5, W7, §3.3 query lifecycle).
+
+Natively re-owns what the reference delegated to OpenSearch/Lucene
+(opensearch_loader.py:873-890): analyze query → term dictionary lookup →
+postings traversal → BM25 scores → per-shard top-k → global merge.
+
+Physical plan:
+1. Tokenize queries with the frozen analyzer; look up (df, idf) in the
+   dictionary with a parquet scan *filtered by the query terms* (predicate
+   pushdown; the per-query term set is tiny so this is a pruned point read,
+   the broadcast-join analogue of Lucene's term-dictionary seek).
+2. Scan only postings partitions whose term-bucket can contain a query term
+   (``bucket IN (...)`` partition pruning) further filtered ``term IN (...)``
+   (parquet row-group min/max pruning).
+3. ``applyInPandas`` per doc-range: decode blocks, score **term-at-a-time,
+   fully vectorized** (numpy concat → groupby-sum), per-range top-k.
+   Because every document lives in exactly one range, per-range scores are
+   complete — no cross-range combine of partial scores is needed.
+   Optional block-max pruning drops whole 128-posting blocks whose
+   summed upper bounds cannot reach the running threshold (sound: uses the
+   per-block max stored at build time; differential-tested vs exhaustive).
+4. Global top-k: per-range candidates are ≤ k·n_ranges rows → window
+   ``row_number() over (partition by query order by score desc, doc_id)``
+   ≤ k (TakeOrderedAndProject-scale, not a full sort).
+
+Rank identity: ties broken by ascending doc_id everywhere, scores f64.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .analyzer import tokenize_text
+from .codec import BLOCK, decode_block_maxes, decode_postings, tf_norm
+from .indexer import IndexPaths, bucket_of
+from .oracle import idf as idf_fn
+
+RESULT_SCHEMA = "query_id int, doc_id long, score double"
+
+
+class IndexStats:
+    def __init__(self, row):
+        self.N = int(row["N"])
+        self.avgdl = float(row["avgdl"])
+        self.avgdl_build = float(row["avgdl_build"])
+        self.n_buckets = int(row["n_buckets"])
+        self.k1 = float(row["k1"])
+        self.b = float(row["b"])
+
+
+def load_stats(spark: SparkSession, index_dir: str) -> IndexStats:
+    return IndexStats(spark.read.parquet(IndexPaths(index_dir).stats).collect()[0])
+
+
+def _score_kernel(qinfo: dict, k: int, stats: IndexStats, prune: bool):
+    """Per-doc-range scorer. qinfo: {query_id: {term: idf}}."""
+    k1, b, avgdl = stats.k1, stats.b, stats.avgdl
+    # stored block maxes are valid only at build-time avgdl
+    stored_bm_valid = abs(stats.avgdl - stats.avgdl_build) < 1e-12
+
+    def score_range(pdf: pd.DataFrame) -> pd.DataFrame:
+        by_term: dict[str, dict] = {}
+        for rec in pdf.to_dict("records"):
+            by_term[rec["term"]] = rec
+        out_q, out_d, out_s = [], [], []
+        for query_id, term_idfs in qinfo.items():
+            hits = [(t, w, by_term[t]) for t, w in term_idfs.items()
+                    if t in by_term]
+            if not hits:
+                continue
+            decoded = {t: decode_postings(rec) for t, _w, rec in hits}
+            contribs = {
+                t: w * tf_norm(decoded[t][1], decoded[t][2], avgdl, k1, b)
+                for t, w, _rec in hits
+            }
+            if prune and stored_bm_valid and len(hits) > 1:
+                masks = _block_prune_masks(hits, contribs, k)
+            else:
+                masks = None
+            parts_ids, parts_sc = [], []
+            for t, _w, _rec in hits:
+                doc_ids = decoded[t][0]
+                sc_t = contribs[t]
+                if masks is not None and masks[t] is not None:
+                    keep = masks[t]
+                    doc_ids, sc_t = doc_ids[keep], sc_t[keep]
+                parts_ids.append(doc_ids)
+                parts_sc.append(sc_t)
+            ids = np.concatenate(parts_ids)
+            sc = np.concatenate(parts_sc)
+            # vectorized TAAT combine: groupby doc_id → sum
+            uniq, inv = np.unique(ids, return_inverse=True)
+            acc = np.zeros(uniq.size, dtype=np.float64)
+            np.add.at(acc, inv, sc)
+            top = min(k, uniq.size)
+            order = np.lexsort((uniq, -acc))[:top]
+            out_q.extend([query_id] * top)
+            out_d.extend(uniq[order].tolist())
+            out_s.extend(acc[order].tolist())
+        return pd.DataFrame({
+            "query_id": pd.Series(out_q, dtype="int32"),
+            "doc_id": pd.Series(out_d, dtype="int64"),
+            "score": pd.Series(out_s, dtype="float64"),
+        })
+
+    return score_range
+
+
+def _block_prune_masks(hits: list, contribs: dict, k: int) -> dict:
+    """Block-max pruning masks (BMW family; sound, vectorized).
+
+    Threshold seeding: the *champion* term (largest idf·block-max) has its
+    actual per-posting contributions already computed — each is a lower
+    bound on that doc's final score, so the k-th largest contribution is a
+    sound lower bound on the true k-th best total score in this range.
+
+    Block prune rule: a 128-posting block b of term t is skippable iff
+    ``idf_t·block_max_t[b] + Σ_{t'≠t} max(idf_t'·block_max_t') < threshold``
+    — every doc in that block then provably misses top-k, so dropping its
+    t-contribution cannot perturb the top-k set or the exact scores of its
+    members (their own blocks are never prunable). Differential-tested
+    against exhaustive scoring (prune=False).
+
+    Returns {term: bool posting mask or None (keep all)}.
+    """
+    ubs = {t: w * decode_block_maxes(rec["block_maxes"]) for t, w, rec in hits}
+    term_max = {t: (u.max() if u.size else 0.0) for t, u in ubs.items()}
+    total_ub = float(sum(term_max.values()))
+    champ = max(term_max, key=term_max.get)
+    champ_contrib = contribs[champ]
+    masks: dict = {t: None for t, _w, _r in hits}
+    if champ_contrib.size < k:
+        return masks  # not enough evidence to seed a sound threshold
+    thresh = float(np.partition(champ_contrib,
+                                champ_contrib.size - k)[champ_contrib.size - k])
+    for t, _w, _rec in hits:
+        ub = ubs[t]
+        if not ub.size:
+            continue
+        bound = ub + (total_ub - term_max[t])
+        keep_blocks = bound >= thresh
+        if keep_blocks.all():
+            continue
+        n = contribs[t].size
+        masks[t] = np.repeat(keep_blocks, BLOCK)[:n]
+    return masks
+
+
+def search(spark: SparkSession, index_dir: str, queries: list[tuple[int, str]],
+           k: int = 10, prune: bool = True) -> DataFrame:
+    """queries: [(query_id, text)] → DataFrame(query_id, rank, doc_id, score)."""
+    paths = IndexPaths(index_dir)
+    stats = load_stats(spark, index_dir)
+
+    q_terms = {qid: tokenize_text(text) for qid, text in queries}
+    terms = sorted({t for toks in q_terms.values() for t in toks})
+    if not terms:
+        return spark.createDataFrame([], "query_id int, rank int, doc_id long, score double")
+    # dictionary point-lookup with pushdown (Lucene term-dict seek analogue)
+    dict_rows = (spark.read.parquet(paths.dictionary)
+                 .filter(F.col("term").isin(terms))
+                 .collect())
+    dfs = {r["term"]: int(r["df"]) for r in dict_rows}
+    idfs = {t: float(idf_fn(stats.N, np.array([dfs[t]]))[0])
+            for t in terms if t in dfs}
+    qinfo = {int(qid): {t: idfs[t] for t in toks if t in idfs}
+             for qid, toks in q_terms.items()}
+    qinfo = {qid: ti for qid, ti in qinfo.items() if ti}
+    if not qinfo:
+        return spark.createDataFrame([], "query_id int, rank int, doc_id long, score double")
+
+    live_terms = sorted({t for ti in qinfo.values() for t in ti})
+    buckets = sorted({bucket_of(t, stats.n_buckets) for t in live_terms})
+    postings = (spark.read.parquet(paths.postings)
+                .filter(F.col("bucket").isin(buckets))       # partition pruning
+                .filter(F.col("term").isin(live_terms)))     # row-group pruning
+    per_range = (postings
+                 .groupBy("range_id")
+                 .applyInPandas(_score_kernel(qinfo, k, stats, prune),
+                                schema=RESULT_SCHEMA))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc())
+    return (per_range
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "doc_id", "score"))

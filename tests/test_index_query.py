@@ -1,0 +1,137 @@
+"""E2E: SPIMI build + BM25 top-k rank-identity vs brute-force oracle
+(SURVEY.md §5.2/§5.4); resume + delete semantics."""
+
+import numpy as np
+import pytest
+
+from pdf_to_opensearch_spark.extract import extract_docs
+from pdf_to_opensearch_spark.indexer import build_index, resume_info
+from pdf_to_opensearch_spark.oracle import BruteForceBM25
+from pdf_to_opensearch_spark.query import search
+from pdf_to_opensearch_spark.synth import expected_text, make_pages, make_pages_pdf
+
+QUERIES = [
+    (1, "spark index posting"),
+    (2, "query score merge block"),
+    (3, "딸기 육묘"),
+    (4, "duplicate content row"),
+    (5, "w0001 w0002 vector"),
+    (6, "nonexistentterm12345"),
+    (7, "the w0003"),
+    (8, "token document search rank batch stream"),
+]
+K = 10
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    pdf = make_pages_pdf(n_docs=300, seed=42)
+    texts = list(expected_text(pdf))
+    # oracle doc_ids = dense rank over sorted url — same rule as the engine
+    pdf = pdf.sort_values("url", ignore_index=True)
+    return pdf, BruteForceBM25(np.arange(len(pdf)), texts)
+
+
+@pytest.fixture(scope="module")
+def index_dir(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("index"))
+    pages = make_pages(spark, n_docs=300, seed=42, partitions=4)
+    docs = extract_docs(pages)
+    build_index(spark, docs, root, num_ranges=5, n_buckets=8, id_partitions=4)
+    return root
+
+
+def _run(spark, index_dir, prune):
+    out = search(spark, index_dir, QUERIES, k=K, prune=prune).toPandas()
+    return out.sort_values(["query_id", "rank"], ignore_index=True)
+
+
+def test_doc_ids_deterministic(spark, index_dir, corpus):
+    pdf, _ = corpus
+    docs = (spark.read.parquet(f"{index_dir}/docs")
+            .select("doc_id", "url").toPandas()
+            .sort_values("doc_id", ignore_index=True))
+    assert list(docs["url"]) == list(pdf["url"])
+    assert list(docs["doc_id"]) == list(range(len(pdf)))
+
+
+def test_rank_identical_vs_oracle(spark, index_dir, corpus):
+    _, oracle = corpus
+    got = _run(spark, index_dir, prune=False)
+    for qid, qtext in QUERIES:
+        want = oracle.search(qtext, K)
+        sub = got[got["query_id"] == qid]
+        assert list(sub["doc_id"]) == [d for d, _ in want], qtext
+        np.testing.assert_allclose(
+            sub["score"].to_numpy(), [s for _, s in want], rtol=0, atol=1e-6)
+        assert list(sub["rank"]) == list(range(1, len(want) + 1))
+
+
+def test_prune_differential(spark, index_dir):
+    exact = _run(spark, index_dir, prune=False)
+    pruned = _run(spark, index_dir, prune=True)
+    assert list(exact["doc_id"]) == list(pruned["doc_id"])
+    np.testing.assert_allclose(exact["score"], pruned["score"], atol=1e-9)
+
+
+def test_tie_break_by_doc_id(spark, index_dir, corpus):
+    pdf, _ = corpus
+    got = _run(spark, index_dir, prune=False)
+    sub = got[got["query_id"] == 4]
+    dup_ids = [i for i, u in enumerate(pdf["url"]) if "/edge/dup-" in u]
+    top2 = list(sub["doc_id"].iloc[:2])
+    assert top2 == sorted(dup_ids)  # equal scores → ascending doc_id
+
+
+def test_resume_from_manifest(spark, index_dir, corpus, tmp_path):
+    """Partial build + resume must equal a clean full build byte-for-byte
+    at the query surface."""
+    import pandas as pd
+
+    from pdf_to_opensearch_spark.indexer import IndexPaths
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "resume_idx")
+    pages = make_pages(spark, n_docs=300, seed=42, partitions=4)
+    docs = extract_docs(pages)
+    build_index(spark, docs, root, num_ranges=5, n_buckets=8, id_partitions=4)
+    # simulate a crash: drop postings + manifest rows for ranges {2, 4}
+    paths = IndexPaths(root)
+    post = spark.read.parquet(paths.postings).filter(
+        ~F.col("range_id").isin(2, 4)).toPandas()
+    man = spark.read.parquet(paths.manifest).filter(
+        ~F.col("range_id").isin(2, 4)).toPandas()
+    spark.createDataFrame(post).write.mode("overwrite").partitionBy(
+        "bucket").parquet(paths.postings)
+    spark.createDataFrame(man).write.mode("overwrite").parquet(paths.manifest)
+
+    done = resume_info(spark, root)
+    assert done == {0, 1, 3}
+    build_index(spark, docs, root, num_ranges=5, n_buckets=8, id_partitions=4,
+                completed_ranges=done)
+    a = _run(spark, index_dir, prune=False)
+    b = search(spark, root, QUERIES, k=K, prune=False).toPandas() \
+        .sort_values(["query_id", "rank"], ignore_index=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_delete_from_index(spark, index_dir, corpus, tmp_path):
+    from pdf_to_opensearch_spark.maintenance import delete_from_index
+
+    pdf, _ = corpus
+    victims = [u for u in pdf["url"] if "/edge/dup-" in u][:1]
+    out = str(tmp_path / "snap")
+    delete_from_index(spark, index_dir, out, victims)
+    # oracle over the surviving corpus (doc_ids preserved)
+    keep = [i for i, u in enumerate(pdf["url"]) if u not in victims]
+    texts = list(expected_text(pdf))
+    oracle2 = BruteForceBM25(np.array(keep),
+                             [texts[i] for i in keep])
+    got = search(spark, out, QUERIES, k=K, prune=True).toPandas() \
+        .sort_values(["query_id", "rank"], ignore_index=True)
+    for qid, qtext in QUERIES:
+        want = oracle2.search(qtext, K)
+        sub = got[got["query_id"] == qid]
+        assert list(sub["doc_id"]) == [d for d, _ in want], qtext
+        np.testing.assert_allclose(
+            sub["score"].to_numpy(), [s for _, s in want], rtol=0, atol=1e-6)
