@@ -1,0 +1,132 @@
+"""Chunk-file format parser + search-document assembly (SURVEY.md S7, C8,
+C18, F10, W1/W2).
+
+The reference round-trips chunks through ``<chunk>``-tagged text files
+(uploader.py:34-88; README.md:109-116):
+
+    <chunk>
+    chunk text…
+    [page_index: 15]
+    [URL: https://…/image.png]
+    </chunk>
+
+Semantics frozen here: ``page_number = page_index + 1`` (uploader.py:76-77);
+multiple ``[URL: …]`` lines accumulate into ``image_urls``
+(uploader.py:68-69, 78-79); tag lines are stripped from the chunk text.
+Our engine produces chunks natively as a DataFrame, but the parser is part
+of the reference's public surface (its input format), so it is a supported
+source — implemented with JVM-side regexp over exploded chunk blocks, no
+Python in the row path.
+
+``build_search_documents`` assembles the indexed unit (uploader.py:112-150):
+prev/next context via lag/lead + the typed metadata struct
+(opensearch_loader.py:78-88) with required-field validation
+(opensearch_loader.py:453-480).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+PAGE_TAG_RE = r"\[page_index:\s*(\d+)\]"
+URL_TAG_RE = r"\[URL:\s*(.*?)\]"
+
+
+def parse_chunk_files(files_df: DataFrame, path_col: str = "path",
+                      content_col: str = "content") -> DataFrame:
+    """(path, content) of chunk files → one row per chunk.
+
+    Output: (path, chunk_sequence int, chunk_text string,
+    page_number int nullable, image_urls array<string>).
+    """
+    blocks = files_df.select(
+        path_col,
+        F.posexplode(
+            F.regexp_extract_all(
+                F.col(content_col),
+                F.lit(r"(?s)<chunk>\s*(.*?)\s*</chunk>"), F.lit(1))
+        ).alias("chunk_sequence", "raw"))
+    page_idx = F.regexp_extract("raw", PAGE_TAG_RE, 1)
+    urls = F.regexp_extract_all(F.col("raw"), F.lit(URL_TAG_RE), F.lit(1))
+    # F.trim strips spaces only — strip all whitespace (incl. the newlines
+    # left behind by removed tag lines) with a regex trim
+    cleaned = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace("raw", PAGE_TAG_RE, ""), URL_TAG_RE, ""),
+        r"^\s+|\s+$", "")
+    return blocks.select(
+        path_col,
+        (F.col("chunk_sequence") + 1).cast("int").alias("chunk_sequence"),
+        cleaned.alias("chunk_text"),
+        # page_number = page_index + 1 (uploader.py:76-77)
+        F.when(page_idx != "", (page_idx.cast("int") + 1))
+        .alias("page_number"),
+        urls.alias("image_urls"),
+    )
+
+
+METADATA_FIELDS = [
+    ("source_type", "string", True),     # required (opensearch_loader.py:465)
+    ("source_uri", "string", True),      # required
+    ("source_title", "string", False),
+    ("crop_name", "string", False),
+    ("page_number", "int", False),
+    ("chunk_sequence", "int", False),
+]
+
+
+def build_search_documents(chunks_df: DataFrame, source_type: str,
+                           source_uri: str, source_title: str | None = None,
+                           crop_name: str | None = None) -> DataFrame:
+    """Chunk rows → search documents with prev/next context + metadata
+    struct (uploader.py:112-150 + opensearch_loader.py:78-88).
+
+    Raises on missing required metadata (opensearch_loader.py:453-470
+    semantics); ``created_at`` defaults to now (478-480).
+    """
+    if not source_type or not source_uri:
+        raise ValueError("metadata.source_type and metadata.source_uri are "
+                         "required (reference: opensearch_loader.py:461-470)")
+    w = Window.partitionBy(F.lit(source_uri)).orderBy("chunk_sequence")
+    return chunks_df.select(
+        F.lag("chunk_text").over(w).alias("chunk_text_previous"),
+        F.col("chunk_text").alias("chunk_text_current"),
+        F.lead("chunk_text").over(w).alias("chunk_text_next"),
+        F.struct(
+            F.lit(source_type).alias("source_type"),
+            F.lit(source_uri).alias("source_uri"),
+            F.lit(source_title).cast("string").alias("source_title"),
+            F.lit(crop_name).cast("string").alias("crop_name"),
+            F.col("page_number"),
+            F.col("chunk_sequence"),
+            F.col("image_urls"),
+            F.current_timestamp().alias("created_at"),
+        ).alias("metadata"),
+    ).filter(F.length(F.trim("chunk_text_current")) > 0)
+
+
+def metadata_term_predicate(filters: dict[str, str]):
+    """Schema-typed term-query builder (opensearch_loader.py:386-408
+    semantics): keyword fields → exact equality; text fields → analyzed
+    containment (the match_phrase analogue for our normalized columns).
+
+    Returns a Column predicate over a DataFrame carrying a ``metadata``
+    struct, AND-ing all filters (the bool/filter context, 432-441).
+    """
+    keyword_fields = {"source_type", "crop_name"}
+    pred = F.lit(True)
+    for field, value in sorted(filters.items()):
+        col = F.col(f"metadata.{field}")
+        if field in keyword_fields:
+            pred = pred & (col == F.lit(value))
+        else:
+            pred = pred & F.lower(col).contains(str(value).lower())
+    return pred
+
+
+def delete_documents_by_metadata(docs_df: DataFrame,
+                                 filters: dict[str, str]) -> DataFrame:
+    """Delete-by-metadata (uploader.py:152-167 → opensearch_loader.py:432-443):
+    returns the surviving rows (relational DELETE WHERE rewrite)."""
+    return docs_df.filter(~metadata_term_predicate(filters))

@@ -43,8 +43,12 @@ class BruteForceBM25:
                 self.index.setdefault(tok, {})
                 self.index[tok][i] = self.index[tok].get(i, 0) + 1
 
-    def search(self, query: str, k: int = 10) -> list[tuple[int, float]]:
-        """Top-k (doc_id, score), score desc, tie → doc_id asc."""
+    def search(self, query: str, k: int = 10,
+               allowed: set[int] | None = None) -> list[tuple[int, float]]:
+        """Top-k (doc_id, score), score desc, tie → doc_id asc.
+
+        ``allowed``: optional doc_id filter (bool/filter context — restricts
+        candidates, does not change corpus-global statistics)."""
         scores = np.zeros(self.N, dtype=np.float64)
         for term in tokenize_text(query):
             postings = self.index.get(term)
@@ -59,6 +63,10 @@ class BruteForceBM25:
                 tfs + self.k1 * (1 - self.b + self.b * dls / self.avgdl)
             )
         hit = np.flatnonzero(scores > 0)
+        if allowed is not None:
+            mask = np.isin(self.doc_ids[hit], np.fromiter(allowed, np.int64,
+                                                          len(allowed)))
+            hit = hit[mask]
         order = np.lexsort((self.doc_ids[hit], -scores[hit]))[:k]
         chosen = hit[order]
         return [(int(self.doc_ids[i]), float(scores[i])) for i in chosen]

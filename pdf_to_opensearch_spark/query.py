@@ -55,13 +55,26 @@ def load_stats(spark: SparkSession, index_dir: str) -> IndexStats:
     return IndexStats(spark.read.parquet(IndexPaths(index_dir).stats).collect()[0])
 
 
-def _score_kernel(qinfo: dict, k: int, stats: IndexStats, prune: bool):
-    """Per-doc-range scorer. qinfo: {query_id: {term: idf}}."""
+def _score_kernel(qinfo: dict, k: int, stats: IndexStats, prune: bool,
+                  filtered: bool = False):
+    """Per-doc-range scorer. qinfo: {query_id: {term: idf}}.
+
+    With ``filtered=True`` the kernel is used as a cogroup function:
+    (postings_pdf, allowed_pdf) where allowed_pdf carries the doc_ids that
+    pass the metadata filter in this range (the Lucene bool/filter context:
+    scores are corpus-global, the filter only restricts the candidate set —
+    opensearch_loader.py:873-884 semantics).
+    """
     k1, b, avgdl = stats.k1, stats.b, stats.avgdl
     # stored block maxes are valid only at build-time avgdl
     stored_bm_valid = abs(stats.avgdl - stats.avgdl_build) < 1e-12
 
-    def score_range(pdf: pd.DataFrame) -> pd.DataFrame:
+    def score_cogroup(pdf: pd.DataFrame, allowed: pd.DataFrame) -> pd.DataFrame:
+        out = score_range(pdf, allowed["doc_id"].to_numpy(np.int64))
+        return out
+
+    def score_range(pdf: pd.DataFrame,
+                    allowed_ids: np.ndarray | None = None) -> pd.DataFrame:
         by_term: dict[str, dict] = {}
         for rec in pdf.to_dict("records"):
             by_term[rec["term"]] = rec
@@ -72,11 +85,24 @@ def _score_kernel(qinfo: dict, k: int, stats: IndexStats, prune: bool):
             if not hits:
                 continue
             decoded = {t: decode_postings(rec) for t, _w, rec in hits}
+            if allowed_ids is not None:
+                filt = {}
+                for t, (ids, tfs, dls) in decoded.items():
+                    m = np.isin(ids, allowed_ids)
+                    filt[t] = (ids[m], tfs[m], dls[m])
+                decoded = filt
+                hits = [(t, w, rec) for t, w, rec in hits
+                        if decoded[t][0].size]
+                if not hits:
+                    continue
             contribs = {
                 t: w * tf_norm(decoded[t][1], decoded[t][2], avgdl, k1, b)
                 for t, w, _rec in hits
             }
-            if prune and stored_bm_valid and len(hits) > 1:
+            # block maxes index ORIGINAL posting positions → pruning is
+            # disabled under a metadata filter (positions no longer align)
+            if prune and stored_bm_valid and len(hits) > 1 \
+                    and allowed_ids is None:
                 masks = _block_prune_masks(hits, contribs, k)
             else:
                 masks = None
@@ -106,7 +132,7 @@ def _score_kernel(qinfo: dict, k: int, stats: IndexStats, prune: bool):
             "score": pd.Series(out_s, dtype="float64"),
         })
 
-    return score_range
+    return score_cogroup if filtered else score_range
 
 
 def _block_prune_masks(hits: list, contribs: dict, k: int) -> dict:
@@ -150,8 +176,16 @@ def _block_prune_masks(hits: list, contribs: dict, k: int) -> dict:
 
 
 def search(spark: SparkSession, index_dir: str, queries: list[tuple[int, str]],
-           k: int = 10, prune: bool = True) -> DataFrame:
-    """queries: [(query_id, text)] → DataFrame(query_id, rank, doc_id, score)."""
+           k: int = 10, prune: bool = True,
+           doc_filter: str | None = None) -> DataFrame:
+    """queries: [(query_id, text)] → DataFrame(query_id, rank, doc_id, score).
+
+    ``doc_filter``: optional SQL predicate over the ``docs`` table columns
+    (url, lang, ...) — the bool/filter context of the reference's search
+    (opensearch_loader.py:873-884): restricts the candidate set without
+    changing corpus-global BM25 statistics. Implemented as a cogrouped
+    kernel so each doc-range only sees its own allowed doc_ids (no
+    broadcast of a global id set — scale-safe)."""
     paths = IndexPaths(index_dir)
     stats = load_stats(spark, index_dir)
 
@@ -177,10 +211,24 @@ def search(spark: SparkSession, index_dir: str, queries: list[tuple[int, str]],
     postings = (spark.read.parquet(paths.postings)
                 .filter(F.col("bucket").isin(buckets))       # partition pruning
                 .filter(F.col("term").isin(live_terms)))     # row-group pruning
-    per_range = (postings
-                 .groupBy("range_id")
-                 .applyInPandas(_score_kernel(qinfo, k, stats, prune),
-                                schema=RESULT_SCHEMA))
+    if doc_filter is not None:
+        st_row = spark.read.parquet(paths.stats).collect()[0]
+        dpr = int(st_row["docs_per_range"])
+        allowed = (spark.read.parquet(paths.docs)
+                   .filter(doc_filter)
+                   .select("doc_id",
+                           (F.col("doc_id") / F.lit(dpr)).cast("int")
+                           .alias("range_id")))
+        per_range = (postings.groupBy("range_id")
+                     .cogroup(allowed.groupBy("range_id"))
+                     .applyInPandas(
+                         _score_kernel(qinfo, k, stats, prune, filtered=True),
+                         schema=RESULT_SCHEMA))
+    else:
+        per_range = (postings
+                     .groupBy("range_id")
+                     .applyInPandas(_score_kernel(qinfo, k, stats, prune),
+                                    schema=RESULT_SCHEMA))
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("doc_id").asc())
     return (per_range

@@ -1,0 +1,110 @@
+"""Chunk-file parser + search-doc assembly + metadata term queries
+(uploader.py:34-167 semantics) and metadata-filtered BM25 search."""
+
+import numpy as np
+import pytest
+
+SAMPLE = """<chunk>
+first chunk text line one
+line two
+[page_index: 15]
+[URL: https://cdn.example.com/img1.png]
+[URL: https://cdn.example.com/img2.png]
+</chunk>
+<chunk>
+second chunk, no tags
+</chunk>
+<chunk>
+third chunk
+[page_index: 0]
+</chunk>"""
+
+
+def test_parse_chunk_files(spark):
+    from pdf_to_opensearch_spark.chunkfile import parse_chunk_files
+
+    df = spark.createDataFrame([("f1.txt", SAMPLE)], "path string, content string")
+    out = parse_chunk_files(df).toPandas().sort_values("chunk_sequence",
+                                                       ignore_index=True)
+    assert len(out) == 3
+    assert out["chunk_sequence"].tolist() == [1, 2, 3]
+    assert out.loc[0, "chunk_text"] == "first chunk text line one\nline two"
+    assert out.loc[0, "page_number"] == 16  # page_index + 1
+    assert list(out.loc[0, "image_urls"]) == [
+        "https://cdn.example.com/img1.png", "https://cdn.example.com/img2.png"]
+    assert out.loc[1, "chunk_text"] == "second chunk, no tags"
+    assert np.isnan(out.loc[1, "page_number"])
+    assert list(out.loc[1, "image_urls"]) == []
+    assert out.loc[2, "page_number"] == 1
+
+
+def test_build_search_documents(spark):
+    from pdf_to_opensearch_spark.chunkfile import (
+        build_search_documents,
+        parse_chunk_files,
+    )
+
+    df = spark.createDataFrame([("f1.txt", SAMPLE)], "path string, content string")
+    chunks = parse_chunk_files(df)
+    docs = build_search_documents(chunks, "test-src", "s3://bucket/f1.pdf",
+                                  source_title="Title")
+    out = docs.toPandas().sort_values("chunk_text_current", ignore_index=True)
+    assert len(out) == 3
+    first = out[out["chunk_text_current"].str.startswith("first")].iloc[0]
+    assert first["chunk_text_previous"] is None
+    assert first["chunk_text_next"] == "second chunk, no tags"
+    assert first["metadata"]["source_type"] == "test-src"
+    assert first["metadata"]["source_uri"] == "s3://bucket/f1.pdf"
+    with pytest.raises(ValueError, match="required"):
+        build_search_documents(chunks, "", "s3://x")
+
+
+def test_delete_by_metadata(spark):
+    from pdf_to_opensearch_spark.chunkfile import (
+        build_search_documents,
+        delete_documents_by_metadata,
+        parse_chunk_files,
+    )
+
+    df = spark.createDataFrame([("f1.txt", SAMPLE)], "path string, content string")
+    docs = build_search_documents(parse_chunk_files(df), "crop-guide",
+                                  "s3://bucket/f1.pdf",
+                                  source_title="Strawberry Guide")
+    # keyword field: exact match deletes all
+    kept = delete_documents_by_metadata(docs, {"source_type": "crop-guide"})
+    assert kept.count() == 0
+    # keyword mismatch deletes nothing
+    kept = delete_documents_by_metadata(docs, {"source_type": "other"})
+    assert kept.count() == 3
+    # text field: analyzed containment (match_phrase analogue)
+    kept = delete_documents_by_metadata(docs, {"source_title": "strawberry"})
+    assert kept.count() == 0
+
+
+def test_filtered_search_matches_oracle(spark, tmp_path):
+    from pdf_to_opensearch_spark.extract import extract_docs
+    from pdf_to_opensearch_spark.indexer import build_index
+    from pdf_to_opensearch_spark.oracle import BruteForceBM25
+    from pdf_to_opensearch_spark.query import search
+    from pdf_to_opensearch_spark.synth import (
+        expected_text,
+        make_pages,
+        make_pages_pdf,
+    )
+
+    root = str(tmp_path / "fidx")
+    pages = make_pages(spark, n_docs=200, seed=9, partitions=4)
+    build_index(spark, extract_docs(pages), root, num_ranges=4, n_buckets=8,
+                id_partitions=4)
+    pdf = make_pages_pdf(n_docs=200, seed=9)
+    oracle = BruteForceBM25(np.arange(len(pdf)), list(expected_text(pdf)))
+    allowed = {i for i, lang in enumerate(pdf["lang"]) if lang == "en"}
+    queries = [(1, "spark index posting"), (2, "query merge the")]
+    got = (search(spark, root, queries, k=10, doc_filter="lang = 'en'")
+           .toPandas().sort_values(["query_id", "rank"], ignore_index=True))
+    for qid, qtext in queries:
+        want = oracle.search(qtext, 10, allowed=allowed)
+        sub = got[got["query_id"] == qid]
+        assert list(sub["doc_id"]) == [d for d, _ in want], qtext
+        np.testing.assert_allclose(sub["score"].to_numpy(),
+                                   [s for _, s in want], atol=1e-6)
