@@ -30,6 +30,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 DO_SCALING = os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") != "0"
+# scaling corpus: large enough that tokenize+SPIMI dominate fixed overhead
+SCALE_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "60000"))
+NUM_RANGES = 32     # fixed across parallelism levels → identical work
+N_BUCKETS = 16
 
 BM25_QUERIES = [(1, "spark join filter"), (2, "vector stream window batch"),
                 (3, "customer the slow")]
@@ -44,8 +48,27 @@ def _docs(spark):
         "text", "lang")
 
 
-def build_once(cores: int, out_dir: str) -> tuple[float, int]:
-    """Fresh JVM session at ``cores``; returns (build_seconds, n_docs)."""
+def _scaling_corpus() -> str:
+    """Seeded synthetic pages corpus, generated once, cached in /tmp."""
+    path = os.path.join(tempfile.gettempdir(),
+                        f"bench_pages_{SCALE_DOCS}_s42.parquet")
+    if not os.path.exists(path):
+        from pdf_to_opensearch_spark.synth import make_pages_pdf
+
+        pdf = make_pages_pdf(n_docs=SCALE_DOCS, seed=42)
+        pdf.drop(columns=["html"]).to_parquet(path, index=False)
+    return path
+
+
+def build_once(cores: int, out_dir: str, corpus_path: str) -> tuple[float, int]:
+    """Fresh JVM session at ``cores``; returns (build_seconds, n_docs).
+
+    A small warm-up UDF job forces Python-worker spawn before the timed
+    region so both parallelism levels measure steady-state throughput.
+    """
+    from pyspark.sql import functions as F
+
+    from pdf_to_opensearch_spark.analyzer import token_count_udf
     from pdf_to_opensearch_spark.indexer import build_index
     from pdf_to_opensearch_spark.session import get_spark
 
@@ -53,12 +76,14 @@ def build_once(cores: int, out_dir: str) -> tuple[float, int]:
                       shuffle_partitions=cores)
     spark.sparkContext.setLogLevel("ERROR")
     try:
-        docs = _docs(spark)
+        docs = spark.read.parquet(corpus_path).select("url", "text", "lang") \
+            .repartition(cores)
         n = docs.count()
+        docs.limit(2048).select(token_count_udf("text")).count()  # warm-up
         shutil.rmtree(out_dir, ignore_errors=True)
         t0 = time.monotonic()
-        build_index(spark, docs, out_dir, num_ranges=cores,
-                    n_buckets=16, id_partitions=cores)
+        build_index(spark, docs, out_dir, num_ranges=NUM_RANGES,
+                    n_buckets=N_BUCKETS, id_partitions=cores)
         dt = time.monotonic() - t0
         return dt, n
     finally:
@@ -68,13 +93,22 @@ def build_once(cores: int, out_dir: str) -> tuple[float, int]:
 def main() -> None:
     results: dict[str, float] = {}
 
-    # ---- scaling run at low parallelism (own JVM) -------------------------
+    # ---- scaling evidence: same job, two parallelism levels, own JVMs -----
     lo_cores = max(CPUS // 4, 1)
-    idx_lo = os.path.join(tempfile.gettempdir(), "bench_index_lo")
     if DO_SCALING:
-        t_lo, _ = build_once(lo_cores, idx_lo)
-        results[f"index_build_local{lo_cores}"] = round(t_lo, 3)
+        corpus = _scaling_corpus()
+        idx_lo = os.path.join(tempfile.gettempdir(), "bench_index_lo")
+        idx_hi = os.path.join(tempfile.gettempdir(), "bench_index_hi")
+        t_lo, n_scale = build_once(lo_cores, idx_lo, corpus)
+        t_hi, _ = build_once(CPUS, idx_hi, corpus)
         shutil.rmtree(idx_lo, ignore_errors=True)
+        shutil.rmtree(idx_hi, ignore_errors=True)
+        results[f"scale_build_local{lo_cores}"] = round(t_lo, 3)
+        results[f"scale_build_local{CPUS}"] = round(t_hi, 3)
+        results["scale_docs_per_sec_lo"] = round(n_scale / t_lo, 1)
+        results["scale_docs_per_sec_hi"] = round(n_scale / t_hi, 1)
+        results["scaling_efficiency"] = round(
+            (t_lo / t_hi) / (CPUS / lo_cores), 4)
 
     # ---- main session at full parallelism ---------------------------------
     from pdf_to_opensearch_spark.session import get_spark
@@ -85,21 +119,16 @@ def main() -> None:
     from pdf_to_opensearch_spark.indexer import build_index
     from pdf_to_opensearch_spark.query import search
 
-    idx = os.path.join(tempfile.gettempdir(), "bench_index_hi")
+    idx = os.path.join(tempfile.gettempdir(), "bench_index_sf")
     docs = _docs(spark)
     n_docs = docs.count()
     shutil.rmtree(idx, ignore_errors=True)
     t0 = time.monotonic()
-    build_index(spark, docs, idx, num_ranges=CPUS, n_buckets=16,
+    build_index(spark, docs, idx, num_ranges=NUM_RANGES, n_buckets=N_BUCKETS,
                 id_partitions=CPUS)
     t_build = time.monotonic() - t0
-    results[f"index_build_local{CPUS}"] = round(t_build, 3)
+    results["index_build"] = round(t_build, 3)
     results["index_build_docs_per_sec"] = round(n_docs / t_build, 1)
-
-    if DO_SCALING:
-        t_lo = results[f"index_build_local{lo_cores}"]
-        results["scaling_efficiency"] = round(
-            (t_lo / t_build) / (CPUS / lo_cores), 4)
 
     # ---- query latency -----------------------------------------------------
     lat: list[float] = []

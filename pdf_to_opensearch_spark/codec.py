@@ -93,9 +93,44 @@ def block_maxes(tfs: np.ndarray, dls: np.ndarray, avgdl: float) -> np.ndarray:
                     np.nextafter(f32, np.float32(np.inf)), f32).astype(np.float32)
 
 
+def encode_positions(positions: np.ndarray, tfs: np.ndarray) -> bytes:
+    """Encode flat per-posting term positions (sorted within each doc).
+
+    ``positions`` holds the concatenated position lists of every posting in
+    doc order; ``tfs`` gives the per-doc counts. Within-doc delta encoding
+    with an absolute value at each doc boundary, then varint — vectorized
+    (boundary reset via index assignment, no per-doc loop).
+    """
+    positions = np.asarray(positions, dtype=np.int64)
+    tfs = np.asarray(tfs, dtype=np.int64)
+    if positions.size == 0:
+        return b""
+    deltas = positions.copy()
+    deltas[1:] -= positions[:-1]
+    starts = np.cumsum(tfs) - tfs  # first flat index of each doc's run
+    deltas[starts] = positions[starts]  # absolute at each doc boundary
+    return encode_varint(deltas)
+
+
+def decode_positions(buf: bytes, tfs: np.ndarray) -> np.ndarray:
+    """Inverse of :func:`encode_positions`: flat absolute positions."""
+    deltas = decode_varint(buf).astype(np.int64)
+    if deltas.size == 0:
+        return deltas
+    tfs = np.asarray(tfs, dtype=np.int64)
+    starts = np.cumsum(tfs) - tfs
+    # segment-local cumsum: global cumsum minus the carried-over prefix
+    csum = np.cumsum(deltas)
+    carry = np.zeros_like(deltas)
+    carry[starts[1:]] = csum[starts[1:] - 1]
+    return csum - np.maximum.accumulate(carry)
+
+
 def encode_postings(doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
-                    avgdl: float) -> dict:
-    """Encode one (term, partition) posting run. ``doc_ids`` must be sorted."""
+                    avgdl: float, positions: np.ndarray | None = None) -> dict:
+    """Encode one (term, partition) posting run. ``doc_ids`` must be sorted;
+    ``positions`` (optional) is the flat per-doc position array for the
+    positional (match_phrase) index."""
     doc_ids = np.asarray(doc_ids, dtype=np.int64)
     tfs = np.asarray(tfs, dtype=np.int64)
     dls = np.asarray(dls, dtype=np.int64)
@@ -111,6 +146,8 @@ def encode_postings(doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
         "doc_ids": encode_varint(deltas),
         "tfs": encode_varint(tfs - 1),
         "dls": encode_varint(dls),
+        "poss": (encode_positions(positions, tfs)
+                 if positions is not None else b""),
         "block_maxes": bm.tobytes(),
         "max_tf_norm": float(bm.max()) if bm.size else 0.0,
         "cf": int(tfs.sum()),

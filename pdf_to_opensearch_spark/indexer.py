@@ -48,8 +48,8 @@ from .codec import encode_postings
 
 POSTINGS_SCHEMA = (
     "term string, range_id int, first_doc_id long, n long, cf long, "
-    "doc_ids binary, tfs binary, dls binary, block_maxes binary, "
-    "max_tf_norm float, wall_ms long"
+    "doc_ids binary, tfs binary, dls binary, poss binary, "
+    "block_maxes binary, max_tf_norm float, wall_ms long"
 )
 
 DEFAULT_BUCKETS = 16
@@ -124,31 +124,40 @@ def _spimi_batches(avgdl: float, docs_per_range: int):
             dls = np.repeat(lens, lens)
             terms = np.concatenate([np.asarray(t, dtype=object) for t in toks
                                     if len(t)])
+            # token position within its doc (for the positional index):
+            # global arange minus each doc's start offset
+            flat = np.arange(doc_ids.size, dtype=np.int64)
+            doc_starts = np.repeat(np.cumsum(lens) - lens, lens)
             frames.append(pd.DataFrame({
-                "term": terms, "doc_id": doc_ids, "dl": dls}))
+                "term": terms, "doc_id": doc_ids, "dl": dls,
+                "pos": flat - doc_starts}))
         if not frames:
             yield _empty_postings_frame()
             return
         allp = pd.concat(frames, ignore_index=True)
-        # (term, doc_id) → tf; doc_ids unique per doc so no cross-batch dupes
-        grp = (allp.groupby(["term", "doc_id"], sort=True)
-               .agg(tf=("dl", "size"), dl=("dl", "first"))
-               .reset_index())
-        grp["range_id"] = (grp["doc_id"] // docs_per_range).astype(np.int32)
+        allp["range_id"] = (allp["doc_id"] // docs_per_range).astype(np.int32)
+        # sort once: (term, range, doc, pos) → per-group arrays are slices
+        allp.sort_values(["term", "range_id", "doc_id", "pos"],
+                         inplace=True, kind="mergesort", ignore_index=True)
         rows = []
-        for (term, range_id), g in grp.groupby(["term", "range_id"], sort=True):
+        for (term, range_id), g in allp.groupby(["term", "range_id"],
+                                                sort=True):
+            doc_arr = g["doc_id"].to_numpy(np.int64)
+            uniq, starts_, tfs = np.unique(doc_arr, return_index=True,
+                                           return_counts=True)
             enc = encode_postings(
-                g["doc_id"].to_numpy(np.int64),
-                g["tf"].to_numpy(np.int64),
-                g["dl"].to_numpy(np.int64),
+                uniq,
+                tfs,
+                g["dl"].to_numpy(np.int64)[starts_],
                 avgdl,
+                positions=g["pos"].to_numpy(np.int64),
             )
             rows.append((term, int(range_id), enc["first_doc_id"], enc["n"],
                          enc["cf"], enc["doc_ids"], enc["tfs"], enc["dls"],
-                         enc["block_maxes"], enc["max_tf_norm"]))
+                         enc["poss"], enc["block_maxes"], enc["max_tf_norm"]))
         out = pd.DataFrame(rows, columns=[
             "term", "range_id", "first_doc_id", "n", "cf", "doc_ids", "tfs",
-            "dls", "block_maxes", "max_tf_norm"])
+            "dls", "poss", "block_maxes", "max_tf_norm"])
         out["wall_ms"] = int((time.monotonic() - t0) * 1000)
         yield out
 
@@ -165,6 +174,7 @@ def _empty_postings_frame() -> pd.DataFrame:
         "doc_ids": pd.Series(dtype=object),
         "tfs": pd.Series(dtype=object),
         "dls": pd.Series(dtype=object),
+        "poss": pd.Series(dtype=object),
         "block_maxes": pd.Series(dtype=object),
         "max_tf_norm": pd.Series(dtype="float32"),
         "wall_ms": pd.Series(dtype="int64"),

@@ -70,3 +70,24 @@ class BruteForceBM25:
         order = np.lexsort((self.doc_ids[hit], -scores[hit]))[:k]
         chosen = hit[order]
         return [(int(self.doc_ids[i]), float(scores[i])) for i in chosen]
+
+    def phrase_search(self, phrase: str, k: int = 10) -> list[tuple[int, float]]:
+        """Brute-force exact-phrase top-k (match_phrase oracle):
+        tf = phrase frequency, idf = Σ per-term idfs (Lucene PhraseQuery)."""
+        toks = tokenize_text(phrase)
+        if not toks or any(t not in self.index for t in toks):
+            return []
+        w = float(sum(idf(self.N, np.array([len(self.index[t])]))[0]
+                      for t in toks))
+        out = []
+        L = len(toks)
+        for i, doc in enumerate(self.doc_tokens):
+            pf = sum(1 for j in range(len(doc) - L + 1)
+                     if doc[j:j + L] == toks)
+            if pf:
+                dl = float(self.dl[i])
+                score = w * pf * (self.k1 + 1) / (
+                    pf + self.k1 * (1 - self.b + self.b * dl / self.avgdl))
+                out.append((int(self.doc_ids[i]), score))
+        out.sort(key=lambda x: (-x[1], x[0]))
+        return out[:k]

@@ -34,7 +34,13 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .analyzer import tokenize_text
-from .codec import BLOCK, decode_block_maxes, decode_postings, tf_norm
+from .codec import (
+    BLOCK,
+    decode_block_maxes,
+    decode_positions,
+    decode_postings,
+    tf_norm,
+)
 from .indexer import IndexPaths, bucket_of
 from .oracle import idf as idf_fn
 
@@ -132,7 +138,12 @@ def _score_kernel(qinfo: dict, k: int, stats: IndexStats, prune: bool,
             "score": pd.Series(out_s, dtype="float64"),
         })
 
-    return score_cogroup if filtered else score_range
+    def score_plain(pdf: pd.DataFrame) -> pd.DataFrame:
+        # single-arg wrapper: applyInPandas passes (key, pdf) to two-arg
+        # functions, so score_range(pdf, allowed_ids=None) must be wrapped
+        return score_range(pdf)
+
+    return score_cogroup if filtered else score_plain
 
 
 def _block_prune_masks(hits: list, contribs: dict, k: int) -> dict:
@@ -229,6 +240,112 @@ def search(spark: SparkSession, index_dir: str, queries: list[tuple[int, str]],
                      .groupBy("range_id")
                      .applyInPandas(_score_kernel(qinfo, k, stats, prune),
                                     schema=RESULT_SCHEMA))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc())
+    return (per_range
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "doc_id", "score"))
+
+
+# --------------------------------------------------------- phrase queries
+
+_POS_SHIFT = np.uint64(24)  # doc_id<<24 | position keys: dl < 2^24 tokens,
+#                             doc_id < 2^39 — both safe at 10^12-doc scale
+
+
+def _phrase_kernel(qinfo: dict, k: int, stats: IndexStats):
+    """Per-doc-range phrase scorer (match_phrase semantics,
+    opensearch_loader.py:386-408 / Lucene PhraseQuery):
+    tf = exact-phrase frequency, idf = Σ per-term idfs,
+    score = idf · tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)).
+
+    qinfo: {query_id: {"terms": [t0, t1, ...], "idf": float}}.
+    """
+    k1, b, avgdl = stats.k1, stats.b, stats.avgdl
+
+    def score_range(pdf: pd.DataFrame) -> pd.DataFrame:
+        by_term: dict[str, dict] = {}
+        for rec in pdf.to_dict("records"):
+            by_term[rec["term"]] = rec
+        out_q, out_d, out_s = [], [], []
+        for query_id, info in qinfo.items():
+            terms = info["terms"]
+            if not all(t in by_term for t in terms):
+                continue
+            decoded = {}
+            for t in set(terms):
+                rec = by_term[t]
+                doc_ids, tfs, dls = decode_postings(rec)
+                poss = decode_positions(rec["poss"], tfs)
+                if doc_ids.size == 0:
+                    keys = np.empty(0, dtype=np.uint64)
+                else:
+                    keys = ((np.repeat(doc_ids, tfs).astype(np.uint64)
+                             << _POS_SHIFT) | poss.astype(np.uint64))
+                decoded[t] = (doc_ids, tfs, dls, keys)
+            # anchor: (doc, pos) pairs of the first term
+            d0, t0f, dl0, keys0 = decoded[terms[0]]
+            cand = keys0
+            for i, t in enumerate(terms[1:], start=1):
+                if cand.size == 0:
+                    break
+                cand = cand[np.isin(cand + np.uint64(i), decoded[t][3])]
+            if cand.size == 0:
+                continue
+            cand_docs = (cand >> _POS_SHIFT).astype(np.int64)
+            uniq, pf = np.unique(cand_docs, return_counts=True)
+            # dl lookup from the anchor term's posting run
+            dl_map = dl0[np.searchsorted(d0, uniq)]
+            sc = info["idf"] * tf_norm(pf, dl_map, avgdl, k1, b)
+            top = min(k, uniq.size)
+            order = np.lexsort((uniq, -sc))[:top]
+            out_q.extend([query_id] * top)
+            out_d.extend(uniq[order].tolist())
+            out_s.extend(sc[order].tolist())
+        return pd.DataFrame({
+            "query_id": pd.Series(out_q, dtype="int32"),
+            "doc_id": pd.Series(out_d, dtype="int64"),
+            "score": pd.Series(out_s, dtype="float64"),
+        })
+
+    return score_range
+
+
+def phrase_search(spark: SparkSession, index_dir: str,
+                  queries: list[tuple[int, str]], k: int = 10) -> DataFrame:
+    """Exact-phrase top-k (the match_phrase surface of the reference).
+
+    Same physical shape as :func:`search`: dictionary point-lookup →
+    bucket/term-pruned postings scan → per-range vectorized kernel →
+    global top-k window.
+    """
+    paths = IndexPaths(index_dir)
+    stats = load_stats(spark, index_dir)
+    q_terms = {qid: tokenize_text(text) for qid, text in queries}
+    terms = sorted({t for toks in q_terms.values() for t in toks})
+    empty = "query_id int, rank int, doc_id long, score double"
+    if not terms:
+        return spark.createDataFrame([], empty)
+    dict_rows = (spark.read.parquet(paths.dictionary)
+                 .filter(F.col("term").isin(terms)).collect())
+    dfs = {r["term"]: int(r["df"]) for r in dict_rows}
+    qinfo = {}
+    for qid, toks in q_terms.items():
+        if toks and all(t in dfs for t in toks):
+            s_idf = float(sum(
+                idf_fn(stats.N, np.array([dfs[t]]))[0] for t in toks))
+            qinfo[int(qid)] = {"terms": toks, "idf": s_idf}
+    if not qinfo:
+        return spark.createDataFrame([], empty)
+    live_terms = sorted({t for i in qinfo.values() for t in i["terms"]})
+    buckets = sorted({bucket_of(t, stats.n_buckets) for t in live_terms})
+    postings = (spark.read.parquet(paths.postings)
+                .filter(F.col("bucket").isin(buckets))
+                .filter(F.col("term").isin(live_terms)))
+    per_range = (postings.groupBy("range_id")
+                 .applyInPandas(_phrase_kernel(qinfo, k, stats),
+                                schema=RESULT_SCHEMA))
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("doc_id").asc())
     return (per_range

@@ -1,0 +1,74 @@
+"""Positional index + match_phrase query vs brute-force oracle."""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from pdf_to_opensearch_spark.codec import decode_positions, encode_positions
+
+
+@given(st.lists(st.lists(st.integers(0, 100000), min_size=1, max_size=30),
+                min_size=1, max_size=40))
+@settings(max_examples=100, deadline=None)
+def test_positions_roundtrip(doc_pos_lists):
+    # positions sorted within each doc (as produced by the tokenizer)
+    doc_pos_lists = [sorted(p) for p in doc_pos_lists]
+    flat = np.array([p for doc in doc_pos_lists for p in doc], dtype=np.int64)
+    tfs = np.array([len(p) for p in doc_pos_lists], dtype=np.int64)
+    got = decode_positions(encode_positions(flat, tfs), tfs)
+    assert np.array_equal(got, flat)
+
+
+PHRASES = [
+    (1, "딸기 육묘는"),           # fixture bigram
+    (2, "duplicate content row"),  # dup docs — tie break
+    (3, "content duplicate"),      # wrong order → likely no match
+    (4, "spark"),                  # single-term phrase == term query
+    (5, "missing phrase entirely zzz"),
+]
+
+
+@pytest.fixture(scope="module")
+def phrase_setup(spark, tmp_path_factory):
+    from pdf_to_opensearch_spark.extract import extract_docs
+    from pdf_to_opensearch_spark.indexer import build_index
+    from pdf_to_opensearch_spark.oracle import BruteForceBM25
+    from pdf_to_opensearch_spark.synth import (
+        expected_text,
+        make_pages,
+        make_pages_pdf,
+    )
+
+    root = str(tmp_path_factory.mktemp("phraseidx"))
+    pages = make_pages(spark, n_docs=150, seed=21, partitions=4)
+    build_index(spark, extract_docs(pages), root, num_ranges=4, n_buckets=8,
+                id_partitions=4)
+    pdf = make_pages_pdf(n_docs=150, seed=21)
+    oracle = BruteForceBM25(np.arange(len(pdf)), list(expected_text(pdf)))
+    return root, oracle
+
+
+def test_phrase_search_matches_oracle(spark, phrase_setup):
+    from pdf_to_opensearch_spark.query import phrase_search
+
+    root, oracle = phrase_setup
+    got = (phrase_search(spark, root, PHRASES, k=10).toPandas()
+           .sort_values(["query_id", "rank"], ignore_index=True))
+    for qid, phrase in PHRASES:
+        want = oracle.phrase_search(phrase, 10)
+        sub = got[got["query_id"] == qid]
+        assert list(sub["doc_id"]) == [d for d, _ in want], phrase
+        np.testing.assert_allclose(sub["score"].to_numpy(),
+                                   [s for _, s in want], atol=1e-6)
+
+
+def test_phrase_with_repeated_term(spark, phrase_setup):
+    from pdf_to_opensearch_spark.query import phrase_search
+
+    root, oracle = phrase_setup
+    # bigram with a repeated word appears nowhere → must return empty,
+    # and the kernel must not crash on same-term-multiple-offsets
+    got = phrase_search(spark, root, [(9, "spark spark")], k=5).toPandas()
+    want = oracle.phrase_search("spark spark", 5)
+    assert list(got["doc_id"]) == [d for d, _ in want]
