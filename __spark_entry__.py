@@ -523,3 +523,231 @@ def oracle_sql() -> dict[str, str]:
         # minhash_pairs / simhash_pairs / chunk_stats: non-SQL-expressible
         # (seeded hash families, imperative packing rule) → rows-only check.
     }
+
+
+# ------------------------------------------------ spatial / misc operators
+
+def _rects_from_part(spark, sf_dir):
+    """Deterministic synthetic bboxes derived from the part table (integer
+    arithmetic only, so the DuckDB oracle reproduces them exactly)."""
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    return part.select(
+        F.col("p_partkey").alias("left_id"),
+        (F.col("p_partkey") % 8).alias("page_key"),
+        ((F.col("p_partkey") * 37) % 500).cast("double").alias("x0"),
+        ((F.col("p_partkey") * 61) % 700).cast("double").alias("y0"),
+        (((F.col("p_partkey") * 37) % 500) + 20 +
+         F.col("p_partkey") % 30).cast("double").alias("x1"),
+        (((F.col("p_partkey") * 61) % 700) + 10 +
+         F.col("p_partkey") % 20).cast("double").alias("y1"),
+    )
+
+
+def _rects_from_customer(spark, sf_dir):
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return cust.select(
+        F.col("c_custkey").alias("right_id"),
+        (F.col("c_custkey") % 8).alias("page_key"),
+        ((F.col("c_custkey") * 53) % 500).cast("double").alias("x0"),
+        ((F.col("c_custkey") * 41) % 700).cast("double").alias("y0"),
+        (((F.col("c_custkey") * 53) % 500) + 25 +
+         F.col("c_custkey") % 25).cast("double").alias("x1"),
+        (((F.col("c_custkey") * 41) % 700) + 15 +
+         F.col("c_custkey") % 15).cast("double").alias("y1"),
+    )
+
+
+_RECTS_SQL = """
+lrect AS (
+  SELECT p_partkey AS left_id, p_partkey % 8 AS page_key,
+         ((p_partkey * 37) % 500)::DOUBLE AS x0,
+         ((p_partkey * 61) % 700)::DOUBLE AS y0,
+         (((p_partkey * 37) % 500) + 20 + p_partkey % 30)::DOUBLE AS x1,
+         (((p_partkey * 61) % 700) + 10 + p_partkey % 20)::DOUBLE AS y1
+  FROM part
+),
+rrect AS (
+  SELECT c_custkey AS right_id, c_custkey % 8 AS page_key,
+         ((c_custkey * 53) % 500)::DOUBLE AS x0,
+         ((c_custkey * 41) % 700)::DOUBLE AS y0,
+         (((c_custkey * 53) % 500) + 25 + c_custkey % 25)::DOUBLE AS x1,
+         (((c_custkey * 41) % 700) + 15 + c_custkey % 15)::DOUBLE AS y1
+  FROM customer
+)
+"""
+
+
+def _j1_nearest(spark, sf_dir):
+    from pdf_to_opensearch_spark.ops.spatial import nearest_match
+
+    _ensure_pkg(spark)
+    return nearest_match(_rects_from_part(spark, sf_dir),
+                         _rects_from_customer(spark, sf_dir))
+
+
+_J1_SQL = f"""
+WITH {_RECTS_SQL},
+joined AS (
+  SELECT l.left_id, r.right_id,
+         round(sqrt(pow(greatest(r.x0 - l.x1, l.x0 - r.x1, 0.0), 2) +
+                    pow(greatest(r.y0 - l.y1, l.y0 - r.y1, 0.0), 2)), 6)
+           AS distance
+  FROM lrect l JOIN rrect r USING (page_key)
+)
+SELECT left_id, right_id, distance FROM (
+  SELECT *, row_number() OVER (PARTITION BY left_id
+                               ORDER BY distance, right_id) AS rn
+  FROM joined
+) WHERE rn = 1
+"""
+
+
+def _j6_best_iou(spark, sf_dir):
+    from pdf_to_opensearch_spark.ops.spatial import best_iou_match
+
+    _ensure_pkg(spark)
+    return best_iou_match(_rects_from_part(spark, sf_dir),
+                          _rects_from_customer(spark, sf_dir))
+
+
+_J6_SQL = f"""
+WITH {_RECTS_SQL},
+joined AS (
+  SELECT l.left_id, r.right_id,
+         round(CASE WHEN (l.x1-l.x0)*(l.y1-l.y0) + (r.x1-r.x0)*(r.y1-r.y0)
+                         - greatest(least(l.x1,r.x1)-greatest(l.x0,r.x0),0.0)
+                           * greatest(least(l.y1,r.y1)-greatest(l.y0,r.y0),0.0) > 0
+               THEN greatest(least(l.x1,r.x1)-greatest(l.x0,r.x0),0.0)
+                    * greatest(least(l.y1,r.y1)-greatest(l.y0,r.y0),0.0)
+                    / ((l.x1-l.x0)*(l.y1-l.y0) + (r.x1-r.x0)*(r.y1-r.y0)
+                       - greatest(least(l.x1,r.x1)-greatest(l.x0,r.x0),0.0)
+                         * greatest(least(l.y1,r.y1)-greatest(l.y0,r.y0),0.0))
+               ELSE 0.0 END, 6) AS iou
+  FROM lrect l JOIN rrect r USING (page_key)
+)
+SELECT left_id, right_id, iou FROM (
+  SELECT *, row_number() OVER (PARTITION BY left_id
+                               ORDER BY iou DESC, right_id) AS rn
+  FROM joined WHERE iou > 0.0
+) WHERE rn = 1
+"""
+
+
+def _f4b_overlap_anti(spark, sf_dir):
+    from pdf_to_opensearch_spark.ops.spatial import overlap_anti_filter
+
+    _ensure_pkg(spark)
+    return overlap_anti_filter(
+        _rects_from_part(spark, sf_dir).withColumnRenamed("left_id", "tid"),
+        _rects_from_customer(spark, sf_dir)).select("tid", "page_key")
+
+
+_F4B_SQL = f"""
+WITH {_RECTS_SQL}
+SELECT l.left_id AS tid, l.page_key FROM lrect l
+WHERE NOT EXISTS (
+  SELECT 1 FROM rrect r
+  WHERE r.page_key = l.page_key
+    AND l.x0 < r.x1 AND r.x0 < l.x1 AND l.y0 < r.y1 AND r.y0 < l.y1
+)
+"""
+
+
+def _w4_percent_rank(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    w = Window.partitionBy("l_suppkey").orderBy(
+        F.col("l_extendedprice").desc(), F.col("l_orderkey").asc(),
+        F.col("l_linenumber").asc(), F.col("l_partkey").asc())
+    return li.select(
+        "l_suppkey", "l_orderkey", "l_linenumber", "l_partkey",
+        F.round(F.percent_rank().over(w), 6).alias("pr"))
+
+
+_W4_SQL = """
+SELECT l_suppkey, l_orderkey, l_linenumber, l_partkey,
+       round(percent_rank() OVER (PARTITION BY l_suppkey
+             ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber,
+                      l_partkey), 6) AS pr
+FROM lineitem
+"""
+
+
+def _a5_envelope(spark, sf_dir):
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return (cust.groupBy("c_nationkey")
+            .agg(F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+                 F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+                 F.count("*").cast("long").alias("n")))
+
+
+_A5_SQL = """
+SELECT c_nationkey, round(min(c_acctbal), 2) AS min_bal,
+       round(max(c_acctbal), 2) AS max_bal, count(*)::BIGINT AS n
+FROM customer GROUP BY c_nationkey
+"""
+
+
+def _u3_except(spark, sf_dir):
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").select("p_partkey")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet") \
+        .select(F.col("l_partkey").alias("p_partkey"))
+    return part.exceptAll(li.distinct()).distinct()
+
+
+_U3_SQL = """
+SELECT p_partkey FROM part
+EXCEPT
+SELECT l_partkey AS p_partkey FROM lineitem
+"""
+
+
+def _c9_json_extract(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    parsed = F.from_json(F.col("props"), "k int")
+    return (ev.select("event_id", parsed.getField("k").alias("k"))
+            .filter(F.col("k").isNotNull()))
+
+
+_C9_SQL = """
+SELECT event_id, CAST(props->>'k' AS INTEGER) AS k
+FROM events WHERE props->>'k' IS NOT NULL
+"""
+
+def _extra_queries():
+    return {
+        "j1_nearest_match": _j1_nearest,
+        "j6_best_iou": _j6_best_iou,
+        "f4b_overlap_anti": _f4b_overlap_anti,
+        "w4_percent_rank": _w4_percent_rank,
+        "a5_envelope": _a5_envelope,
+        "u3_except": _u3_except,
+        "c9_json_extract": _c9_json_extract,
+    }
+
+
+def _extra_oracles():
+    return {
+        "j1_nearest_match": _J1_SQL,
+        "j6_best_iou": _J6_SQL,
+        "f4b_overlap_anti": _F4B_SQL,
+        "w4_percent_rank": _W4_SQL,
+        "a5_envelope": _A5_SQL,
+        "u3_except": _U3_SQL,
+        "c9_json_extract": _C9_SQL,
+    }
+
+
+_base_queries = queries
+_base_oracles = oracle_sql
+
+
+def queries():  # noqa: F811 — extend the registry with the spatial/misc ops
+    out = dict(_base_queries())
+    out.update(_extra_queries())
+    return out
+
+
+def oracle_sql():  # noqa: F811
+    out = dict(_base_oracles())
+    out.update(_extra_oracles())
+    return out

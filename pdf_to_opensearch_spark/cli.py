@@ -1,0 +1,107 @@
+"""Command-line entry points (the ``spark-submit --py-files`` surface).
+
+Cluster usage:
+
+    python -m pdf_to_opensearch_spark.deploy   # writes the --py-files zip
+    spark-submit --py-files /tmp/pdf_to_opensearch_spark_<pid>.zip \\
+        -m pdf_to_opensearch_spark.cli build \\
+        --pages s3://bucket/pages --index s3://bucket/index --ranges 4096
+
+Local usage (this sandbox):
+
+    python -m pdf_to_opensearch_spark.cli build --pages <parquet> --index <dir>
+    python -m pdf_to_opensearch_spark.cli search --index <dir> -q "spark join"
+    python -m pdf_to_opensearch_spark.cli phrase --index <dir> -q "exact phrase"
+
+``build`` is resumable: pass ``--resume`` to skip manifest-committed ranges
+after a crash (identical final index — tested).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="pdf_to_opensearch_spark")
+    p.add_argument("--cores", type=int, default=None)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="build the inverted index")
+    b.add_argument("--pages", required=True,
+                   help="parquet of pages/docs with url,text,lang "
+                        "(+optional html to extract)")
+    b.add_argument("--index", required=True)
+    b.add_argument("--ranges", type=int, default=32)
+    b.add_argument("--buckets", type=int, default=16)
+    b.add_argument("--resume", action="store_true")
+
+    s = sub.add_parser("search", help="BM25 top-k")
+    s.add_argument("--index", required=True)
+    s.add_argument("-q", "--query", action="append", required=True)
+    s.add_argument("-k", type=int, default=10)
+    s.add_argument("--filter", default=None,
+                   help="SQL predicate over docs columns (bool/filter)")
+
+    ph = sub.add_parser("phrase", help="match_phrase top-k")
+    ph.add_argument("--index", required=True)
+    ph.add_argument("-q", "--query", action="append", required=True)
+    ph.add_argument("-k", type=int, default=10)
+
+    args = p.parse_args(argv)
+
+    from .session import get_spark
+
+    spark = get_spark("cli", cores=args.cores) if args.cores else get_spark("cli")
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        if args.cmd == "build":
+            from pyspark.sql import functions as F
+
+            from .extract import extract_docs
+            from .indexer import build_index, resume_info
+
+            df = spark.read.parquet(args.pages)
+            if "html" in df.columns and "text" not in df.columns:
+                df = extract_docs(df)
+            df = df.select("url", "text",
+                           *(["lang"] if "lang" in df.columns else
+                             [F.lit("und").alias("lang")]))
+            done = resume_info(spark, args.index) if args.resume else set()
+            t0 = time.monotonic()
+            build_index(spark, df, args.index, num_ranges=args.ranges,
+                        n_buckets=args.buckets, completed_ranges=done)
+            n = spark.read.parquet(f"{args.index}/docs").count()
+            print(json.dumps({"built": args.index, "docs": n,
+                              "resumed_ranges": sorted(done),
+                              "seconds": round(time.monotonic() - t0, 2)}))
+        elif args.cmd == "search":
+            from .query import search
+
+            qs = list(enumerate(args.query, 1))
+            res = search(spark, args.index, qs, k=args.k,
+                         doc_filter=args.filter)
+            for row in res.collect():
+                print(json.dumps({"query_id": row["query_id"],
+                                  "rank": row["rank"],
+                                  "doc_id": row["doc_id"],
+                                  "score": round(row["score"], 6)}))
+        elif args.cmd == "phrase":
+            from .query import phrase_search
+
+            qs = list(enumerate(args.query, 1))
+            for row in phrase_search(spark, args.index, qs, k=args.k).collect():
+                print(json.dumps({"query_id": row["query_id"],
+                                  "rank": row["rank"],
+                                  "doc_id": row["doc_id"],
+                                  "score": round(row["score"], 6)}))
+        return 0
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -12,10 +12,11 @@ Layout per (term, doc-range-partition) row:
     dls     : varint(dl)                    — per-posting doc length (token
               count), inlined Lucene-norms-style so BM25 scoring needs no
               doc_stats join at query time
-    block_maxes : float32[ceil(n/BLOCK)]    — per 128-posting block, max of
-              tf*(k1+1)/(tf + k1*(1-b+b*dl/avgdl)) at build-time avgdl;
-              multiplied by idf at query time this upper-bounds every score
-              contribution in the block (block-max pruning, BMW family)
+    block_max_tf / block_min_dl : uint32[ceil(n/BLOCK)] — per 128-posting
+              block; tf_norm(max_tf, min_dl, avgdl)·idf upper-bounds every
+              score contribution in the block at ANY avgdl (tf_norm is
+              monotone ↑ in tf, ↓ in dl) — block-max pruning, BMW family,
+              robust to corpus-stat drift from appends/deletes
 """
 
 from __future__ import annotations
@@ -78,19 +79,22 @@ def tf_norm(tfs: np.ndarray, dls: np.ndarray, avgdl: float,
     return tfs * (k1 + 1.0) / (tfs + k1 * (1.0 - b + b * dls / avgdl))
 
 
-def block_maxes(tfs: np.ndarray, dls: np.ndarray, avgdl: float) -> np.ndarray:
-    """Per-BLOCK max of :func:`tf_norm` — the block-max metadata."""
-    norms = tf_norm(tfs, dls, avgdl)
-    n = norms.size
+def block_meta(tfs: np.ndarray, dls: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Per-BLOCK (max_tf, min_dl) — the block-max metadata.
+
+    ``tf_norm(max_tf, min_dl, avgdl)`` upper-bounds every posting in the
+    block at ANY avgdl (tf_norm is monotone ↑ in tf and ↓ in dl), so
+    block-max pruning stays sound when corpus stats drift after
+    appends/deletes.
+    """
+    n = tfs.size
     nblocks = (n + BLOCK - 1) // BLOCK
-    padded = np.full(nblocks * BLOCK, -np.inf)
-    padded[:n] = norms
-    maxes = padded.reshape(nblocks, BLOCK).max(axis=1)
-    f32 = maxes.astype(np.float32)
-    # float32 cast rounds to nearest — nudge any rounded-down value up so the
-    # stored max stays a true upper bound (pruning soundness invariant)
-    return np.where(f32.astype(np.float64) < maxes,
-                    np.nextafter(f32, np.float32(np.inf)), f32).astype(np.float32)
+    tf_pad = np.zeros(nblocks * BLOCK, dtype=np.int64)
+    tf_pad[:n] = tfs
+    dl_pad = np.full(nblocks * BLOCK, np.iinfo(np.int64).max, dtype=np.int64)
+    dl_pad[:n] = dls
+    return (tf_pad.reshape(nblocks, BLOCK).max(axis=1),
+            dl_pad.reshape(nblocks, BLOCK).min(axis=1))
 
 
 def encode_positions(positions: np.ndarray, tfs: np.ndarray) -> bytes:
@@ -127,7 +131,7 @@ def decode_positions(buf: bytes, tfs: np.ndarray) -> np.ndarray:
 
 
 def encode_postings(doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
-                    avgdl: float, positions: np.ndarray | None = None) -> dict:
+                    positions: np.ndarray | None = None) -> dict:
     """Encode one (term, partition) posting run. ``doc_ids`` must be sorted;
     ``positions`` (optional) is the flat per-doc position array for the
     positional (match_phrase) index."""
@@ -139,7 +143,7 @@ def encode_postings(doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
     if doc_ids.size:
         deltas[0] = 0
         np.subtract(doc_ids[1:], doc_ids[:-1], out=deltas[1:])
-    bm = block_maxes(tfs, dls, avgdl)
+    bmax_tf, bmin_dl = block_meta(tfs, dls)
     return {
         "first_doc_id": first,
         "n": int(doc_ids.size),
@@ -148,8 +152,9 @@ def encode_postings(doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
         "dls": encode_varint(dls),
         "poss": (encode_positions(positions, tfs)
                  if positions is not None else b""),
-        "block_maxes": bm.tobytes(),
-        "max_tf_norm": float(bm.max()) if bm.size else 0.0,
+        "block_max_tf": bmax_tf.astype("<u4").tobytes(),
+        "block_min_dl": bmin_dl.astype("<u4").tobytes(),
+        "max_tf": int(tfs.max()) if tfs.size else 0,
         "cf": int(tfs.sum()),
     }
 
@@ -163,5 +168,115 @@ def decode_postings(row) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     return doc_ids, tfs, dls
 
 
-def decode_block_maxes(buf: bytes) -> np.ndarray:
-    return np.frombuffer(buf, dtype=np.float32)
+def decode_block_meta(btf: bytes, bdl: bytes) -> tuple[np.ndarray, np.ndarray]:
+    """Inverse of the block metadata encoding → (max_tf, min_dl) int64."""
+    return (np.frombuffer(btf, dtype="<u4").astype(np.int64),
+            np.frombuffer(bdl, dtype="<u4").astype(np.int64))
+
+
+def _varint_byte_bounds(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(encoded bytes as uint8 array, per-value start offsets incl. end)."""
+    a = np.asarray(values, dtype=np.uint64)
+    if a.size == 0:
+        return np.empty(0, np.uint8), np.zeros(1, np.int64)
+    nb = np.ones(a.shape, dtype=np.int64)
+    v = a >> np.uint64(7)
+    while v.any():
+        nb += (v > 0).astype(np.int64)
+        v >>= np.uint64(7)
+    bounds = np.zeros(a.size + 1, dtype=np.int64)
+    np.cumsum(nb, out=bounds[1:])
+    starts = bounds[:-1]
+    out = np.zeros(int(bounds[-1]), dtype=np.uint8)
+    v = a.copy()
+    for k in range(int(nb.max())):
+        mask = nb > k
+        idx = starts[mask] + k
+        byte = (v[mask] & np.uint64(0x7F)).astype(np.uint8)
+        cont = (nb[mask] > k + 1).astype(np.uint8) << 7
+        out[idx] = byte | cont
+        v >>= np.uint64(7)
+    return out, bounds
+
+
+def encode_varint_segmented(values: np.ndarray,
+                            seg_bounds: np.ndarray) -> list[bytes]:
+    """Varint-encode ``values`` once, then split into per-segment bytes.
+
+    ``seg_bounds``: value-index boundaries, len n_segments+1. One
+    vectorized encode pass regardless of segment count — the per-segment
+    work is a memory slice (replaces per-group ``encode_varint`` calls
+    whose fixed numpy overhead dominated the SPIMI kernel).
+    """
+    out, bounds = _varint_byte_bounds(values)
+    seg_bounds = np.asarray(seg_bounds, dtype=np.int64)
+    byte_bounds = bounds[seg_bounds]
+    return [out[byte_bounds[i]:byte_bounds[i + 1]].tobytes()
+            for i in range(seg_bounds.size - 1)]
+
+
+def encode_postings_batch(run_doc: np.ndarray, run_tf: np.ndarray,
+                          run_dl: np.ndarray, pos: np.ndarray,
+                          pos_run_starts: np.ndarray,
+                          g_starts: np.ndarray, g_ends: np.ndarray) -> dict:
+    """Batch-encode every (term, range) group of a SPIMI partition at once.
+
+    Inputs are partition-global run-level arrays sorted by (term, doc):
+    ``run_doc/run_tf/run_dl`` one entry per posting, ``pos`` the flat token
+    positions with ``pos_run_starts`` marking each posting's slice start,
+    ``g_starts/g_ends`` the run-index boundaries of each output group.
+
+    Returns dict of per-group lists/arrays: doc_ids, tfs, dls, poss,
+    block_max_tf, block_min_dl (bytes), first_doc, n, cf, max_tf.
+    """
+    n_groups = g_starts.size
+    total_runs = run_doc.size
+    # --- doc deltas: global diff, reset to 0 at each group start ---------
+    deltas = np.empty_like(run_doc)
+    if total_runs:
+        deltas[0] = 0
+        np.subtract(run_doc[1:], run_doc[:-1], out=deltas[1:])
+        deltas[g_starts] = 0
+    seg = np.append(g_starts, total_runs)
+    doc_blobs = encode_varint_segmented(deltas, seg)
+    tf_blobs = encode_varint_segmented(run_tf - 1, seg)
+    dl_blobs = encode_varint_segmented(run_dl, seg)
+    # --- positions: within-doc deltas, absolute at each doc boundary -----
+    if pos.size:
+        pdeltas = pos.copy()
+        pdeltas[1:] -= pos[:-1]
+        pdeltas[pos_run_starts] = pos[pos_run_starts]
+        pos_seg = np.append(pos_run_starts[g_starts],
+                            pos.size)
+        pos_blobs = encode_varint_segmented(pdeltas, pos_seg)
+    else:
+        pos_blobs = [b""] * n_groups
+    # --- block metadata: per-128-posting-block (max_tf, min_dl) ----------
+    # tf_norm is monotone increasing in tf and decreasing in dl, so
+    # tf_norm(max_tf, min_dl, avgdl) upper-bounds every posting in the
+    # block AT ANY avgdl — pruning stays sound after appends/deletes shift
+    # corpus stats (unlike a stored precomputed norm).
+    g_sizes = g_ends - g_starts
+    rel = np.arange(total_runs, dtype=np.int64) - np.repeat(g_starts, g_sizes)
+    block_starts = np.flatnonzero((rel % BLOCK) == 0)
+    bmax_tf = (np.maximum.reduceat(run_tf, block_starts)
+               if total_runs else np.empty(0, np.int64))
+    bmin_dl = (np.minimum.reduceat(run_dl, block_starts)
+               if total_runs else np.empty(0, np.int64))
+    blocks_per_group = (g_sizes + BLOCK - 1) // BLOCK
+    bb = np.zeros(n_groups + 1, dtype=np.int64)
+    np.cumsum(blocks_per_group, out=bb[1:])
+    bmax_tf32 = bmax_tf.astype("<u4")
+    bmin_dl32 = bmin_dl.astype("<u4")
+    btf_blobs = [bmax_tf32[bb[i]:bb[i + 1]].tobytes() for i in range(n_groups)]
+    bdl_blobs = [bmin_dl32[bb[i]:bb[i + 1]].tobytes() for i in range(n_groups)]
+    max_tf = np.maximum.reduceat(run_tf, g_starts) if total_runs else \
+        np.empty(0, np.int64)
+    cf = np.add.reduceat(run_tf, g_starts) if total_runs else np.empty(0)
+    return {
+        "doc_ids": doc_blobs, "tfs": tf_blobs, "dls": dl_blobs,
+        "poss": pos_blobs, "block_max_tf": btf_blobs,
+        "block_min_dl": bdl_blobs,
+        "first_doc": run_doc[g_starts], "n": g_sizes, "cf": cf,
+        "max_tf": max_tf.astype(np.int64),
+    }

@@ -43,3 +43,7 @@ def ensure_py_files(spark: SparkSession) -> None:
         return
     sc.addPyFile(package_zip())
     setattr(sc, _MARKER, True)
+
+
+if __name__ == "__main__":
+    print(package_zip())

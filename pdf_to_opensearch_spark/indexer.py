@@ -43,13 +43,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import ANALYZER_VERSION, BM25_B, BM25_K1
-from .analyzer import tokenize_series
-from .codec import encode_postings
+from .analyzer import tokenize_arrow_batch
+from .codec import encode_postings_batch
 
 POSTINGS_SCHEMA = (
     "term string, range_id int, first_doc_id long, n long, cf long, "
     "doc_ids binary, tfs binary, dls binary, poss binary, "
-    "block_maxes binary, max_tf_norm float, wall_ms long"
+    "block_max_tf binary, block_min_dl binary, max_tf long, wall_ms long"
 )
 
 DEFAULT_BUCKETS = 16
@@ -107,57 +107,79 @@ def assign_doc_ids(docs_df: DataFrame, partitions: int = 32) -> DataFrame:
     return result
 
 
-def _spimi_batches(avgdl: float, docs_per_range: int):
+def _spimi_batches(docs_per_range: int):
     """SPIMI kernel factory: per-Spark-partition posting-run builder."""
 
     def spimi(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         t0 = time.monotonic()
-        frames = []
+        # Arrow-C++ tokenization per batch (no per-token Python objects);
+        # batch-local term codes are merged into partition-global codes via
+        # one factorize over the (small) per-batch dictionaries
+        parts = []           # (codes_local, doc_ids, dls, pos)
+        dicts = []           # per-batch uniq term arrays
         for pdf in it:
             if len(pdf) == 0:
                 continue
-            toks = tokenize_series(pdf["text"])
-            lens = toks.str.len().to_numpy(dtype=np.int64)
-            if lens.sum() == 0:
+            tk = tokenize_arrow_batch(pdf["text"])
+            if tk["codes"].size == 0:
                 continue
-            doc_ids = np.repeat(pdf["doc_id"].to_numpy(np.int64), lens)
-            dls = np.repeat(lens, lens)
-            terms = np.concatenate([np.asarray(t, dtype=object) for t in toks
-                                    if len(t)])
-            # token position within its doc (for the positional index):
-            # global arange minus each doc's start offset
-            flat = np.arange(doc_ids.size, dtype=np.int64)
-            doc_starts = np.repeat(np.cumsum(lens) - lens, lens)
-            frames.append(pd.DataFrame({
-                "term": terms, "doc_id": doc_ids, "dl": dls,
-                "pos": flat - doc_starts}))
-        if not frames:
+            did = pdf["doc_id"].to_numpy(np.int64)
+            parts.append((tk["codes"], did[tk["doc_idx"]],
+                          tk["dl"][tk["doc_idx"]], tk["pos"]))
+            dicts.append(tk["uniq"])
+        if not parts:
             yield _empty_postings_frame()
             return
-        allp = pd.concat(frames, ignore_index=True)
-        allp["range_id"] = (allp["doc_id"] // docs_per_range).astype(np.int32)
-        # sort once: (term, range, doc, pos) → per-group arrays are slices
-        allp.sort_values(["term", "range_id", "doc_id", "pos"],
-                         inplace=True, kind="mergesort", ignore_index=True)
-        rows = []
-        for (term, range_id), g in allp.groupby(["term", "range_id"],
-                                                sort=True):
-            doc_arr = g["doc_id"].to_numpy(np.int64)
-            uniq, starts_, tfs = np.unique(doc_arr, return_index=True,
-                                           return_counts=True)
-            enc = encode_postings(
-                uniq,
-                tfs,
-                g["dl"].to_numpy(np.int64)[starts_],
-                avgdl,
-                positions=g["pos"].to_numpy(np.int64),
-            )
-            rows.append((term, int(range_id), enc["first_doc_id"], enc["n"],
-                         enc["cf"], enc["doc_ids"], enc["tfs"], enc["dls"],
-                         enc["poss"], enc["block_maxes"], enc["max_tf_norm"]))
-        out = pd.DataFrame(rows, columns=[
-            "term", "range_id", "first_doc_id", "n", "cf", "doc_ids", "tfs",
-            "dls", "poss", "block_maxes", "max_tf_norm"])
+        all_uniq = np.concatenate(dicts)
+        gcodes_of_dict, uniq_terms = pd.factorize(all_uniq, sort=False)
+        gcodes_of_dict = gcodes_of_dict.astype(np.int64)
+        codes_list = []
+        off = 0
+        for (codes_local, _d, _l, _p), u in zip(parts, dicts):
+            codes_list.append(gcodes_of_dict[off + codes_local])
+            off += u.size
+        codes = np.concatenate(codes_list)
+        doc_ids = np.concatenate([p[1] for p in parts])
+        dls = np.concatenate([p[2] for p in parts])
+        pos = np.concatenate([p[3] for p in parts])
+        order = np.lexsort((pos, doc_ids, codes))
+        codes, doc_ids, dls, pos = (codes[order], doc_ids[order],
+                                    dls[order], pos[order])
+        range_ids = doc_ids // docs_per_range
+        # posting runs: adjacent (code, doc) equal
+        chg = np.empty(codes.size, dtype=bool)
+        chg[0] = True
+        chg[1:] = (codes[1:] != codes[:-1]) | (doc_ids[1:] != doc_ids[:-1])
+        run_starts = np.flatnonzero(chg)
+        run_ends = np.append(run_starts[1:], codes.size)
+        run_tf = run_ends - run_starts
+        run_doc = doc_ids[run_starts]
+        run_dl = dls[run_starts]
+        run_code = codes[run_starts]
+        run_range = range_ids[run_starts]
+        # groups: adjacent (code, range) equal over runs
+        gchg = np.empty(run_code.size, dtype=bool)
+        gchg[0] = True
+        gchg[1:] = ((run_code[1:] != run_code[:-1]) |
+                    (run_range[1:] != run_range[:-1]))
+        g_starts = np.flatnonzero(gchg)
+        g_ends = np.append(g_starts[1:], run_code.size)
+        enc = encode_postings_batch(run_doc, run_tf, run_dl, pos, run_starts,
+                                    g_starts, g_ends)
+        out = pd.DataFrame({
+            "term": uniq_terms[run_code[g_starts]],
+            "range_id": run_range[g_starts].astype(np.int32),
+            "first_doc_id": enc["first_doc"],
+            "n": enc["n"],
+            "cf": enc["cf"],
+            "doc_ids": enc["doc_ids"],
+            "tfs": enc["tfs"],
+            "dls": enc["dls"],
+            "poss": enc["poss"],
+            "block_max_tf": enc["block_max_tf"],
+            "block_min_dl": enc["block_min_dl"],
+            "max_tf": enc["max_tf"],
+        })
         out["wall_ms"] = int((time.monotonic() - t0) * 1000)
         yield out
 
@@ -175,8 +197,9 @@ def _empty_postings_frame() -> pd.DataFrame:
         "tfs": pd.Series(dtype=object),
         "dls": pd.Series(dtype=object),
         "poss": pd.Series(dtype=object),
-        "block_maxes": pd.Series(dtype=object),
-        "max_tf_norm": pd.Series(dtype="float32"),
+        "block_max_tf": pd.Series(dtype=object),
+        "block_min_dl": pd.Series(dtype=object),
+        "max_tf": pd.Series(dtype="int64"),
         "wall_ms": pd.Series(dtype="int64"),
     })
 
@@ -192,24 +215,34 @@ class IndexPaths:
         self.manifest = f"{root}/manifest"
 
 
-def build_index(spark: SparkSession, docs_df: DataFrame, out_dir: str,
-                num_ranges: int = 16, n_buckets: int = DEFAULT_BUCKETS,
-                id_partitions: int = 32, completed_ranges: set[int] | None = None,
-                ) -> IndexPaths:
-    """Full index build: docs(url, text, lang) → index tables at ``out_dir``.
+def prepare_docs(spark: SparkSession, docs_df: DataFrame, out_dir: str,
+                 id_partitions: int = 32) -> IndexPaths:
+    """Phase A: deterministic doc_ids + dl → write the ``docs`` table.
 
-    ``completed_ranges`` (from :func:`resume_info`) skips already-committed
-    ranges — the resumable-checkpoint path (manifest anti-join).
-    """
+    Separated from :func:`build_postings` so the indexing job proper can be
+    rerun/benchmarked/resumed against a fixed docs table (and at real scale
+    the extract+prepare pass is I/O-bound while indexing is CPU-bound —
+    different cluster shapes)."""
     from .analyzer import token_count_udf
 
     paths = IndexPaths(out_dir)
     with_ids = assign_doc_ids(docs_df, partitions=id_partitions)
     docs = with_ids.withColumn("dl", token_count_udf(F.col("text")))
-    mode = "append" if completed_ranges else "overwrite"
-    if not completed_ranges:
-        docs.write.mode("overwrite").parquet(paths.docs)
+    docs.write.mode("overwrite").parquet(paths.docs)
+    return paths
 
+
+def build_postings(spark: SparkSession, out_dir: str,
+                   num_ranges: int = 16, n_buckets: int = DEFAULT_BUCKETS,
+                   completed_ranges: set[int] | None = None) -> IndexPaths:
+    """Phase B: the indexing job — docs table → postings + dictionary +
+    stats + manifest.
+
+    ``completed_ranges`` (from :func:`resume_info`) skips already-committed
+    ranges — the resumable-checkpoint path (manifest anti-join).
+    """
+    paths = IndexPaths(out_dir)
+    mode = "append" if completed_ranges else "overwrite"
     docs_tbl = spark.read.parquet(paths.docs)
     g = docs_tbl.agg(F.count("*").alias("N"), F.avg("dl").alias("avgdl")).collect()[0]
     N, avgdl = int(g["N"]), float(g["avgdl"] or 0.0)
@@ -221,15 +254,27 @@ def build_index(spark: SparkSession, docs_df: DataFrame, out_dir: str,
         indexable = indexable.filter(
             ~F.col("range_id").isin(*[int(r) for r in completed_ranges]))
     # one Spark partition per doc range → SPIMI unit == checkpoint unit
-    spimi_in = indexable.select("doc_id", "text", "range_id").repartition(
+    spimi_in = indexable.select("doc_id", "text", "range_id").repartitionByRange(
         num_ranges, "range_id")
     postings = spimi_in.mapInPandas(
-        _spimi_batches(avgdl, docs_per_range), schema=POSTINGS_SCHEMA)
+        _spimi_batches(docs_per_range), schema=POSTINGS_SCHEMA)
     postings = postings.withColumn("bucket", term_bucket_col(F.col("term"), n_buckets))
     (postings.write.mode(mode)
      .partitionBy("bucket")
      .parquet(paths.postings))
 
+    refresh_derived_tables(spark, paths, N=N, avgdl=avgdl,
+                           docs_per_range=docs_per_range,
+                           num_ranges=num_ranges, n_buckets=n_buckets)
+    return paths
+
+
+def refresh_derived_tables(spark: SparkSession, paths: IndexPaths, *,
+                           N: int, avgdl: float, docs_per_range: int,
+                           num_ranges: int, n_buckets: int) -> None:
+    """dictionary / doc_stats / stats / manifest from the postings+docs
+    tables (shared by build, maintenance, and streaming append)."""
+    docs_tbl = spark.read.parquet(paths.docs)
     built = spark.read.parquet(paths.postings)
     # dictionary: tiny associative agg (map-side combine ⇒ Zipf-skew immune)
     (built.groupBy("term")
@@ -256,7 +301,20 @@ def build_index(spark: SparkSession, docs_df: DataFrame, out_dir: str,
      .withColumn("analyzer_version", F.lit(ANALYZER_VERSION))
      .withColumn("committed_at", F.current_timestamp())
      .write.mode("overwrite").parquet(paths.manifest))
-    return paths
+
+
+def build_index(spark: SparkSession, docs_df: DataFrame, out_dir: str,
+                num_ranges: int = 16, n_buckets: int = DEFAULT_BUCKETS,
+                id_partitions: int = 32,
+                completed_ranges: set[int] | None = None) -> IndexPaths:
+    """Full index build: docs(url, text, lang) → index tables at ``out_dir``
+    (= :func:`prepare_docs` + :func:`build_postings`). On resume
+    (``completed_ranges``) the existing docs table is reused."""
+    if not completed_ranges:
+        prepare_docs(spark, docs_df, out_dir, id_partitions=id_partitions)
+    return build_postings(spark, out_dir, num_ranges=num_ranges,
+                          n_buckets=n_buckets,
+                          completed_ranges=completed_ranges)
 
 
 def resume_info(spark: SparkSession, out_dir: str) -> set[int]:

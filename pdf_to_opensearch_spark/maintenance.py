@@ -60,12 +60,11 @@ def delete_from_index(spark: SparkSession, index_dir: str, out_dir: str,
         rebuild_in = (survivors
                       .filter(F.col("range_id").isin(*affected))
                       .select("doc_id", "text", "range_id")
-                      .repartition(max(len(affected), 1), "range_id"))
+                      .repartitionByRange(max(len(affected), 1), "range_id"))
         # block maxes recomputed at the ORIGINAL build avgdl so that
         # untouched + rebuilt ranges share one avgdl_build epoch
         rebuilt = rebuild_in.mapInPandas(
-            _spimi_batches(stats.avgdl_build, docs_per_range),
-            schema=POSTINGS_SCHEMA)
+            _spimi_batches(docs_per_range), schema=POSTINGS_SCHEMA)
         rebuilt = rebuilt.withColumn(
             "bucket", term_bucket_col(F.col("term"), n_buckets))
         new_postings = untouched.unionByName(rebuilt)

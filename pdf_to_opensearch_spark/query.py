@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 from .analyzer import tokenize_text
 from .codec import (
     BLOCK,
-    decode_block_maxes,
+    decode_block_meta,
     decode_positions,
     decode_postings,
     tf_norm,
@@ -72,8 +72,6 @@ def _score_kernel(qinfo: dict, k: int, stats: IndexStats, prune: bool,
     opensearch_loader.py:873-884 semantics).
     """
     k1, b, avgdl = stats.k1, stats.b, stats.avgdl
-    # stored block maxes are valid only at build-time avgdl
-    stored_bm_valid = abs(stats.avgdl - stats.avgdl_build) < 1e-12
 
     def score_cogroup(pdf: pd.DataFrame, allowed: pd.DataFrame) -> pd.DataFrame:
         out = score_range(pdf, allowed["doc_id"].to_numpy(np.int64))
@@ -107,9 +105,8 @@ def _score_kernel(qinfo: dict, k: int, stats: IndexStats, prune: bool,
             }
             # block maxes index ORIGINAL posting positions → pruning is
             # disabled under a metadata filter (positions no longer align)
-            if prune and stored_bm_valid and len(hits) > 1 \
-                    and allowed_ids is None:
-                masks = _block_prune_masks(hits, contribs, k)
+            if prune and len(hits) > 1 and allowed_ids is None:
+                masks = _block_prune_masks(hits, contribs, k, avgdl, k1, b)
             else:
                 masks = None
             parts_ids, parts_sc = [], []
@@ -146,7 +143,8 @@ def _score_kernel(qinfo: dict, k: int, stats: IndexStats, prune: bool,
     return score_cogroup if filtered else score_plain
 
 
-def _block_prune_masks(hits: list, contribs: dict, k: int) -> dict:
+def _block_prune_masks(hits: list, contribs: dict, k: int,
+                       avgdl: float, k1: float, b: float) -> dict:
     """Block-max pruning masks (BMW family; sound, vectorized).
 
     Threshold seeding: the *champion* term (largest idf·block-max) has its
@@ -163,7 +161,12 @@ def _block_prune_masks(hits: list, contribs: dict, k: int) -> dict:
 
     Returns {term: bool posting mask or None (keep all)}.
     """
-    ubs = {t: w * decode_block_maxes(rec["block_maxes"]) for t, w, rec in hits}
+    ubs = {}
+    for t, w, rec in hits:
+        btf, bdl = decode_block_meta(rec["block_max_tf"], rec["block_min_dl"])
+        # (max_tf, min_dl) bound is valid at ANY avgdl; the (1+1e-9) pad
+        # absorbs float monotonicity edge cases
+        ubs[t] = w * tf_norm(btf, bdl, avgdl, k1, b) * (1.0 + 1e-9)
     term_max = {t: (u.max() if u.size else 0.0) for t, u in ubs.items()}
     total_ub = float(sum(term_max.values()))
     champ = max(term_max, key=term_max.get)
@@ -352,3 +355,63 @@ def phrase_search(spark: SparkSession, index_dir: str,
             .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("query_id", "rank", "doc_id", "score"))
+
+
+class Searcher:
+    """Reusable query handle: caches stats + (optionally) the dictionary.
+
+    ``search()``/``phrase_search()`` re-read the tiny stats/dictionary
+    parquet on every call — correct, but two extra driver round-trips per
+    query. A serving deployment keeps them resident: stats is one row and
+    the dictionary is ~|vocab| rows (broadcastable; at web scale keep
+    ``preload_dictionary=False`` and the per-query pruned parquet lookup).
+    """
+
+    def __init__(self, spark: SparkSession, index_dir: str,
+                 preload_dictionary: bool = True):
+        self.spark = spark
+        self.index_dir = index_dir
+        self.paths = IndexPaths(index_dir)
+        self.stats = load_stats(spark, index_dir)
+        self._dfs: dict[str, int] | None = None
+        if preload_dictionary:
+            rows = spark.read.parquet(self.paths.dictionary).collect()
+            self._dfs = {r["term"]: int(r["df"]) for r in rows}
+
+    def _lookup_dfs(self, terms: list[str]) -> dict[str, int]:
+        if self._dfs is not None:
+            return {t: self._dfs[t] for t in terms if t in self._dfs}
+        rows = (self.spark.read.parquet(self.paths.dictionary)
+                .filter(F.col("term").isin(terms)).collect())
+        return {r["term"]: int(r["df"]) for r in rows}
+
+    def search(self, queries: list[tuple[int, str]], k: int = 10,
+               prune: bool = True) -> DataFrame:
+        stats = self.stats
+        q_terms = {qid: tokenize_text(text) for qid, text in queries}
+        terms = sorted({t for toks in q_terms.values() for t in toks})
+        empty = "query_id int, rank int, doc_id long, score double"
+        if not terms:
+            return self.spark.createDataFrame([], empty)
+        dfs = self._lookup_dfs(terms)
+        idfs = {t: float(idf_fn(stats.N, np.array([dfs[t]]))[0])
+                for t in terms if t in dfs}
+        qinfo = {int(qid): {t: idfs[t] for t in toks if t in idfs}
+                 for qid, toks in q_terms.items()}
+        qinfo = {qid: ti for qid, ti in qinfo.items() if ti}
+        if not qinfo:
+            return self.spark.createDataFrame([], empty)
+        live_terms = sorted({t for ti in qinfo.values() for t in ti})
+        buckets = sorted({bucket_of(t, stats.n_buckets) for t in live_terms})
+        postings = (self.spark.read.parquet(self.paths.postings)
+                    .filter(F.col("bucket").isin(buckets))
+                    .filter(F.col("term").isin(live_terms)))
+        per_range = (postings.groupBy("range_id")
+                     .applyInPandas(_score_kernel(qinfo, k, stats, prune),
+                                    schema=RESULT_SCHEMA))
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("score").desc(), F.col("doc_id").asc())
+        return (per_range
+                .withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= k)
+                .select("query_id", "rank", "doc_id", "score"))

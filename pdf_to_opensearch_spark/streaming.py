@@ -1,0 +1,236 @@
+"""Structured-Streaming incremental ingestion (beyond-reference extension).
+
+The reference's incremental story is batch delete-then-reinsert
+(uploader.py:218-229). At web scale new pages arrive continuously, so this
+module adds a streaming path: ``readStream`` over a pages source →
+``foreachBatch`` → :func:`append_batch`, which extends the existing index
+*without touching committed ranges*:
+
+- new doc_ids continue after the current max (append-only dense ids;
+  batch-local sort keeps them deterministic per micro-batch)
+- new documents form NEW doc ranges (range_id continues past the current
+  max), so committed postings files are immutable — the same property that
+  makes the batch build resumable makes the stream exactly-once-append
+  (an idempotent retry of a failed batch overwrites only its own ranges)
+- dictionary / stats / manifest are recomputed from cheap aggregates;
+  ``avgdl`` drifts from ``avgdl_build``, which the query engine detects and
+  answers by disabling block-max pruning (degraded speed, exact results)
+  until the next full rebuild refreshes the maxima.
+
+Event-time watermarking is not needed for index append (arrival order is
+irrelevant to BM25); the ``events`` streaming-aggregation pattern is
+covered separately in tests as an operator demo.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import ANALYZER_VERSION
+from .analyzer import token_count_udf
+from .indexer import (
+    POSTINGS_SCHEMA,
+    IndexPaths,
+    _spimi_batches,
+    assign_doc_ids,
+    term_bucket_col,
+)
+
+
+def _refresh_derived(spark: SparkSession, paths: IndexPaths,
+                     avgdl_build: float, docs_per_range: int,
+                     num_ranges: int, n_buckets: int, k1: float,
+                     b: float) -> None:
+    import pandas as pd
+
+    built = spark.read.parquet(paths.postings)
+    (built.groupBy("term")
+     .agg(F.sum("n").alias("df"), F.sum("cf").alias("cf"))
+     .write.mode("overwrite").parquet(paths.dictionary))
+    docs_tbl = spark.read.parquet(paths.docs)
+    (docs_tbl.select("doc_id", "dl")
+     .write.mode("overwrite").parquet(paths.doc_stats))
+    g = docs_tbl.agg(F.count("*").alias("N"),
+                     F.avg("dl").alias("avgdl")).collect()[0]
+    stats_pdf = pd.DataFrame([{
+        "N": int(g["N"]), "avgdl": float(g["avgdl"] or 0.0),
+        "avgdl_build": avgdl_build, "docs_per_range": docs_per_range,
+        "num_ranges": num_ranges, "n_buckets": n_buckets,
+        "analyzer_version": ANALYZER_VERSION, "k1": k1, "b": b,
+    }])
+    spark.createDataFrame(stats_pdf).coalesce(1).write.mode(
+        "overwrite").parquet(paths.stats)
+    (built.groupBy("range_id")
+     .agg(F.sum("n").alias("n_postings"),
+          F.countDistinct("term").alias("n_terms"),
+          F.sum(F.length("doc_ids") + F.length("tfs") + F.length("dls"))
+          .alias("bytes"),
+          F.max("wall_ms").alias("wall_ms"))
+     .withColumn("status", F.lit("committed"))
+     .withColumn("analyzer_version", F.lit(ANALYZER_VERSION))
+     .withColumn("committed_at", F.current_timestamp())
+     .write.mode("overwrite").parquet(paths.manifest))
+
+
+def _batch_log_path(paths: IndexPaths) -> str:
+    return f"{paths.root}/stream_batches"
+
+
+def _read_batch_log(spark: SparkSession, paths: IndexPaths):
+    """→ (committed batch_ids, pending [(batch_id, base)])."""
+    try:
+        rows = spark.read.parquet(_batch_log_path(paths)).collect()
+    except Exception:
+        return set(), []
+    by_batch: dict[int, dict] = {}
+    for r in rows:
+        e = by_batch.setdefault(int(r["batch_id"]),
+                                {"base": int(r["base"]), "committed": False})
+        if r["status"] == "committed":
+            e["committed"] = True
+    committed = {b for b, e in by_batch.items() if e["committed"]}
+    pending = [(b, e["base"]) for b, e in by_batch.items()
+               if not e["committed"]]
+    return committed, pending
+
+
+def _log_batch(spark: SparkSession, paths: IndexPaths, batch_id: int,
+               base: int, status: str) -> None:
+    spark.createDataFrame([(int(batch_id), int(base), status)],
+                          "batch_id long, base long, status string") \
+        .write.mode("append").parquet(_batch_log_path(paths))
+
+
+def _swap_rewrite(spark: SparkSession, path: str, df: DataFrame,
+                  partition_by: str | None = None) -> None:
+    """Rewrite a local parquet dir from a filtered read (staging + rename).
+
+    On a production object store this is an Iceberg snapshot commit; the
+    local-FS rename is the sandbox equivalent with the same semantics.
+    """
+    import os
+    import shutil
+
+    staging = path + ".staging"
+    shutil.rmtree(staging, ignore_errors=True)
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(partition_by)
+    w.parquet(staging)
+    shutil.rmtree(path)
+    os.rename(staging, path)
+
+
+def rollback_incomplete(spark: SparkSession, index_dir: str) -> list[int]:
+    """Drop artifacts of begin-without-commit batches (crash recovery).
+
+    A failed batch's docs all have ``doc_id >= base`` and its postings all
+    have ``range_id >= base // docs_per_range`` (bases are range-aligned),
+    so rollback is a pair of filtered rewrites. Returns rolled-back ids.
+    """
+    paths = IndexPaths(index_dir)
+    _committed, pending = _read_batch_log(spark, paths)
+    if not pending:
+        return []
+    min_base = min(b for _i, b in pending)
+    st = spark.read.parquet(paths.stats).collect()[0]
+    dpr = int(st["docs_per_range"])
+    _swap_rewrite(spark, paths.docs,
+                  spark.read.parquet(paths.docs)
+                  .filter(F.col("doc_id") < min_base))
+    _swap_rewrite(spark, paths.postings,
+                  spark.read.parquet(paths.postings)
+                  .filter(F.col("range_id") < min_base // dpr),
+                  partition_by="bucket")
+    # mark as committed-with-rollback so they are not retried against
+    for bid, base in pending:
+        _log_batch(spark, paths, bid, base, "rolled_back")
+        _log_batch(spark, paths, bid, base, "committed")
+    _refresh_derived(spark, paths, float(st["avgdl_build"]), dpr,
+                     int(st["num_ranges"]), int(st["n_buckets"]),
+                     float(st["k1"]), float(st["b"]))
+    return [bid for bid, _b in pending]
+
+
+def append_batch(spark: SparkSession, new_docs: DataFrame, index_dir: str,
+                 batch_id: int | None = None) -> int:
+    """Append a micro-batch of docs(url, text, lang) to an existing index.
+
+    Exactly-once: the commit log records ``begin`` before any write and
+    ``committed`` after all writes; a replayed ``batch_id`` that already
+    committed is skipped, and a crashed batch is rolled back (its doc_ids
+    and ranges are strictly above every committed ones — bases are aligned
+    to range boundaries so committed postings files are never touched).
+    """
+    paths = IndexPaths(index_dir)
+    if batch_id is not None:
+        committed, pending = _read_batch_log(spark, paths)
+        if batch_id in committed:
+            return 0
+        if pending:
+            rollback_incomplete(spark, index_dir)
+    st = spark.read.parquet(paths.stats).collect()[0]
+    docs_per_range = int(st["docs_per_range"])
+    n_buckets = int(st["n_buckets"])
+    cur = spark.read.parquet(paths.docs).agg(
+        F.max("doc_id").alias("m")).collect()[0]
+    nxt = int(cur["m"]) + 1 if cur["m"] is not None else 0
+    # align to the next range boundary: appended docs NEVER share a range
+    # with committed docs (one-postings-row-per-(term,range) invariant)
+    base = -(-nxt // docs_per_range) * docs_per_range
+
+    with_ids = assign_doc_ids(new_docs.select("url", "text", "lang"),
+                              partitions=max(new_docs.rdd.getNumPartitions(), 1))
+    with_ids = (with_ids
+                .withColumn("doc_id", F.col("doc_id") + F.lit(base))
+                .withColumn("dl", token_count_udf(F.col("text"))))
+    n_new = with_ids.count()
+    if n_new == 0:
+        return 0
+    if batch_id is not None:
+        _log_batch(spark, paths, batch_id, base, "begin")
+    with_ids.write.mode("append").parquet(paths.docs)
+
+    indexable = (spark.read.parquet(paths.docs)
+                 .filter(F.col("doc_id") >= base)
+                 .withColumn("range_id",
+                             (F.col("doc_id") / F.lit(docs_per_range))
+                             .cast("int")))
+    n_ranges = max(1, -(-n_new // docs_per_range))
+    spimi_in = indexable.select("doc_id", "text", "range_id").repartitionByRange(
+        n_ranges, "range_id")
+    postings = spimi_in.mapInPandas(
+        _spimi_batches(docs_per_range), schema=POSTINGS_SCHEMA)
+    postings = postings.withColumn(
+        "bucket", term_bucket_col(F.col("term"), n_buckets))
+    postings.write.mode("append").partitionBy("bucket").parquet(paths.postings)
+
+    _refresh_derived(spark, paths, float(st["avgdl_build"]), docs_per_range,
+                     int(st["num_ranges"]), n_buckets, float(st["k1"]),
+                     float(st["b"]))
+    if batch_id is not None:
+        _log_batch(spark, paths, batch_id, base, "committed")
+    return n_new
+
+
+def start_ingest_stream(spark: SparkSession, source_dir: str, schema,
+                        index_dir: str, checkpoint_dir: str,
+                        trigger_seconds: int = 5):
+    """File-source streaming ingest: new parquet files of pages appended to
+    ``source_dir`` flow into the index via foreachBatch."""
+    from .extract import extract_docs
+
+    stream = (spark.readStream.schema(schema).parquet(source_dir))
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        docs = batch_df
+        if "html" in docs.columns and "text" not in docs.columns:
+            docs = extract_docs(docs)
+        append_batch(spark, docs.select("url", "text", "lang"), index_dir)
+
+    return (stream.writeStream
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(processingTime=f"{trigger_seconds} seconds")
+            .foreachBatch(handle)
+            .start())

@@ -54,8 +54,13 @@ def wrap_html(text: str, title: str) -> bytes:
     ).encode("utf-8")
 
 
-def make_pages_pdf(n_docs: int = 1000, seed: int = 42) -> pd.DataFrame:
-    """Seeded pandas frame matching the input_hint schema + edge rows."""
+def make_pages_pdf(n_docs: int = 1000, seed: int = 42,
+                   min_len: int = 20, max_len: int = 400) -> pd.DataFrame:
+    """Seeded pandas frame matching the input_hint schema + edge rows.
+
+    ``min_len``/``max_len`` bound the per-doc token count (bench uses longer
+    docs so the indexing job is compute-bound; defaults are frozen — golden
+    tests depend on them)."""
     rng = np.random.default_rng(seed)
     vocab = np.array(_vocab())
     langs = np.array(["en", "en", "en", "ko", "de", "es"])
@@ -64,8 +69,8 @@ def make_pages_pdf(n_docs: int = 1000, seed: int = 42) -> pd.DataFrame:
     ranks = np.arange(1, VOCAB_SIZE + 1)
     probs = 1.0 / ranks
     probs /= probs.sum()
-    n_body = max(n_docs - 6, 1)
-    doc_lens = rng.integers(20, 400, size=n_body)
+    n_body = max(n_docs - 7, 1)  # + 5 edge rows + 2 fixtures = n_docs
+    doc_lens = rng.integers(min_len, max_len, size=n_body)
     for i in range(n_body):
         words = vocab[rng.choice(VOCAB_SIZE, size=doc_lens[i], p=probs)]
         sent_len = 12

@@ -7,7 +7,8 @@ from hypothesis import strategies as st
 
 from pdf_to_opensearch_spark.codec import (
     BLOCK,
-    block_maxes,
+    block_meta,
+    decode_block_meta,
     decode_postings,
     decode_varint,
     encode_postings,
@@ -48,7 +49,7 @@ def test_postings_roundtrip(gaps, data):
     dls = np.array(data.draw(st.lists(
         st.integers(min_value=1, max_value=5000), min_size=n, max_size=n)),
         dtype=np.int64)
-    enc = encode_postings(doc_ids, tfs, dls, avgdl=100.0)
+    enc = encode_postings(doc_ids, tfs, dls)
     d_ids, d_tfs, d_dls = decode_postings(enc)
     assert np.array_equal(d_ids, doc_ids)
     assert np.array_equal(d_tfs, tfs)
@@ -57,24 +58,29 @@ def test_postings_roundtrip(gaps, data):
     assert enc["cf"] == int(tfs.sum())
 
 
-def test_block_maxes_bound_every_posting():
+def test_block_meta_bounds_every_posting_at_any_avgdl():
     rng = np.random.default_rng(0)
     n = 1000
     tfs = rng.integers(1, 50, n)
     dls = rng.integers(10, 500, n)
-    avgdl = 120.0
-    bm = block_maxes(tfs, dls, avgdl)
-    norms = tf_norm(tfs, dls, avgdl)
-    assert bm.size == (n + BLOCK - 1) // BLOCK
-    for b in range(bm.size):
-        blk = norms[b * BLOCK:(b + 1) * BLOCK]
-        # float32 stored max must still upper-bound within float32 rounding
-        assert bm[b] >= np.float32(blk.max()) - 1e-6
+    bmax_tf, bmin_dl = block_meta(tfs, dls)
+    assert bmax_tf.size == (n + BLOCK - 1) // BLOCK
+    for avgdl in (15.0, 120.0, 480.0):
+        ub = tf_norm(bmax_tf, bmin_dl, avgdl)
+        norms = tf_norm(tfs, dls, avgdl)
+        for b in range(bmax_tf.size):
+            blk = norms[b * BLOCK:(b + 1) * BLOCK]
+            assert ub[b] >= blk.max() - 1e-12
+    # roundtrip through the storage encoding
+    rt_tf, rt_dl = decode_block_meta(bmax_tf.astype("<u4").tobytes(),
+                                     bmin_dl.astype("<u4").tobytes())
+    assert np.array_equal(rt_tf, bmax_tf)
+    assert np.array_equal(rt_dl, bmin_dl)
 
 
 def test_encode_empty_postings():
     enc = encode_postings(np.array([], dtype=np.int64),
                           np.array([], dtype=np.int64),
-                          np.array([], dtype=np.int64), avgdl=10.0)
+                          np.array([], dtype=np.int64))
     ids, tfs, dls = decode_postings(enc)
     assert ids.size == tfs.size == dls.size == 0

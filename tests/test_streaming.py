@@ -1,0 +1,143 @@
+"""Incremental ingestion: append, exactly-once replay, crash rollback,
+and a Structured Streaming end-to-end file-source run."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pdf_to_opensearch_spark.extract import extract_docs
+from pdf_to_opensearch_spark.indexer import build_index
+from pdf_to_opensearch_spark.oracle import BruteForceBM25
+from pdf_to_opensearch_spark.query import search
+from pdf_to_opensearch_spark.streaming import append_batch, rollback_incomplete
+from pdf_to_opensearch_spark.synth import expected_text, make_pages, make_pages_pdf
+
+QUERIES = [(1, "spark index posting"), (2, "query merge block")]
+
+
+def _oracle_for(pdfs: list[pd.DataFrame], id_lists: list[np.ndarray]):
+    texts, ids = [], []
+    for pdf, idl in zip(pdfs, id_lists):
+        texts.extend(expected_text(pdf))
+        ids.extend(idl)
+    return BruteForceBM25(np.array(ids), texts)
+
+
+def _check(spark, root, oracle):
+    got = (search(spark, root, QUERIES, k=10, prune=False).toPandas()
+           .sort_values(["query_id", "rank"], ignore_index=True))
+    for qid, qtext in QUERIES:
+        want = oracle.search(qtext, 10)
+        sub = got[got["query_id"] == qid]
+        assert list(sub["doc_id"]) == [d for d, _ in want], qtext
+        np.testing.assert_allclose(sub["score"].to_numpy(),
+                                   [s for _, s in want], atol=1e-6)
+
+
+@pytest.fixture()
+def base_index(spark, tmp_path):
+    root = str(tmp_path / "sidx")
+    pages = make_pages(spark, n_docs=120, seed=31, partitions=4)
+    build_index(spark, extract_docs(pages), root, num_ranges=4, n_buckets=8,
+                id_partitions=4)
+    pdf0 = make_pages_pdf(n_docs=120, seed=31)
+    return root, pdf0
+
+
+def _batch_docs(spark, n, seed):
+    pdf = make_pages_pdf(n_docs=n, seed=seed)
+    pdf["url"] = pdf["url"].str.replace("example.org", f"batch{seed}.org",
+                                       regex=False)
+    pdf = pdf.sort_values("url", ignore_index=True)
+    sdf = spark.createDataFrame(pdf[["url", "text", "lang"]])
+    return pdf, sdf
+
+
+def test_append_batch_matches_oracle(spark, base_index):
+    root, pdf0 = base_index
+    pdf1, sdf1 = _batch_docs(spark, 40, seed=77)
+    n = append_batch(spark, sdf1, root, batch_id=1)
+    assert n == len(pdf1)
+    # appended ids start at the next range boundary
+    n0 = len(pdf0)
+    dpr = -(-n0 // 4)
+    base = -(-n0 // dpr) * dpr
+    oracle = _oracle_for(
+        [pdf0, pdf1],
+        [np.arange(n0), np.arange(base, base + len(pdf1))])
+    _check(spark, root, oracle)
+    # avgdl drifted → pruning must auto-disable but stay correct
+    got_p = search(spark, root, QUERIES, k=10, prune=True).toPandas()
+    got_e = search(spark, root, QUERIES, k=10, prune=False).toPandas()
+    assert got_p.equals(got_e)
+
+
+def test_append_replay_is_exactly_once(spark, base_index):
+    root, pdf0 = base_index
+    pdf1, sdf1 = _batch_docs(spark, 25, seed=88)
+    assert append_batch(spark, sdf1, root, batch_id=5) == len(pdf1)
+    # replay of a committed batch id is a no-op
+    assert append_batch(spark, sdf1, root, batch_id=5) == 0
+    n_docs = spark.read.parquet(f"{root}/docs").count()
+    assert n_docs == len(pdf0) + len(pdf1)
+
+
+def test_crash_rollback_then_retry(spark, base_index):
+    from pyspark.sql import functions as F
+
+    from pdf_to_opensearch_spark.streaming import _log_batch
+    from pdf_to_opensearch_spark.indexer import IndexPaths
+
+    root, pdf0 = base_index
+    paths = IndexPaths(root)
+    pdf1, sdf1 = _batch_docs(spark, 30, seed=99)
+    # simulate a crash mid-batch: begin logged, docs partially appended,
+    # postings missing
+    n0 = len(pdf0)
+    dpr = -(-n0 // 4)
+    base = -(-n0 // dpr) * dpr
+    _log_batch(spark, paths, 9, base, "begin")
+    partial = spark.createDataFrame(
+        pdf1.iloc[:10][["url", "text", "lang"]])
+    from pdf_to_opensearch_spark.indexer import assign_doc_ids
+    from pdf_to_opensearch_spark.analyzer import token_count_udf
+
+    wi = (assign_doc_ids(partial, partitions=2)
+          .withColumn("doc_id", F.col("doc_id") + F.lit(base))
+          .withColumn("dl", token_count_udf(F.col("text"))))
+    wi.write.mode("append").parquet(paths.docs)
+    assert spark.read.parquet(paths.docs).count() == n0 + 10
+
+    rolled = rollback_incomplete(spark, root)
+    assert rolled == [9]
+    assert spark.read.parquet(paths.docs).count() == n0
+    # retry under a NEW batch id (the stream's replay) lands cleanly
+    assert append_batch(spark, sdf1, root, batch_id=10) == len(pdf1)
+    oracle = _oracle_for([pdf0, pdf1],
+                         [np.arange(n0), np.arange(base, base + len(pdf1))])
+    _check(spark, root, oracle)
+
+
+def test_streaming_end_to_end(spark, base_index, tmp_path):
+    import time
+
+    from pdf_to_opensearch_spark.streaming import start_ingest_stream
+
+    root, pdf0 = base_index
+    src = str(tmp_path / "incoming")
+    ckpt = str(tmp_path / "ckpt")
+    pdf1, sdf1 = _batch_docs(spark, 20, seed=55)
+    sdf1.write.mode("overwrite").parquet(src)
+    q = start_ingest_stream(spark, src, sdf1.schema, root, ckpt,
+                            trigger_seconds=1)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    n0 = len(pdf0)
+    dpr = -(-n0 // 4)
+    base = -(-n0 // dpr) * dpr
+    assert spark.read.parquet(f"{root}/docs").count() == n0 + len(pdf1)
+    oracle = _oracle_for([pdf0, pdf1],
+                         [np.arange(n0), np.arange(base, base + len(pdf1))])
+    _check(spark, root, oracle)
