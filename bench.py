@@ -5,15 +5,18 @@ Runs the headline workloads at ``$SPARK_GRAFT_SF_DIR`` (default sf0.1) on
 ``{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}``.
 
 Headline queries:
-- ``index_build``      — full SPIMI index build over the documents corpus
-- ``bm25_topk``        — engine BM25 top-10, the 3 reference queries
-- ``bm25_query_p50/p95`` — per-query latency over repeated runs
+- ``index_build``      — full index build over the sf documents corpus
+- ``bm25_topk`` / ``bm25_query_p50/p95`` — engine top-10 latency
 - ``dedup_exact`` / ``minhash_pairs`` / ``quality_scores`` / ``ann_cosine_topk``
-- ``scaling_eff``      — same build at local[N/4] vs local[N]
-  (two-parallelism-level substitute for the N→4N executor criterion;
-  efficiency = (thr_hi / thr_lo) / 4)
+- ``scaling_efficiency`` — the indexing job (phase B) on a compute-bound
+  60k-long-doc corpus at local[N] vs local[4N] (N=2 by default: the
+  two-cluster-size criterion evidenced at two parallelism levels, kept
+  ≤25% of the machine because sustained full-machine load triggers ~2×
+  hypervisor burst throttling on this VM — measured, see BENCH.md).
+  Protocol: alternating runs, min of 3 per level, 45 s cooldowns.
+  efficiency = (t_lo / t_hi) / (HI/LO).
 
-Set SPARK_GRAFT_BENCH_SCALING=0 to skip the second JVM (faster iteration).
+Set SPARK_GRAFT_BENCH_SCALING=0 to skip the scaling JVMs (fast iteration).
 """
 
 from __future__ import annotations
@@ -87,11 +90,44 @@ def _prepare_scaling_docs(corpus_path: str, out_dir: str) -> int:
         spark.stop()
 
 
+_CALIB_BEST = [float("inf")]
+
+
+def _calibrate() -> float:
+    """Fixed single-proc numpy workload (~0.5 s unthrottled)."""
+    import numpy as np
+
+    a = np.random.default_rng(0).standard_normal(1_500_000)
+    t0 = time.monotonic()
+    for _ in range(6):
+        np.sort(a.copy())
+    return time.monotonic() - t0
+
+
+def _wait_steady_state(max_wait: float = 300.0) -> None:
+    """Block until the VM is back at its best-known speed (±15%).
+
+    This VM throttles under sustained load (~2× decay, recovers when idle);
+    gating each timed run on a calibration workload puts every measurement
+    in a comparable machine state — without this, run order dominates the
+    scaling signal.
+    """
+    deadline = time.monotonic() + max_wait
+    while True:
+        c = _calibrate()
+        _CALIB_BEST[0] = min(_CALIB_BEST[0], c)
+        if c <= _CALIB_BEST[0] * 1.15 or time.monotonic() > deadline:
+            return
+        time.sleep(20)
+
+
 def index_once(cores: int, index_dir: str) -> float:
     """Time the indexing job (phase B) in a fresh JVM at ``cores``.
 
-    A small warm-up UDF job forces Python-worker spawn before the timed
-    region so both parallelism levels measure steady-state throughput.
+    A cores-wide warm-up UDF job spawns every Python worker before the
+    timed region so both parallelism levels measure steady-state
+    throughput (a narrow warm-up would leave most workers to cold-start
+    inside the timed region at the high level only).
     """
     from pdf_to_opensearch_spark.analyzer import token_count_udf
     from pdf_to_opensearch_spark.indexer import build_postings
@@ -102,10 +138,42 @@ def index_once(cores: int, index_dir: str) -> float:
     spark.sparkContext.setLogLevel("ERROR")
     try:
         docs = spark.read.parquet(f"{index_dir}/docs")
-        docs.limit(2048).select(token_count_udf("text")).count()  # warm-up
+        (docs.limit(cores * 256).repartition(cores)
+         .select(token_count_udf("text")).count())  # warm-up, all workers
+        _wait_steady_state()
         t0 = time.monotonic()
         build_postings(spark, index_dir, num_ranges=NUM_RANGES,
                        n_buckets=N_BUCKETS)
+        return time.monotonic() - t0
+    finally:
+        spark.stop()
+
+
+QUERY_BATCH = 2048
+
+
+def query_batch_once(cores: int, index_dir: str) -> float:
+    """Time a 2048-query BM25 batch in a fresh JVM at ``cores``."""
+    import numpy as np
+
+    from pdf_to_opensearch_spark.query import Searcher
+    from pdf_to_opensearch_spark.session import get_spark
+    from pdf_to_opensearch_spark.synth import _vocab
+
+    spark = get_spark(f"bench_query_{cores}", cores=cores,
+                      shuffle_partitions=cores)
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        rng = np.random.default_rng(7)
+        vocab = _vocab()
+        queries = [(i, " ".join(vocab[j] for j in
+                                rng.choice(800, size=int(rng.integers(2, 6)))))
+                   for i in range(QUERY_BATCH)]
+        searcher = Searcher(spark, index_dir)
+        searcher.search(queries[:8], k=10).collect()  # warm-up
+        _wait_steady_state()
+        t0 = time.monotonic()
+        searcher.search(queries, k=10).collect()
         return time.monotonic() - t0
     finally:
         spark.stop()
@@ -129,7 +197,6 @@ def main() -> None:
                       SCALE_LO, SCALE_HI):
             times[cores].append(index_once(cores, idx))
             time.sleep(45)
-        shutil.rmtree(idx, ignore_errors=True)
         t_lo, t_hi = min(times[SCALE_LO]), min(times[SCALE_HI])
         results[f"scale_index_local{SCALE_LO}"] = round(t_lo, 3)
         results[f"scale_index_local{SCALE_HI}"] = round(t_hi, 3)
@@ -139,6 +206,20 @@ def main() -> None:
         results["scale_thr_hi"] = round(n_scale / t_hi, 1)
         results["scaling_efficiency"] = round(
             (t_lo / t_hi) / (SCALE_HI / SCALE_LO), 4)
+
+        # query-throughput scaling over the same index (2048-query batch;
+        # the serving-path counterpart of the build criterion)
+        qtimes: dict[int, list[float]] = {SCALE_LO: [], SCALE_HI: []}
+        for cores in (SCALE_LO, SCALE_HI, SCALE_HI, SCALE_LO):
+            qtimes[cores].append(query_batch_once(cores, idx))
+            time.sleep(30)
+        q_lo, q_hi = min(qtimes[SCALE_LO]), min(qtimes[SCALE_HI])
+        results[f"scale_query_local{SCALE_LO}"] = round(q_lo, 3)
+        results[f"scale_query_local{SCALE_HI}"] = round(q_hi, 3)
+        results["scale_query_qps_hi"] = round(QUERY_BATCH / q_hi, 1)
+        results["query_scaling_efficiency"] = round(
+            (q_lo / q_hi) / (SCALE_HI / SCALE_LO), 4)
+        shutil.rmtree(idx, ignore_errors=True)
 
     # ---- main session at full parallelism ---------------------------------
     from pdf_to_opensearch_spark.session import get_spark
@@ -184,10 +265,10 @@ def main() -> None:
 
     spark.stop()
     timing_keys = [k for k in results
-                   if k.startswith(("scale_index", "index_build", "bm25",
-                                    "dedup", "quality", "ann", "minhash",
-                                    "corpus"))
-                   and "docs_per_sec" not in k]
+                   if k.startswith(("scale_index", "scale_query",
+                                    "index_build", "bm25", "dedup",
+                                    "quality", "ann", "minhash", "corpus"))
+                   and "docs_per_sec" not in k and "qps" not in k]
     total = round(sum(results[k] for k in timing_keys), 3)
     print(json.dumps({
         "metric": "pdf_to_opensearch_spark_headline_sec",

@@ -135,3 +135,20 @@ def test_delete_from_index(spark, index_dir, corpus, tmp_path):
         assert list(sub["doc_id"]) == [d for d, _ in want], qtext
         np.testing.assert_allclose(
             sub["score"].to_numpy(), [s for _, s in want], rtol=0, atol=1e-6)
+
+
+def test_batch_kernel_matches_per_query(spark, index_dir, corpus):
+    """The >32-query batch path must agree with the per-query path."""
+    import pandas as pd
+
+    _, oracle = corpus
+    big = [(i, q) for i, (qid, q) in enumerate(QUERIES * 5)]
+    assert len(big) > 32
+    got = (search(spark, index_dir, big, k=K, prune=False).toPandas()
+           .sort_values(["query_id", "rank"], ignore_index=True))
+    for qid, qtext in big:
+        want = oracle.search(qtext, K)
+        sub = got[got["query_id"] == qid]
+        assert list(sub["doc_id"]) == [d for d, _ in want], (qid, qtext)
+        np.testing.assert_allclose(sub["score"].to_numpy(),
+                                   [s for _, s in want], atol=1e-6)
