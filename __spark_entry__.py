@@ -404,17 +404,13 @@ def _lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH candidate pairs verified by exact Jaccard ≥ 0.7
-    (rows-only driver check; differential-tested in pytest)."""
-    from pdf_to_opensearch_spark.ops.dedup import (
-        jaccard_pairs,
-        minhash_candidate_pairs,
-    )
+    """MinHash-LSH candidate pairs verified by exact Jaccard ≥ 0.7 (fused
+    single-shingle-pass pipeline; SQL Jaccard oracle over LSH candidates
+    is checked separately by ``jaccard_verify``)."""
+    from pdf_to_opensearch_spark.ops.dedup import minhash_near_duplicates
 
     _ensure_pkg(spark)
-    docs = _docs(spark, sf_dir)
-    cands = minhash_candidate_pairs(docs)
-    return jaccard_pairs(docs, candidates=cands, threshold=0.7)
+    return minhash_near_duplicates(_docs(spark, sf_dir), threshold=0.7)
 
 
 def _simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -10,13 +10,25 @@ The reference round-trips chunks through ``<chunk>``-tagged text files
     [URL: https://…/image.png]
     </chunk>
 
-Semantics frozen here: ``page_number = page_index + 1`` (uploader.py:76-77);
-multiple ``[URL: …]`` lines accumulate into ``image_urls``
-(uploader.py:68-69, 78-79); tag lines are stripped from the chunk text.
+Semantics frozen here — a line-exact transcription of the reference loop
+(uploader.py:46-88):
+
+- ``page_number = page_index + 1`` (uploader.py:76-77) and it CARRIES OVER
+  to later chunks until another tag overwrites it (the reference never
+  resets it);
+- multiple ``[URL: …]`` lines accumulate into ``image_urls``
+  (uploader.py:68-69, 78-79), reset only when a non-empty chunk closes;
+- content lines are joined with ``'\\n'`` and NOT stripped;
+- a ``</chunk>`` with no accumulated lines emits nothing and does NOT
+  consume a ``chunk_sequence`` number (empty-chunk skip);
+- stray lines outside ``<chunk>`` blocks accumulate into the next closing
+  chunk (reference quirk, preserved).
+
 Our engine produces chunks natively as a DataFrame, but the parser is part
 of the reference's public surface (its input format), so it is a supported
-source — implemented with JVM-side regexp over exploded chunk blocks, no
-Python in the row path.
+source. A file is the parse unit: the loop is per-FILE inside an
+Arrow-batched ``mapInPandas`` (like the chunker's per-document packing rule
+— imperative per unit, no per-output-row Python).
 
 ``build_search_documents`` assembles the indexed unit (uploader.py:112-150):
 prev/next context via lag/lead + the typed metadata struct
@@ -33,37 +45,65 @@ PAGE_TAG_RE = r"\[page_index:\s*(\d+)\]"
 URL_TAG_RE = r"\[URL:\s*(.*?)\]"
 
 
+CHUNK_ROWS_SCHEMA = ("path string, chunk_sequence int, chunk_text string, "
+                     "page_number int, image_urls array<string>")
+
+
+def _parse_one_file(path: str, content: str, out: list) -> None:
+    """Reference algorithm, transcribed line-for-line (uploader.py:46-88)."""
+    import re
+
+    page_re = re.compile(PAGE_TAG_RE)
+    url_re = re.compile(URL_TAG_RE)
+    lines: list[str] = []
+    page_number = None
+    image_urls: list[str] = []
+    chunk_sequence = 1
+    for line in content.split("\n"):
+        if line == "<chunk>":
+            pass
+        elif line == "</chunk>":
+            if lines:
+                out.append((path, chunk_sequence, "\n".join(lines),
+                            page_number if page_number else None,
+                            image_urls.copy()))
+                chunk_sequence += 1
+                lines = []
+                image_urls = []
+        else:
+            m = page_re.match(line)
+            if m:
+                page_number = int(m.group(1)) + 1
+                continue
+            m = url_re.match(line)
+            if m:
+                image_urls.append(m.group(1))
+                continue
+            lines.append(line)
+
+
 def parse_chunk_files(files_df: DataFrame, path_col: str = "path",
                       content_col: str = "content") -> DataFrame:
     """(path, content) of chunk files → one row per chunk.
 
     Output: (path, chunk_sequence int, chunk_text string,
-    page_number int nullable, image_urls array<string>).
+    page_number int nullable, image_urls array<string>). ``image_urls`` is
+    the empty array where the reference omits the key; ``page_number`` is
+    null where omitted.
     """
-    blocks = files_df.select(
-        path_col,
-        F.posexplode(
-            F.regexp_extract_all(
-                F.col(content_col),
-                F.lit(r"(?s)<chunk>\s*(.*?)\s*</chunk>"), F.lit(1))
-        ).alias("chunk_sequence", "raw"))
-    page_idx = F.regexp_extract("raw", PAGE_TAG_RE, 1)
-    urls = F.regexp_extract_all(F.col("raw"), F.lit(URL_TAG_RE), F.lit(1))
-    # F.trim strips spaces only — strip all whitespace (incl. the newlines
-    # left behind by removed tag lines) with a regex trim
-    cleaned = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace("raw", PAGE_TAG_RE, ""), URL_TAG_RE, ""),
-        r"^\s+|\s+$", "")
-    return blocks.select(
-        path_col,
-        (F.col("chunk_sequence") + 1).cast("int").alias("chunk_sequence"),
-        cleaned.alias("chunk_text"),
-        # page_number = page_index + 1 (uploader.py:76-77)
-        F.when(page_idx != "", (page_idx.cast("int") + 1))
-        .alias("page_number"),
-        urls.alias("image_urls"),
-    )
+    import pandas as pd
+
+    def batches(it):
+        for pdf in it:
+            out: list = []
+            for path, content in zip(pdf[path_col], pdf[content_col]):
+                _parse_one_file(path, content, out)
+            yield pd.DataFrame(
+                out, columns=["path", "chunk_sequence", "chunk_text",
+                              "page_number", "image_urls"])
+
+    return files_df.select(path_col, content_col).mapInPandas(
+        batches, schema=CHUNK_ROWS_SCHEMA)
 
 
 METADATA_FIELDS = [

@@ -27,7 +27,16 @@ _MAIN_RE = re.compile(r"(?is)<main>(.*)</main>")
 
 def extract_series(html_bytes: pd.Series) -> pd.Series:
     """Vectorized html(binary) → NFC text."""
-    s = html_bytes.map(bytes).str.decode("utf-8", errors="replace")
+    import pyarrow as pa
+
+    try:
+        # Arrow-C++ binary→string cast (validating UTF-8) — no per-row
+        # Python bytes objects in the decode step
+        arr = pa.Array.from_pandas(html_bytes, type=pa.binary())
+        s = arr.cast(pa.string()).to_pandas()
+    except pa.ArrowInvalid:
+        # invalid UTF-8 somewhere in the batch: per-row replace fallback
+        s = html_bytes.map(bytes).str.decode("utf-8", errors="replace")
     main = s.str.extract(_MAIN_RE, expand=False)
     s = main.where(main.notna(), s)
     s = s.str.replace(_SCRIPT_RE, " ", regex=True)

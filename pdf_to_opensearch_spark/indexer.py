@@ -104,6 +104,9 @@ def assign_doc_ids(docs_df: DataFrame, partitions: int = 32) -> DataFrame:
             yield out
 
     result = ranged.mapInPandas(add_ids, schema=out_schema)
+    # callers unpersist this after materializing `result` (repeated builds
+    # in one session must not accumulate cached partitions)
+    result._persisted_input = ranged
     return result
 
 
@@ -229,6 +232,7 @@ def prepare_docs(spark: SparkSession, docs_df: DataFrame, out_dir: str,
     with_ids = assign_doc_ids(docs_df, partitions=id_partitions)
     docs = with_ids.withColumn("dl", token_count_udf(F.col("text")))
     docs.write.mode("overwrite").parquet(paths.docs)
+    with_ids._persisted_input.unpersist()
     return paths
 
 

@@ -7,11 +7,10 @@ idempotent re-ingestion of one source. Here:
 - :func:`delete_from_index` — copy-on-write snapshot: postings of
   *affected doc ranges only* are rebuilt from the surviving docs (doc_ids
   preserved), unaffected ranges' parquet rows are carried over unchanged;
-  stats are recomputed (N, avgdl shift). Because the stored block-max
-  metadata was computed at build-time avgdl, the new snapshot's stats keep
-  ``avgdl_build`` unchanged — the query engine detects
-  ``avgdl != avgdl_build`` and disables block pruning (stays sound) until
-  the next full rebuild refreshes the maxima.
+  stats are recomputed (N, avgdl shift). Block-max pruning stays SOUND
+  across the shift because blocks store raw (max_tf, min_dl) and the
+  query engine recomputes upper bounds at the CURRENT avgdl — the bound
+  is valid at any avgdl, no rebuild needed.
 - :func:`reingest` — the full delete-then-reinsert idempotency path: drop
   matching docs from the source, rebuild from scratch; byte-identical
   output for identical input (tested).
@@ -47,10 +46,20 @@ def delete_from_index(spark: SparkSession, index_dir: str, out_dir: str,
 
     docs = spark.read.parquet(src.docs).withColumn(
         "range_id", (F.col("doc_id") / F.lit(docs_per_range)).cast("int"))
-    doomed = docs.filter(F.col("url").isin(urls))
+    from .query import IN_LIST_MAX
+
+    if len(urls) <= IN_LIST_MAX:
+        doom_pred = F.col("url").isin(urls)
+        doomed = docs.filter(doom_pred)
+        survivors = docs.filter(~doom_pred)
+    else:
+        # thousands of urls: literal IN-lists bloat the plan — broadcast
+        # semi/anti joins instead
+        udf_ = spark.createDataFrame([(u,) for u in urls], "url string")
+        doomed = docs.join(F.broadcast(udf_), "url", "left_semi")
+        survivors = docs.join(F.broadcast(udf_), "url", "left_anti")
     affected = {int(r["range_id"]) for r in
                 doomed.select("range_id").distinct().collect()}
-    survivors = docs.filter(~F.col("url").isin(urls))
     survivors.drop("range_id").write.mode("overwrite").parquet(dst.docs)
 
     old_postings = spark.read.parquet(src.postings)

@@ -55,30 +55,44 @@ def shingles(df: DataFrame, text_col: str = "text", n: int = 3,
     return with_toks.withColumn(out_col, F.explode(grams)).drop("_toks")
 
 
+def distinct_shingles(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", shingle_n: int = 3) -> DataFrame:
+    """(id, shingle) distinct pairs — the shared input of MinHash signature
+    generation AND Jaccard verification (compute once, persist, reuse:
+    min-hash is idempotent under duplicates so distinct sets serve both)."""
+    return (shingles(df.select(id_col, text_col), text_col, n=shingle_n)
+            .select(F.col(id_col).alias("id"), "shingle").distinct())
+
+
 def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", num_hashes: int = 16,
-                       shingle_n: int = 3) -> DataFrame:
+                       shingle_n: int = 3,
+                       shingle_df: DataFrame | None = None) -> DataFrame:
     """MinHash signatures: sig_i = min over shingles of xxhash64(shingle, i).
 
     Entirely built-in expressions → map-side combined min aggregation.
-    Output: (id, sig_0..sig_{h-1}).
+    Output: (id, sig_0..sig_{h-1}). ``shingle_df``: optional precomputed
+    (id, shingle) table (from :func:`distinct_shingles`).
     """
-    sh = shingles(df.select(id_col, text_col), text_col, n=shingle_n)
+    sh = (shingle_df if shingle_df is not None
+          else distinct_shingles(df, id_col, text_col, shingle_n))
     aggs = [F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"sig_{i}")
             for i in range(num_hashes)]
-    return sh.groupBy(id_col).agg(*aggs)
+    return sh.groupBy("id").agg(*aggs).withColumnRenamed("id", id_col)
 
 
 def minhash_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
                             text_col: str = "text", num_hashes: int = 32,
                             bands: int = 8, shingle_n: int = 3,
-                            max_bucket: int = 1000) -> DataFrame:
+                            max_bucket: int = 1000,
+                            shingle_df: DataFrame | None = None) -> DataFrame:
     """LSH candidate pairs: same band-bucket in any band → candidate.
 
     Returns distinct (id_a, id_b) with id_a < id_b. Buckets larger than
     ``max_bucket`` are dropped (degenerate boilerplate guard).
     """
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n,
+                              shingle_df=shingle_df)
     rows = num_hashes // bands
     band_arr = F.array(*[
         F.xxhash64(*[F.col(f"sig_{b*rows+r}") for r in range(rows)],
@@ -105,15 +119,21 @@ def minhash_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
 def jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text", shingle_n: int = 3,
                   threshold: float = 0.7,
-                  candidates: DataFrame | None = None) -> DataFrame:
-    """Exact n-gram Jaccard over candidate pairs (or all pairs of docs that
-    share ≥1 shingle when ``candidates`` is None — the verification stage
-    of MinHash-LSH).
+                  candidates: DataFrame | None = None,
+                  shingle_df: DataFrame | None = None) -> DataFrame:
+    """Exact n-gram Jaccard over candidate pairs.
+
+    WARNING — scale foot-gun: with ``candidates=None`` this degenerates to
+    an all-pairs join over every doc pair sharing ≥1 shingle, which is
+    quadratic in hot-shingle frequency. At scale ALWAYS pass the LSH
+    ``candidates`` (the verification stage of MinHash-LSH) — or call
+    :func:`minhash_near_duplicates`, which wires the two together over one
+    shared shingle table.
 
     Jaccard = |A∩B| / |A∪B| over distinct shingle sets.
     """
-    sh = (shingles(df.select(id_col, text_col), text_col, n=shingle_n)
-          .select(F.col(id_col).alias("id"), "shingle").distinct())
+    sh = (shingle_df if shingle_df is not None
+          else distinct_shingles(df, id_col, text_col, shingle_n))
     if candidates is not None:
         # shrink the shingle table to candidate docs BEFORE the heavy
         # self-join — avoids the all-pairs blowup at scale
@@ -142,6 +162,27 @@ def jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     return out
 
 
+def minhash_near_duplicates(df: DataFrame, id_col: str = "doc_id",
+                            text_col: str = "text", num_hashes: int = 32,
+                            bands: int = 8, shingle_n: int = 3,
+                            threshold: float = 0.7,
+                            max_bucket: int = 1000) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs, Jaccard-verified — the fused
+    pipeline: ONE shingle table (tokenize+explode runs once, persisted)
+    feeds both the signature/banding stage and the verification join.
+
+    Returns (id_a, id_b, jaccard) with jaccard ≥ threshold.
+    """
+    from pyspark import StorageLevel
+
+    sh = distinct_shingles(df, id_col, text_col, shingle_n).persist(
+        StorageLevel.MEMORY_AND_DISK)
+    cands = minhash_candidate_pairs(df, id_col, text_col, num_hashes, bands,
+                                    shingle_n, max_bucket, shingle_df=sh)
+    return jaccard_pairs(df, id_col, text_col, shingle_n, threshold,
+                         candidates=cands, shingle_df=sh)
+
+
 def simhash(df: DataFrame, id_col: str = "doc_id",
             text_col: str = "text") -> DataFrame:
     """64-bit SimHash per doc.
@@ -162,23 +203,26 @@ def simhash(df: DataFrame, id_col: str = "doc_id",
             .withColumn("_gk", F.pmod(F.col(id_col), F.lit(64))))
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        ids = pdf[id_col].to_numpy()
+        ids = pdf[id_col].to_numpy(np.int64)
         h = pdf["h"].to_numpy(np.int64).astype(np.uint64)
         tf = pdf["tf"].to_numpy(np.float64)
+        order = np.argsort(ids, kind="stable")
+        ids, h, tf = ids[order], h[order], tf[order]
         bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)) &
                 np.uint64(1)).astype(np.float64)  # (n_tokens, 64)
         votes = (2.0 * bits - 1.0) * tf[:, None]
-        out = []
-        frame = pd.DataFrame({"id": ids})
-        grp = frame.groupby("id", sort=True).indices
-        for did, idxs in grp.items():
-            v = votes[idxs].sum(axis=0)
-            sig = np.uint64(0)
-            sig_bits = (v > 0).astype(np.uint64)
-            sig = (sig_bits << np.arange(64, dtype=np.uint64)).sum(
-                dtype=np.uint64)
-            out.append((did, np.int64(sig)))
-        return pd.DataFrame(out, columns=[id_col, "simhash"])
+        # fully vectorized per-doc bit vote: reduceat over sorted groups
+        # (no per-doc Python loop — one segmented sum for the whole batch)
+        starts = np.flatnonzero(np.concatenate(
+            ([True], ids[1:] != ids[:-1])))
+        summed = np.add.reduceat(votes, starts, axis=0)  # (n_docs, 64)
+        sig_bits = (summed > 0).astype(np.uint64)
+        sigs = (sig_bits << np.arange(64, dtype=np.uint64)).sum(
+            axis=1, dtype=np.uint64)
+        # reinterpret uint64→int64 (two's complement view; np.int64(scalar)
+        # raises OverflowError on numpy>=2.0 when bit 63 is set)
+        return pd.DataFrame({id_col: ids[starts],
+                             "simhash": sigs.view(np.int64)})
 
     return toks.groupBy("_gk").applyInPandas(
         kernel, schema=f"{id_col} long, simhash long")

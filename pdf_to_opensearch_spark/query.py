@@ -46,6 +46,36 @@ from .oracle import idf as idf_fn
 
 RESULT_SCHEMA = "query_id int, doc_id long, score double"
 
+# Above this many terms/keys, a literal IN-list bloats the plan (and its
+# serialized size) — switch to a broadcast semi-join. Below it, keep isin:
+# the literal predicate reaches the parquet reader as row-group min/max
+# pruning, which a join cannot.
+IN_LIST_MAX = 256
+
+
+def _filter_in(df: DataFrame, col: str, values: list) -> DataFrame:
+    """``col IN values`` — literal pushdown for small lists, broadcast
+    semi-join for large ones (plan-size safe at thousands of keys)."""
+    if len(values) <= IN_LIST_MAX:
+        return df.filter(F.col(col).isin(values))
+    spark = df.sparkSession
+    vdf = spark.createDataFrame([(v,) for v in values], f"{col} string")
+    return df.join(F.broadcast(vdf), col, "left_semi")
+
+
+def _weighted_qinfo(q_terms: dict, idfs: dict) -> dict:
+    """{query_id: {term: idf · occurrence-count}} — BM25 scores accumulate
+    once per query-term OCCURRENCE (oracle.py:53-64 semantics), so repeated
+    terms get proportionally larger weights."""
+    from collections import Counter
+
+    qinfo = {}
+    for qid, toks in q_terms.items():
+        ti = {t: idfs[t] * c for t, c in Counter(toks).items() if t in idfs}
+        if ti:
+            qinfo[int(qid)] = ti
+    return qinfo
+
 
 class IndexStats:
     def __init__(self, row):
@@ -63,7 +93,10 @@ def load_stats(spark: SparkSession, index_dir: str) -> IndexStats:
 
 def _score_kernel(qinfo: dict, k: int, stats: IndexStats, prune: bool,
                   filtered: bool = False):
-    """Per-doc-range scorer. qinfo: {query_id: {term: idf}}.
+    """Per-doc-range scorer. qinfo: {query_id: {term: weight}} where
+    weight = idf · (occurrences of the term in the query) — BM25 accumulates
+    per query-term occurrence (Lucene BooleanQuery / BruteForceBM25.search
+    semantics), so 'the the cat' scores 'the' twice.
 
     With ``filtered=True`` the kernel is used as a cogroup function:
     (postings_pdf, allowed_pdf) where allowed_pdf carries the doc_ids that
@@ -83,9 +116,10 @@ def _score_kernel(qinfo: dict, k: int, stats: IndexStats, prune: bool,
         for rec in pdf.to_dict("records"):
             by_term[rec["term"]] = rec
         # per-range caches shared across the query batch: each term is
-        # decoded and weighted ONCE even when thousands of queries hit it
+        # decoded and tf-normalized ONCE even when thousands of queries hit
+        # it (the per-query idf·count weight is a cheap scalar multiply)
         dec_cache: dict[str, tuple] = {}
-        contrib_cache: dict[str, np.ndarray] = {}
+        norm_cache: dict[str, np.ndarray] = {}
         ub_cache: dict[str, np.ndarray] = {}
 
         def get_decoded(t: str):
@@ -115,11 +149,11 @@ def _score_kernel(qinfo: dict, k: int, stats: IndexStats, prune: bool,
                 continue
             contribs = {}
             for t, w, _rec in hits:
-                c = contrib_cache.get(t)
+                c = norm_cache.get(t)
                 if c is None:
-                    c = contrib_cache[t] = w * tf_norm(
+                    c = norm_cache[t] = tf_norm(
                         decoded[t][1], decoded[t][2], avgdl, k1, b)
-                contribs[t] = c
+                contribs[t] = w * c
             # block maxes index ORIGINAL posting positions → pruning is
             # disabled under a metadata filter (positions no longer align)
             if prune and len(hits) > 1 and allowed_ids is None:
@@ -187,11 +221,12 @@ def _block_prune_masks(hits: list, contribs: dict, k: int,
             btf, bdl = decode_block_meta(rec["block_max_tf"],
                                          rec["block_min_dl"])
             # (max_tf, min_dl) bound is valid at ANY avgdl; the (1+1e-9)
-            # pad absorbs float monotonicity edge cases
-            u = w * tf_norm(btf, bdl, avgdl, k1, b) * (1.0 + 1e-9)
+            # pad absorbs float monotonicity edge cases. Cached unweighted:
+            # the per-query idf·count weight w varies across queries.
+            u = tf_norm(btf, bdl, avgdl, k1, b) * (1.0 + 1e-9)
             if ub_cache is not None:
                 ub_cache[t] = u
-        ubs[t] = u
+        ubs[t] = w * u
     term_max = {t: (u.max() if u.size else 0.0) for t, u in ubs.items()}
     total_ub = float(sum(term_max.values()))
     champ = max(term_max, key=term_max.get)
@@ -233,23 +268,21 @@ def search(spark: SparkSession, index_dir: str, queries: list[tuple[int, str]],
     if not terms:
         return spark.createDataFrame([], "query_id int, rank int, doc_id long, score double")
     # dictionary point-lookup with pushdown (Lucene term-dict seek analogue)
-    dict_rows = (spark.read.parquet(paths.dictionary)
-                 .filter(F.col("term").isin(terms))
-                 .collect())
+    dict_rows = _filter_in(spark.read.parquet(paths.dictionary),
+                           "term", terms).collect()
     dfs = {r["term"]: int(r["df"]) for r in dict_rows}
     idfs = {t: float(idf_fn(stats.N, np.array([dfs[t]]))[0])
             for t in terms if t in dfs}
-    qinfo = {int(qid): {t: idfs[t] for t in toks if t in idfs}
-             for qid, toks in q_terms.items()}
-    qinfo = {qid: ti for qid, ti in qinfo.items() if ti}
+    qinfo = _weighted_qinfo(q_terms, idfs)
     if not qinfo:
         return spark.createDataFrame([], "query_id int, rank int, doc_id long, score double")
 
     live_terms = sorted({t for ti in qinfo.values() for t in ti})
     buckets = sorted({bucket_of(t, stats.n_buckets) for t in live_terms})
-    postings = (spark.read.parquet(paths.postings)
-                .filter(F.col("bucket").isin(buckets))       # partition pruning
-                .filter(F.col("term").isin(live_terms)))     # row-group pruning
+    postings = _filter_in(                                    # row-group pruning
+        spark.read.parquet(paths.postings)
+        .filter(F.col("bucket").isin(buckets)),               # partition pruning
+        "term", live_terms)
     if doc_filter is not None:
         st_row = spark.read.parquet(paths.stats).collect()[0]
         dpr = int(st_row["docs_per_range"])
@@ -355,8 +388,8 @@ def phrase_search(spark: SparkSession, index_dir: str,
     empty = "query_id int, rank int, doc_id long, score double"
     if not terms:
         return spark.createDataFrame([], empty)
-    dict_rows = (spark.read.parquet(paths.dictionary)
-                 .filter(F.col("term").isin(terms)).collect())
+    dict_rows = _filter_in(spark.read.parquet(paths.dictionary),
+                           "term", terms).collect()
     dfs = {r["term"]: int(r["df"]) for r in dict_rows}
     qinfo = {}
     for qid, toks in q_terms.items():
@@ -368,9 +401,10 @@ def phrase_search(spark: SparkSession, index_dir: str,
         return spark.createDataFrame([], empty)
     live_terms = sorted({t for i in qinfo.values() for t in i["terms"]})
     buckets = sorted({bucket_of(t, stats.n_buckets) for t in live_terms})
-    postings = (spark.read.parquet(paths.postings)
-                .filter(F.col("bucket").isin(buckets))
-                .filter(F.col("term").isin(live_terms)))
+    postings = _filter_in(
+        spark.read.parquet(paths.postings)
+        .filter(F.col("bucket").isin(buckets)),
+        "term", live_terms)
     per_range = (postings.groupBy("range_id")
                  .applyInPandas(_phrase_kernel(qinfo, k, stats),
                                 schema=RESULT_SCHEMA))
@@ -387,13 +421,15 @@ class Searcher:
 
     ``search()``/``phrase_search()`` re-read the tiny stats/dictionary
     parquet on every call — correct, but two extra driver round-trips per
-    query. A serving deployment keeps them resident: stats is one row and
-    the dictionary is ~|vocab| rows (broadcastable; at web scale keep
-    ``preload_dictionary=False`` and the per-query pruned parquet lookup).
+    query. A serving deployment keeps stats resident (one row). The
+    dictionary default is the per-query pruned parquet point-lookup:
+    at web scale |vocab| is billions of rows and collecting it to the
+    driver would OOM. ``preload_dictionary=True`` is an explicit opt-in
+    for small corpora / latency-critical serving on bounded vocabularies.
     """
 
     def __init__(self, spark: SparkSession, index_dir: str,
-                 preload_dictionary: bool = True):
+                 preload_dictionary: bool = False):
         self.spark = spark
         self.index_dir = index_dir
         self.paths = IndexPaths(index_dir)
@@ -406,8 +442,8 @@ class Searcher:
     def _lookup_dfs(self, terms: list[str]) -> dict[str, int]:
         if self._dfs is not None:
             return {t: self._dfs[t] for t in terms if t in self._dfs}
-        rows = (self.spark.read.parquet(self.paths.dictionary)
-                .filter(F.col("term").isin(terms)).collect())
+        rows = _filter_in(self.spark.read.parquet(self.paths.dictionary),
+                          "term", terms).collect()
         return {r["term"]: int(r["df"]) for r in rows}
 
     def search(self, queries: list[tuple[int, str]], k: int = 10,
@@ -421,16 +457,15 @@ class Searcher:
         dfs = self._lookup_dfs(terms)
         idfs = {t: float(idf_fn(stats.N, np.array([dfs[t]]))[0])
                 for t in terms if t in dfs}
-        qinfo = {int(qid): {t: idfs[t] for t in toks if t in idfs}
-                 for qid, toks in q_terms.items()}
-        qinfo = {qid: ti for qid, ti in qinfo.items() if ti}
+        qinfo = _weighted_qinfo(q_terms, idfs)
         if not qinfo:
             return self.spark.createDataFrame([], empty)
         live_terms = sorted({t for ti in qinfo.values() for t in ti})
         buckets = sorted({bucket_of(t, stats.n_buckets) for t in live_terms})
-        postings = (self.spark.read.parquet(self.paths.postings)
-                    .filter(F.col("bucket").isin(buckets))
-                    .filter(F.col("term").isin(live_terms)))
+        postings = _filter_in(
+            self.spark.read.parquet(self.paths.postings)
+            .filter(F.col("bucket").isin(buckets)),
+            "term", live_terms)
         per_range = (postings.groupBy("range_id")
                      .applyInPandas(_score_kernel(qinfo, k, stats, prune),
                                     schema=RESULT_SCHEMA))

@@ -12,10 +12,17 @@ module adds a streaming path: ``readStream`` over a pages source →
   max), so committed postings files are immutable — the same property that
   makes the batch build resumable makes the stream exactly-once-append
   (an idempotent retry of a failed batch overwrites only its own ranges)
-- dictionary / stats / manifest are recomputed from cheap aggregates;
-  ``avgdl`` drifts from ``avgdl_build``, which the query engine detects and
-  answers by disabling block-max pruning (degraded speed, exact results)
-  until the next full rebuild refreshes the maxima.
+- dictionary / stats / manifest are maintained INCREMENTALLY: only the
+  new ranges' postings are aggregated (parquet row-group ``range_id``
+  stats skip committed data), merged into the dictionary with a
+  union-aggregate swap-rewrite (the Iceberg-MERGE analogue on a local FS),
+  and appended to doc_stats/manifest; N/avgdl update from the batch's own
+  (count, Σdl). Nothing reprocesses the existing index — O(batch), not
+  O(index), per micro-batch.
+- ``avgdl`` drifts as documents arrive; block-max pruning stays SOUND
+  regardless because block metadata stores raw (max_tf, min_dl) and upper
+  bounds are recomputed with the current avgdl at query time — no
+  avgdl-build comparison is needed (the bound is valid at any avgdl).
 
 Event-time watermarking is not needed for index append (arrival order is
 irrelevant to BM25); the ``events`` streaming-aggregation pattern is
@@ -180,9 +187,9 @@ def append_batch(spark: SparkSession, new_docs: DataFrame, index_dir: str,
     # with committed docs (one-postings-row-per-(term,range) invariant)
     base = -(-nxt // docs_per_range) * docs_per_range
 
-    with_ids = assign_doc_ids(new_docs.select("url", "text", "lang"),
-                              partitions=max(new_docs.rdd.getNumPartitions(), 1))
-    with_ids = (with_ids
+    ided = assign_doc_ids(new_docs.select("url", "text", "lang"),
+                          partitions=max(new_docs.rdd.getNumPartitions(), 1))
+    with_ids = (ided
                 .withColumn("doc_id", F.col("doc_id") + F.lit(base))
                 .withColumn("dl", token_count_udf(F.col("text"))))
     n_new = with_ids.count()
@@ -191,6 +198,13 @@ def append_batch(spark: SparkSession, new_docs: DataFrame, index_dir: str,
     if batch_id is not None:
         _log_batch(spark, paths, batch_id, base, "begin")
     with_ids.write.mode("append").parquet(paths.docs)
+    ided._persisted_input.unpersist()
+    # batch-local Σdl for the incremental N/avgdl update (O(batch) agg
+    # over the just-written rows, pruned by the doc_id >= base predicate)
+    dl_row = (spark.read.parquet(paths.docs)
+              .filter(F.col("doc_id") >= base)
+              .agg(F.sum("dl").alias("s")).collect()[0])
+    batch_dl_sum = int(dl_row["s"] or 0)
 
     indexable = (spark.read.parquet(paths.docs)
                  .filter(F.col("doc_id") >= base)
@@ -206,12 +220,64 @@ def append_batch(spark: SparkSession, new_docs: DataFrame, index_dir: str,
         "bucket", term_bucket_col(F.col("term"), n_buckets))
     postings.write.mode("append").partitionBy("bucket").parquet(paths.postings)
 
-    _refresh_derived(spark, paths, float(st["avgdl_build"]), docs_per_range,
-                     int(st["num_ranges"]), n_buckets, float(st["k1"]),
-                     float(st["b"]))
+    _incremental_refresh(spark, paths, st, base // docs_per_range,
+                         n_new, batch_dl_sum)
     if batch_id is not None:
         _log_batch(spark, paths, batch_id, base, "committed")
     return n_new
+
+
+def _incremental_refresh(spark: SparkSession, paths: IndexPaths, st,
+                         base_range: int, n_new: int,
+                         batch_dl_sum: int) -> None:
+    """O(batch) derived-table maintenance after an append.
+
+    Only the NEW ranges' postings are aggregated (``range_id >=
+    base_range`` — committed files are skipped via parquet row-group
+    min/max stats since appended ranges are strictly above committed
+    ones); the dictionary is merged with a union-aggregate swap-rewrite
+    (the local-FS analogue of an Iceberg MERGE commit), doc_stats and the
+    manifest are APPENDED, and N/avgdl roll forward from the batch's own
+    (count, Σdl). Nothing rescans the committed index."""
+    import pandas as pd
+
+    new_posts = (spark.read.parquet(paths.postings)
+                 .filter(F.col("range_id") >= base_range))
+    new_dict = (new_posts.groupBy("term")
+                .agg(F.sum("n").alias("df"), F.sum("cf").alias("cf")))
+    merged = (spark.read.parquet(paths.dictionary)
+              .unionByName(new_dict)
+              .groupBy("term")
+              .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf")))
+    _swap_rewrite(spark, paths.dictionary, merged)
+    (spark.read.parquet(paths.docs)
+     .filter(F.col("doc_id") >= base_range * int(st["docs_per_range"]))
+     .select("doc_id", "dl")
+     .write.mode("append").parquet(paths.doc_stats))
+    N_old, avgdl_old = int(st["N"]), float(st["avgdl"])
+    N_new = N_old + n_new
+    avgdl_new = (N_old * avgdl_old + batch_dl_sum) / N_new if N_new else 0.0
+    stats_pdf = pd.DataFrame([{
+        "N": N_new, "avgdl": avgdl_new,
+        "avgdl_build": float(st["avgdl_build"]),
+        "docs_per_range": int(st["docs_per_range"]),
+        "num_ranges": int(st["num_ranges"]),
+        "n_buckets": int(st["n_buckets"]),
+        "analyzer_version": ANALYZER_VERSION,
+        "k1": float(st["k1"]), "b": float(st["b"]),
+    }])
+    stats_df = spark.createDataFrame(stats_pdf).coalesce(1)
+    _swap_rewrite(spark, paths.stats, stats_df)
+    (new_posts.groupBy("range_id")
+     .agg(F.sum("n").alias("n_postings"),
+          F.countDistinct("term").alias("n_terms"),
+          F.sum(F.length("doc_ids") + F.length("tfs") + F.length("dls"))
+          .alias("bytes"),
+          F.max("wall_ms").alias("wall_ms"))
+     .withColumn("status", F.lit("committed"))
+     .withColumn("analyzer_version", F.lit(ANALYZER_VERSION))
+     .withColumn("committed_at", F.current_timestamp())
+     .write.mode("append").parquet(paths.manifest))
 
 
 def start_ingest_stream(spark: SparkSession, source_dir: str, schema,
@@ -227,7 +293,11 @@ def start_ingest_stream(spark: SparkSession, source_dir: str, schema,
         docs = batch_df
         if "html" in docs.columns and "text" not in docs.columns:
             docs = extract_docs(docs)
-        append_batch(spark, docs.select("url", "text", "lang"), index_dir)
+        # batch_id MUST flow through: Structured Streaming replays the last
+        # uncommitted micro-batch after a restart, and the begin/commit log
+        # keyed by batch_id is what makes that replay idempotent
+        append_batch(spark, docs.select("url", "text", "lang"), index_dir,
+                     batch_id=batch_id)
 
     return (stream.writeStream
             .option("checkpointLocation", checkpoint_dir)

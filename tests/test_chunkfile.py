@@ -33,9 +33,57 @@ def test_parse_chunk_files(spark):
     assert list(out.loc[0, "image_urls"]) == [
         "https://cdn.example.com/img1.png", "https://cdn.example.com/img2.png"]
     assert out.loc[1, "chunk_text"] == "second chunk, no tags"
-    assert np.isnan(out.loc[1, "page_number"])
+    # page_number CARRIES OVER across chunks until overwritten
+    # (reference never resets it — uploader.py:51,75-76)
+    assert out.loc[1, "page_number"] == 16
     assert list(out.loc[1, "image_urls"]) == []
     assert out.loc[2, "page_number"] == 1
+
+
+CARRY_SAMPLE = """intro line outside chunks
+<chunk>
+alpha
+[page_index: 4]
+</chunk>
+<chunk>
+[URL: http://a/1.png]
+</chunk>
+<chunk>
+beta
+</chunk>
+stray line
+<chunk>
+gamma
+[page_index: 7]
+[URL: http://a/2.png]
+</chunk>"""
+
+
+def test_parse_chunk_files_reference_carryover(spark):
+    """Golden values produced by hand-executing the reference loop
+    (uploader.py:46-88) on an interleaved multi-chunk fixture: page
+    carry-over, empty-chunk sequence skip, url carry across an empty
+    close, stray-line accumulation, '\\n' joins."""
+    from pdf_to_opensearch_spark.chunkfile import parse_chunk_files
+
+    df = spark.createDataFrame([("f.txt", CARRY_SAMPLE)],
+                               "path string, content string")
+    out = parse_chunk_files(df).toPandas().sort_values(
+        "chunk_sequence", ignore_index=True)
+    assert len(out) == 3  # the url-only chunk emits nothing
+    assert out["chunk_sequence"].tolist() == [1, 2, 3]
+    # stray pre-chunk line accumulates into chunk 1
+    assert out.loc[0, "chunk_text"] == "intro line outside chunks\nalpha"
+    assert out.loc[0, "page_number"] == 5
+    assert list(out.loc[0, "image_urls"]) == []
+    # chunk 2: page carried from chunk 1; url carried from the EMPTY chunk
+    assert out.loc[1, "chunk_text"] == "beta"
+    assert out.loc[1, "page_number"] == 5
+    assert list(out.loc[1, "image_urls"]) == ["http://a/1.png"]
+    # chunk 3: stray mid-file line accumulates; own tags win
+    assert out.loc[2, "chunk_text"] == "stray line\ngamma"
+    assert out.loc[2, "page_number"] == 8
+    assert list(out.loc[2, "image_urls"]) == ["http://a/2.png"]
 
 
 def test_build_search_documents(spark):

@@ -19,6 +19,12 @@ QUERIES = [
     (6, "nonexistentterm12345"),
     (7, "the w0003"),
     (8, "token document search rank batch stream"),
+    # repeated query terms: BM25 accumulates once per OCCURRENCE
+    # (oracle.py:53-64), so 'the the' weighs 'the' twice
+    (9, "the the spark"),
+    (10, "index index index posting"),
+    # mixed case: both sides run the frozen lowercasing analyzer
+    (11, "SPARK Index POSTING"),
 ]
 K = 10
 
