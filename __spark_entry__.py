@@ -305,16 +305,19 @@ SELECT o_custkey, rank, o_orderkey, total FROM (
 
 
 def _f4_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Anti-join (overlap exclusion semantics, F4/J10/U2)."""
+    """Anti-join (overlap exclusion semantics, F4/J10/U2). Orders are
+    restricted to o_orderkey % 3 = 0 so the excluded set is non-trivial
+    (customers whose every order has orderkey % 3 != 0 survive)."""
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    orders = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+              .filter(F.col("o_orderkey") % 3 == 0))
     return (cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
             .select("c_custkey", "c_name"))
 
 
 _F4_SQL = """
 SELECT c_custkey, c_name FROM customer
-WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderkey % 3 = 0)
 """
 
 
@@ -369,16 +372,27 @@ SELECT pattern, n FROM (
 
 
 def _dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup over the corpus with PLANTED duplicates (every 50th doc
+    re-appears under doc_id+1000000) so the oracle verifies non-trivial
+    duplicate groups, not a hash-match on the empty set."""
     from pdf_to_opensearch_spark.ops.dedup import exact_dedup
 
     _ensure_pkg(spark)
-    return exact_dedup(_docs(spark, sf_dir))
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    planted = (docs.filter(F.col("doc_id") % 50 == 0)
+               .select((F.col("doc_id") + 1000000).alias("doc_id"), "text"))
+    return exact_dedup(docs.unionByName(planted))
 
 
 _DEDUP_EXACT_SQL = """
+WITH all_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 50 = 0
+)
 SELECT md5(text) AS content_hash, count(*)::BIGINT AS n_docs,
        min(doc_id) AS keeper_id
-FROM documents GROUP BY 1 HAVING count(*) >= 2
+FROM all_docs GROUP BY 1 HAVING count(*) >= 2
 """
 
 
@@ -420,6 +434,120 @@ def _simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_pairs(_docs(spark, sf_dir), max_hamming=3)
 
 
+def _minhash_pairs_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME LSH banding + Jaccard-verification pipeline as
+    ``minhash_pairs`` but on the md5 shared hash family — every stage
+    (signatures, banding buckets, bucket guard, candidate join, exact
+    Jaccard) is reproduced in the DuckDB oracle, so the whole pipeline is
+    hash-checked, not just the verification."""
+    from pdf_to_opensearch_spark.ops.dedup import minhash_near_duplicates
+
+    _ensure_pkg(spark)
+    return minhash_near_duplicates(_docs(spark, sf_dir), threshold=0.7,
+                                   hash_family="md5")
+
+
+def _simhash_pairs_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-pairs on the md5 shared family (60-bit): the pigeonhole
+    candidate join is EXACT for hamming ≤ 3, so the output equals the SQL
+    all-pairs popcount filter."""
+    from pdf_to_opensearch_spark.ops.dedup import simhash_near_pairs
+
+    _ensure_pkg(spark)
+    return simhash_near_pairs(_docs(spark, sf_dir), max_hamming=3,
+                              hash_family="md5")
+
+
+_MD5_60 = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
+_MINHASH_H, _MINHASH_BANDS = 32, 8
+
+
+def _minhash_md5_oracle_sql(num_hashes: int = _MINHASH_H,
+                            bands: int = _MINHASH_BANDS,
+                            threshold: float = 0.7,
+                            max_bucket: int = 1000) -> str:
+    rows = num_hashes // bands
+    seeded = [_MD5_60.format(x=f"shingle || ':{i}'")
+              for i in range(num_hashes)]
+    sig_cols = ",\n         ".join(
+        f"min({seeded[i]}) AS sig_{i}" for i in range(num_hashes))
+    band_selects = "\n  UNION ALL\n  ".join(
+        "SELECT id, {b} AS band, {key} AS bucket FROM sig".format(
+            b=b, key=" || ',' || ".join(
+                f"sig_{b*rows+r}::VARCHAR" for r in range(rows)))
+        for b in range(bands))
+    return f"""
+WITH toks AS (
+  SELECT doc_id AS id, {_TOKS_SQL} AS t FROM documents
+),
+sh AS (
+  SELECT DISTINCT id,
+         unnest(list_transform(range(1, len(t)-1),
+                               i -> array_to_string(t[i:i+2], ' '))) AS shingle
+  FROM toks WHERE len(t) >= 3
+),
+sig AS (
+  SELECT id, {sig_cols}
+  FROM sh GROUP BY id
+),
+banded AS (
+  {band_selects}
+),
+guarded AS (
+  SELECT id, band, bucket FROM (
+    SELECT id, band, bucket,
+           count(*) OVER (PARTITION BY band, bucket) AS bn
+    FROM banded
+  ) WHERE bn <= {max_bucket}
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM guarded a
+  JOIN guarded b ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+),
+sizes AS (SELECT id, count(*)::BIGINT AS sz FROM sh GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*)::BIGINT AS i
+  FROM sh a
+  JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+  JOIN cand c ON c.id_a = a.id AND c.id_b = b.id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(i / (sa.sz + sb.sz - i), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.id = inter.id_a
+JOIN sizes sb ON sb.id = inter.id_b
+WHERE i / (sa.sz + sb.sz - i) >= {threshold}
+"""
+
+
+def _simhash_md5_oracle_sql(max_hamming: int = 3) -> str:
+    hv = _MD5_60.format(x="term")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2),
+h AS (SELECT doc_id, tf, {hv} AS hv FROM tf),
+votes AS (
+  SELECT doc_id, b,
+         sum(CASE WHEN (hv >> b) & 1 = 1 THEN tf ELSE -tf END) AS v
+  FROM h CROSS JOIN (SELECT unnest(range(60)) AS b) bits
+  GROUP BY 1, 2
+),
+sig AS (
+  SELECT doc_id,
+         sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS s
+  FROM votes GROUP BY 1
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.s, b.s))::INTEGER AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.s, b.s)) <= {max_hamming}
+"""
+
+
 def _ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pdf_to_opensearch_spark.ops.similarity import cosine_topk
 
@@ -451,18 +579,89 @@ SELECT query_id, rank, vec_id FROM (
 """
 
 
+CHUNK_CS = 120  # small chunk budget so sf docs exercise real packing
+
+
 def _chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic chunker over the documents corpus (C5 packing rule;
-    rows-only check — the rule is imperative, pytest holds the goldens)."""
+    """Deterministic chunker (C3-C5 packing rule) over sentence-enriched
+    documents ('. ' planted at every ' the ' so the split/pack/hard-slice
+    paths all fire), checked against a recursive-CTE DuckDB oracle that
+    simulates the greedy packing state machine exactly."""
     from pdf_to_opensearch_spark.chunking import chunk_docs
 
     _ensure_pkg(spark)
     docs = _docs(spark, sf_dir).select(
-        F.col("doc_id").cast("string").alias("url"), "text", "lang")
-    chunks = chunk_docs(docs)
+        F.col("doc_id").cast("string").alias("url"),
+        F.regexp_replace("text", " the ", ". ").alias("text"),
+        "lang")
+    chunks = chunk_docs(docs, chunk_size=CHUNK_CS)
     return (chunks.groupBy("url")
             .agg(F.count("*").cast("long").alias("n_chunks"),
                  F.sum(F.length("content")).cast("long").alias("chars")))
+
+
+def _chunk_stats_oracle_sql(cs: int = CHUNK_CS) -> str:
+    """Greedy sentence-packing simulated in SQL: per-sentence state
+    (cur_len, emitted, joins) advanced by a recursive CTE; invariants
+    chars = Σ sentence-len + join-spaces, n_chunks from the final state.
+    Split emulation: '(\\.)\\s+|\\n+' → chr(1) sentinel (validated
+    equivalent to the Python lookbehind split on this corpus)."""
+    strip_set = "' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)"
+    return f"""
+WITH RECURSIVE base AS (
+  SELECT doc_id::VARCHAR AS url,
+         regexp_replace(text, ' the ', '. ', 'g') AS t2
+  FROM documents
+),
+sents_list AS (
+  SELECT url, t2,
+    list_filter(
+      list_transform(
+        string_split(regexp_replace(t2, '(\\.)\\s+|\\n+', '\\1' || chr(1),
+                                    'g'), chr(1)),
+        s -> trim(s, {strip_set})),
+      s -> s <> '') AS sents
+  FROM base
+),
+sent AS (
+  SELECT url,
+         unnest(range(1, len(sents)+1))::BIGINT AS seq,
+         unnest(list_transform(sents, s -> len(s)))::BIGINT AS sl,
+         len(sents)::BIGINT AS n_sent
+  FROM sents_list WHERE len(sents) > 0
+),
+steps AS (
+  SELECT url, seq,
+         CASE WHEN sl > {cs} THEN 0 ELSE sl END AS cur_len,
+         CASE WHEN sl > {cs} THEN ceil(sl / {cs}.0)::BIGINT
+              ELSE 0 END AS emitted,
+         0::BIGINT AS joins, n_sent
+  FROM sent WHERE seq = 1
+  UNION ALL
+  SELECT st.url, x.seq,
+    CASE WHEN st.cur_len + x.sl <= {cs} THEN st.cur_len + x.sl
+         WHEN x.sl > {cs} THEN 0
+         ELSE x.sl END,
+    st.emitted + CASE WHEN st.cur_len + x.sl <= {cs} THEN 0
+         ELSE (CASE WHEN st.cur_len > 0 THEN 1 ELSE 0 END)
+              + (CASE WHEN x.sl > {cs} THEN ceil(x.sl / {cs}.0)::BIGINT
+                      ELSE 0 END) END,
+    st.joins + CASE WHEN st.cur_len > 0 AND st.cur_len + x.sl <= {cs}
+                    THEN 1 ELSE 0 END,
+    st.n_sent
+  FROM steps st JOIN sent x ON x.url = st.url AND x.seq = st.seq + 1
+),
+sums AS (SELECT url, sum(sl)::BIGINT AS sum_sl FROM sent GROUP BY 1)
+SELECT st.url,
+       (st.emitted + CASE WHEN st.cur_len > 0 THEN 1 ELSE 0 END)::BIGINT
+         AS n_chunks,
+       (s.sum_sl + st.joins)::BIGINT AS chars
+FROM steps st JOIN sums s USING (url)
+WHERE st.seq = st.n_sent
+UNION ALL
+SELECT url, 1::BIGINT AS n_chunks, len(t2)::BIGINT AS chars
+FROM sents_list WHERE len(sents) = 0
+"""
 
 
 # ------------------------------------------------------------ registries
@@ -487,6 +686,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _lang_id,
         "minhash_pairs": _minhash_pairs,
         "simhash_pairs": _simhash_pairs,
+        "minhash_pairs_md5": _minhash_pairs_md5,
+        "simhash_pairs_md5": _simhash_pairs_md5,
         "ann_cosine_topk": _ann_topk,
         "chunk_stats": _chunk_stats,
     }
@@ -516,8 +717,11 @@ def oracle_sql() -> dict[str, str]:
         "quality_scores": quality_scores_oracle_sql(),
         "lang_id": lang_id_oracle_sql(),
         "ann_cosine_topk": _ANN_SQL,
-        # minhash_pairs / simhash_pairs / chunk_stats: non-SQL-expressible
-        # (seeded hash families, imperative packing rule) → rows-only check.
+        "chunk_stats": _chunk_stats_oracle_sql(),
+        "minhash_pairs_md5": _minhash_md5_oracle_sql(),
+        "simhash_pairs_md5": _simhash_md5_oracle_sql(),
+        # minhash_pairs / simhash_pairs (xxhash64 production family):
+        # rows-only — the md5-family twins are fully oracle-checked.
     }
 
 
@@ -684,16 +888,707 @@ FROM customer GROUP BY c_nationkey
 
 
 def _u3_except(spark, sf_dir):
+    """EXCEPT over a non-trivial set: parts never shipped in an even-keyed
+    order divisible by 8 (the unfiltered version is empty at every sf —
+    every part appears in lineitem)."""
     part = spark.read.parquet(f"{sf_dir}/part.parquet").select("p_partkey")
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet") \
-        .select(F.col("l_partkey").alias("p_partkey"))
+    li = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+          .filter(F.col("l_orderkey") % 8 == 0)
+          .select(F.col("l_partkey").alias("p_partkey")))
     return part.exceptAll(li.distinct()).distinct()
 
 
 _U3_SQL = """
 SELECT p_partkey FROM part
 EXCEPT
-SELECT l_partkey AS p_partkey FROM lineitem
+SELECT l_partkey AS p_partkey FROM lineitem WHERE l_orderkey % 8 = 0
+"""
+
+
+# ------------------------------------------- A4 margin-band full semantics
+
+A4_H, A4_W, A4_PAGES = 800.0, 600.0, 40
+
+
+def _blocks_from_orders(spark, sf_dir):
+    """Deterministic synthetic text blocks (integer arithmetic only):
+    planted header/footer/left/right populations with modal-coordinate
+    minorities, so every stage of the A4 detector is exercised."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select("o_orderkey")
+    k = F.col("o_orderkey")
+    m = k % 10
+    page = k % 40
+    text = (F.when(m == 0, F.concat(F.lit("Report "), page))
+            .when(k % 20 == 5, F.concat(F.lit("Draft "), page))
+            .when(m == 1, F.concat(F.lit("Page "), k))
+            .when(m == 2, F.concat(F.lit("L"), page))
+            .when(m == 3, F.concat(F.lit("R"), page))
+            .otherwise(F.concat(F.lit("Body "), k)))
+    x0 = (F.when(m == 2, F.lit(10))
+          .when(m == 3, F.lit(520) + F.when(k % 13 == 0, 7).otherwise(0))
+          .when(m == 1, F.lit(200)).otherwise(F.lit(100)))
+    x1 = (F.when(m == 2, F.lit(60) + F.when(k % 11 == 0, 4).otherwise(0))
+          .when(m == 3, F.lit(590))
+          .when(m == 1, F.lit(400))
+          .when((m == 0) | (k % 20 == 5), F.lit(300)).otherwise(F.lit(500)))
+    y0 = (F.when(m == 0, F.lit(10)).when(k % 20 == 5, F.lit(12))
+          .when(m == 1, F.lit(760) + F.when(k % 5 == 0, 6).otherwise(0))
+          .when((m == 2) | (m == 3), F.lit(300)).otherwise(F.lit(200)))
+    y1 = (F.when(m == 0, F.lit(40) + F.when(k % 7 == 0, 5).otherwise(0))
+          .when(k % 20 == 5, F.lit(60))
+          .when(m == 1, F.lit(790))
+          .when((m == 2) | (m == 3), F.lit(400)).otherwise(F.lit(700)))
+    return o.select(page.alias("page_index"), text.alias("text"),
+                    x0.cast("double").alias("x0"),
+                    y0.cast("double").alias("y0"),
+                    x1.cast("double").alias("x1"),
+                    y1.cast("double").alias("y1"))
+
+
+def _a4_margin_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full A4 semantics (text_based_converter_refactored.py:372-482):
+    band grouping + ≥max(n_pages//10, 3) threshold + most-frequent pattern
+    + modal boundary coordinate, all four bands in one pass."""
+    from pdf_to_opensearch_spark.ops.headers import detect_margin_bands
+
+    _ensure_pkg(spark)
+    return detect_margin_bands(_blocks_from_orders(spark, sf_dir),
+                               page_height=A4_H, page_width=A4_W,
+                               n_pages=A4_PAGES)
+
+
+_A4_BANDS_SQL = """
+WITH blocks AS (
+  SELECT o_orderkey % 40 AS page_index,
+    CASE WHEN o_orderkey % 10 = 0 THEN 'Report ' || (o_orderkey % 40)
+         WHEN o_orderkey % 20 = 5 THEN 'Draft ' || (o_orderkey % 40)
+         WHEN o_orderkey % 10 = 1 THEN 'Page ' || o_orderkey
+         WHEN o_orderkey % 10 = 2 THEN 'L' || (o_orderkey % 40)
+         WHEN o_orderkey % 10 = 3 THEN 'R' || (o_orderkey % 40)
+         ELSE 'Body ' || o_orderkey END AS text,
+    (CASE WHEN o_orderkey % 10 = 2 THEN 10
+          WHEN o_orderkey % 10 = 3 THEN 520 + CASE WHEN o_orderkey % 13 = 0 THEN 7 ELSE 0 END
+          WHEN o_orderkey % 10 = 1 THEN 200 ELSE 100 END)::DOUBLE AS x0,
+    (CASE WHEN o_orderkey % 10 = 0 THEN 10
+          WHEN o_orderkey % 20 = 5 THEN 12
+          WHEN o_orderkey % 10 = 1 THEN 760 + CASE WHEN o_orderkey % 5 = 0 THEN 6 ELSE 0 END
+          WHEN o_orderkey % 10 IN (2, 3) THEN 300 ELSE 200 END)::DOUBLE AS y0,
+    (CASE WHEN o_orderkey % 10 = 2 THEN 60 + CASE WHEN o_orderkey % 11 = 0 THEN 4 ELSE 0 END
+          WHEN o_orderkey % 10 = 3 THEN 590
+          WHEN o_orderkey % 10 = 1 THEN 400
+          WHEN o_orderkey % 10 = 0 OR o_orderkey % 20 = 5 THEN 300
+          ELSE 500 END)::DOUBLE AS x1,
+    (CASE WHEN o_orderkey % 10 = 0 THEN 40 + CASE WHEN o_orderkey % 7 = 0 THEN 5 ELSE 0 END
+          WHEN o_orderkey % 20 = 5 THEN 60
+          WHEN o_orderkey % 10 = 1 THEN 790
+          WHEN o_orderkey % 10 IN (2, 3) THEN 400 ELSE 700 END)::DOUBLE AS y1
+  FROM orders
+),
+kinds AS (
+  SELECT kind, trim(regexp_replace(text, '[0-9]+', '', 'g')) AS pattern,
+         CASE kind WHEN 'header' THEN y1 WHEN 'footer' THEN y0
+                   WHEN 'left' THEN x1 ELSE x0 END AS coord,
+         CASE WHEN kind IN ('header', 'footer') THEN 4 ELSE 3 END AS thresh
+  FROM (
+    SELECT *, CASE WHEN y1 < 800 * 0.15 THEN 'header'
+                   WHEN y0 > 800 * 0.85 THEN 'footer'
+                   WHEN x1 < 600 * 0.15 THEN 'left'
+                   WHEN x0 > 600 * 0.85 THEN 'right' END AS kind
+    FROM blocks
+  ) WHERE kind IS NOT NULL
+),
+valid AS (
+  SELECT * FROM (
+    SELECT *, count(*) OVER (PARTITION BY kind, pattern) AS occ FROM kinds
+  ) WHERE occ >= thresh
+),
+best AS (
+  SELECT * FROM (
+    SELECT *, dense_rank() OVER (PARTITION BY kind
+                                 ORDER BY occ DESC, pattern) AS prn
+    FROM valid
+  ) WHERE prn = 1
+),
+modal AS (
+  SELECT kind, coord FROM (
+    SELECT kind, coord,
+           row_number() OVER (PARTITION BY kind
+                              ORDER BY count(*) DESC, coord) AS crn
+    FROM best GROUP BY kind, coord
+  ) WHERE crn = 1
+)
+SELECT coalesce(max(CASE WHEN kind = 'header' THEN coord END), 0.0)
+         AS header_y_max,
+       coalesce(max(CASE WHEN kind = 'footer' THEN coord END), 800.0)
+         AS footer_y_min,
+       coalesce(max(CASE WHEN kind = 'left' THEN coord END), 0.0)
+         AS left_margin_x_max,
+       coalesce(max(CASE WHEN kind = 'right' THEN coord END), 600.0)
+         AS right_margin_x_min
+FROM modal
+"""
+
+
+# ------------------------------------------------ scalar ops (C6/C17/C20)
+
+
+def _c_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """safe filename + url path basename + CDN url join (utils.py:106-119,
+    148-159; opensearch_loader.py:642) over planted tricky strings."""
+    from pdf_to_opensearch_spark.ops.scalars import (
+        cdn_url_join,
+        safe_filename,
+        url_path_basename,
+    )
+
+    _ensure_pkg(spark)
+    p = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        "p_partkey", "p_name", "p_brand")
+    k = F.col("p_partkey")
+    raw = F.concat(F.col("p_name"),
+                   F.when(k % 4 == 0, F.lit("!!"))
+                   .when(k % 4 == 1, F.lit(" @#$ end"))
+                   .when(k % 4 == 2, F.lit("---"))
+                   .otherwise(F.lit("   ")))
+    brand = F.regexp_replace(F.col("p_brand"), "#", "-")
+    url = F.concat(F.lit("https://files.example.com/docs/"), brand,
+                   F.lit("/"), k.cast("string"), F.lit(".json?v=1#frag"))
+    key = (F.when(k % 3 == 0,
+                  F.concat(F.lit("/abs/"), k.cast("string"), F.lit(".png")))
+           .otherwise(F.concat(F.lit("img/"), k.cast("string"),
+                               F.lit(".png"))))
+    return p.select(k.alias("p_partkey"),
+                    safe_filename(raw).alias("fname"),
+                    url_path_basename(url).alias("basename"),
+                    cdn_url_join(key).alias("cdn_url"))
+
+
+_C_SCALARS_SQL = r"""
+WITH prep AS (
+  SELECT p_partkey,
+    p_name || CASE WHEN p_partkey % 4 = 0 THEN '!!'
+                   WHEN p_partkey % 4 = 1 THEN ' @#$ end'
+                   WHEN p_partkey % 4 = 2 THEN '---'
+                   ELSE '   ' END AS raw,
+    'https://files.example.com/docs/' || replace(p_brand, '#', '-')
+      || '/' || p_partkey || '.json?v=1#frag' AS url,
+    CASE WHEN p_partkey % 3 = 0 THEN '/abs/' || p_partkey || '.png'
+         ELSE 'img/' || p_partkey || '.png' END AS key
+  FROM part
+),
+cooked AS (
+  SELECT p_partkey,
+    regexp_replace(trim(regexp_replace(raw, '[^\p{L}\p{N} -]', '', 'g')),
+                   ' ', '_', 'g') AS u,
+    url, key
+  FROM prep
+)
+SELECT p_partkey,
+  CASE WHEN length(u) > 0 THEN substr(u, 1, 50) ELSE 'untitled' END AS fname,
+  regexp_extract(
+    regexp_replace(
+      regexp_replace(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*', ''),
+      '[?#].*$', ''),
+    '([^/]*)$', 1) AS basename,
+  CASE WHEN key LIKE '/%' THEN key
+       ELSE 'https://cdn.example.invalid/' || key END AS cdn_url
+FROM cooked
+"""
+
+
+# ------------------------------------------------- chart ops (J3/J4/J5)
+
+CH_W, CH_H = 600.0, 800.0
+
+
+def _chart_drawings(spark, sf_dir):
+    """Deterministic drawings fixture (integer arithmetic): per page of
+    ~20 drawings, 4 big mains (j=0), 4 borderline mediums (j=1), 4 tall
+    thin axes (j=2), 4 wide flat axes below the mains (j=3), 4 small
+    'unknown/relative-rank-borderline' rects (j=4)."""
+    p = spark.read.parquet(f"{sf_dir}/part.parquet").select("p_partkey")
+    k = F.col("p_partkey")
+    j = (k / 100).cast("long") % 5
+    page = (k % 100).alias("page_key")
+    x0 = (F.when(j == 0, 150 + k % 7)
+          .when(j == 1, 300 - k % 17)
+          .when(j == 2, 80 + k % 13)
+          .when(j == 3, F.lit(140))
+          .otherwise(360 + k % 21)).cast("double")
+    y0 = (F.when(j == 0, 250 + k % 9)
+          .when(j == 1, 420 + k % 5)
+          .when(j == 2, F.lit(200))
+          .when(j == 3, 400 + k % 3)
+          .otherwise(150 + k % 41)).cast("double")
+    w = (F.when(j == 0, 120 + k % 11)
+         .when(j == 1, 80 + k % 23)
+         .when(j == 2, F.lit(15))
+         .when(j == 3, 200 + k % 19)
+         .otherwise(F.lit(48))).cast("double")
+    h = (F.when(j == 0, 130 + k % 13)
+         .when(j == 1, 60 + k % 7)
+         .when(j == 2, 100 + k % 31)
+         .when(j == 3, F.lit(8))
+         .otherwise(F.lit(34))).cast("double")
+    return p.select(k.alias("drawing_id"), page, x0.alias("x0"),
+                    y0.alias("y0"), (x0 + w).alias("x1"),
+                    (y0 + h).alias("y1"))
+
+
+_CH_DRAW_SQL = """
+draw AS (
+  SELECT p_partkey AS drawing_id, p_partkey % 100 AS page_key,
+         x0, y0, x0 + w AS x1, y0 + h AS y1
+  FROM (
+    SELECT p_partkey,
+      (CASE WHEN (p_partkey // 100) % 5 = 0 THEN 150 + p_partkey % 7
+            WHEN (p_partkey // 100) % 5 = 1 THEN 300 - p_partkey % 17
+            WHEN (p_partkey // 100) % 5 = 2 THEN 80 + p_partkey % 13
+            WHEN (p_partkey // 100) % 5 = 3 THEN 140
+            ELSE 360 + p_partkey % 21 END)::DOUBLE AS x0,
+      (CASE WHEN (p_partkey // 100) % 5 = 0 THEN 250 + p_partkey % 9
+            WHEN (p_partkey // 100) % 5 = 1 THEN 420 + p_partkey % 5
+            WHEN (p_partkey // 100) % 5 = 2 THEN 200
+            WHEN (p_partkey // 100) % 5 = 3 THEN 400 + p_partkey % 3
+            ELSE 150 + p_partkey % 41 END)::DOUBLE AS y0,
+      (CASE WHEN (p_partkey // 100) % 5 = 0 THEN 120 + p_partkey % 11
+            WHEN (p_partkey // 100) % 5 = 1 THEN 80 + p_partkey % 23
+            WHEN (p_partkey // 100) % 5 = 2 THEN 15
+            WHEN (p_partkey // 100) % 5 = 3 THEN 200 + p_partkey % 19
+            ELSE 48 END)::DOUBLE AS w,
+      (CASE WHEN (p_partkey // 100) % 5 = 0 THEN 130 + p_partkey % 13
+            WHEN (p_partkey // 100) % 5 = 1 THEN 60 + p_partkey % 7
+            WHEN (p_partkey // 100) % 5 = 2 THEN 100 + p_partkey % 31
+            WHEN (p_partkey // 100) % 5 = 3 THEN 8
+            ELSE 34 END)::DOUBLE AS h
+    FROM part
+  )
+)
+"""
+
+_CH_TYPED_SQL = """
+cls AS (
+  SELECT *, (x1 - x0) AS w, (y1 - y0) AS h,
+         ((x1 - x0) * (y1 - y0)) / 480000.0 AS ar,
+         CASE WHEN (y1 - y0) > 0 THEN (x1 - x0) / (y1 - y0)
+              ELSE 0.0 END AS asp,
+         rank() OVER (PARTITION BY page_key
+                      ORDER BY (x1 - x0) * (y1 - y0) DESC) - 1 AS larger,
+         count(*) OVER (PARTITION BY page_key) AS n
+  FROM draw
+),
+typed AS (
+  SELECT *, CASE
+    WHEN ar < 0.003 OR asp > 20 OR asp < 0.05 OR w < 20 OR h < 20
+      THEN 'axis_or_legend'
+    WHEN n > 1 AND larger / (n - 1.0) < 0.5 AND asp > 0.2 AND asp < 8.0
+      THEN 'main_chart'
+    WHEN ar > 0.01 AND asp > 0.2 AND asp < 8.0 AND w > 40 AND h > 40
+      THEN 'main_chart'
+    ELSE 'unknown' END AS dtype
+  FROM cls
+)
+"""
+
+
+def _chart_captions(spark, sf_dir):
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").select("c_custkey")
+    k = F.col("c_custkey")
+    x0 = (160 + k % 29).cast("double")
+    y0 = (430 + k % 37).cast("double")
+    return c.select(k.alias("caption_id"), (k % 100).alias("page_key"),
+                    x0.alias("x0"), y0.alias("y0"),
+                    (x0 + 90 + k % 11).alias("x1"), (y0 + 14).alias("y1"))
+
+
+_CH_CAPS_SQL = """
+caps AS (
+  SELECT c_custkey AS caption_id, c_custkey % 100 AS page_key,
+         (160 + c_custkey % 29)::DOUBLE AS cx0,
+         (430 + c_custkey % 37)::DOUBLE AS cy0,
+         (160 + c_custkey % 29 + 90 + c_custkey % 11)::DOUBLE AS cx1,
+         (430 + c_custkey % 37 + 14)::DOUBLE AS cy1
+  FROM customer
+)
+"""
+
+
+def _j3_scored_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: composite caption↔chart score with type bonuses and the <50
+    nearest-distance fallback (text_based_converter_refactored.py:
+    1187-1278)."""
+    from pdf_to_opensearch_spark.ops.charts import best_chart_match
+
+    _ensure_pkg(spark)
+    return best_chart_match(_chart_captions(spark, sf_dir),
+                            _chart_drawings(spark, sf_dir),
+                            page_width=CH_W, page_height=CH_H)
+
+
+_J3_SQL = f"""
+WITH {_CH_DRAW_SQL.strip().rstrip()},
+{_CH_TYPED_SQL.strip()},
+{_CH_CAPS_SQL.strip()},
+pairs AS (
+  SELECT c.caption_id, t.drawing_id,
+    round(sqrt(
+      greatest(t.x0 - c.cx1, c.cx0 - t.x1, 0.0)
+        * greatest(t.x0 - c.cx1, c.cx0 - t.x1, 0.0)
+      + greatest(t.y0 - c.cy1, c.cy0 - t.y1, 0.0)
+        * greatest(t.y0 - c.cy1, c.cy0 - t.y1, 0.0)), 6) AS dist,
+    round(
+      greatest(0.0, 100.0 - sqrt(
+        greatest(t.x0 - c.cx1, c.cx0 - t.x1, 0.0)
+          * greatest(t.x0 - c.cx1, c.cx0 - t.x1, 0.0)
+        + greatest(t.y0 - c.cy1, c.cy0 - t.y1, 0.0)
+          * greatest(t.y0 - c.cy1, c.cy0 - t.y1, 0.0)))
+      + CASE WHEN t.ar > 0.01 AND t.ar < 0.3
+             THEN 50.0 * least(t.ar / 0.1, 1.0) ELSE 0.0 END
+      + CASE WHEN (c.cy0 + c.cy1) / 2 > t.y1 THEN 50.0 ELSE 0.0 END
+      + least(c.cx1 - c.cx0, t.w) / greatest(c.cx1 - c.cx0, t.w) * 20.0
+      + CASE t.dtype WHEN 'main_chart' THEN 50.0
+                     WHEN 'axis_or_legend' THEN -30.0 ELSE 0.0 END, 6)
+      AS score
+  FROM caps c JOIN typed t USING (page_key)
+),
+ranked AS (
+  SELECT *,
+    row_number() OVER (PARTITION BY caption_id
+                       ORDER BY score DESC, drawing_id) AS rs,
+    row_number() OVER (PARTITION BY caption_id
+                       ORDER BY dist, drawing_id) AS rd
+  FROM pairs
+),
+with_best AS (
+  SELECT *, max(CASE WHEN rs = 1 THEN score END)
+              OVER (PARTITION BY caption_id) AS best
+  FROM ranked
+)
+SELECT caption_id, drawing_id, round(score, 4) AS score,
+       (best < 50.0) AS used_fallback
+FROM with_best
+WHERE CASE WHEN best < 50.0 THEN rd = 1 ELSE rs = 1 END
+"""
+
+
+def _j4_axis_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: rect-union of the main chart with axis/legend drawings in the
+    below/left search bands (1280-1368)."""
+    from pdf_to_opensearch_spark.ops.charts import merge_axis_labels
+
+    _ensure_pkg(spark)
+    drawings = _chart_drawings(spark, sf_dir)
+    mains = (drawings
+             .filter((F.col("drawing_id") / 100).cast("long") % 5 == 0)
+             .select(F.col("drawing_id").alias("main_id"), "page_key",
+                     "x0", "y0", "x1", "y1"))
+    return merge_axis_labels(mains, drawings, page_width=CH_W,
+                             page_height=CH_H)
+
+
+_J4_SQL = f"""
+WITH {_CH_DRAW_SQL.strip()},
+{_CH_TYPED_SQL.strip()},
+mains AS (
+  SELECT drawing_id AS main_id, page_key,
+         x0 AS mx0, y0 AS my0, x1 AS mx1, y1 AS my1,
+         x1 - x0 AS mw, y1 - y0 AS mh
+  FROM draw WHERE (drawing_id // 100) % 5 = 0
+),
+cand AS (
+  SELECT m.main_id, t.x0, t.y0, t.x1, t.y1
+  FROM mains m JOIN typed t USING (page_key)
+  WHERE NOT (m.mx0 < t.x1 AND t.x0 < m.mx1 AND
+             m.my0 < t.y1 AND t.y0 < m.my1)
+    AND t.dtype = 'axis_or_legend'
+    AND (
+      (greatest(m.mx0 - m.mw * 0.3, 0.0) < t.x1
+       AND t.x0 < least(m.mx1 + m.mw * 0.3, 600.0)
+       AND greatest(m.my1, 0.0) < t.y1
+       AND t.y0 < least(m.my1 + m.mh * 0.5, 800.0)
+       AND t.asp > 2.0)
+      OR
+      (NOT (greatest(m.mx0 - m.mw * 0.3, 0.0) < t.x1
+            AND t.x0 < least(m.mx1 + m.mw * 0.3, 600.0)
+            AND greatest(m.my1, 0.0) < t.y1
+            AND t.y0 < least(m.my1 + m.mh * 0.5, 800.0))
+       AND greatest(m.mx0 - m.mw * 0.5, 0.0) < t.x1
+       AND t.x0 < least(m.mx0, 600.0)
+       AND greatest(m.my0 - m.mh * 0.3, 0.0) < t.y1
+       AND t.y0 < least(m.my1 + m.mh * 0.3, 800.0)
+       AND t.asp < 0.5)
+    )
+)
+SELECT m.main_id,
+       least(m.mx0, coalesce(min(c.x0), m.mx0)) AS x0,
+       least(m.my0, coalesce(min(c.y0), m.my0)) AS y0,
+       greatest(m.mx1, coalesce(max(c.x1), m.mx1)) AS x1,
+       greatest(m.my1, coalesce(max(c.y1), m.my1)) AS y1
+FROM mains m LEFT JOIN cand c USING (main_id)
+GROUP BY m.main_id, m.mx0, m.my0, m.mx1, m.my1
+"""
+
+
+def _j5_drawings(spark, sf_dir):
+    """J5 fixture: per page (p % 200) around a constant main rect
+    (200,300)-(320,420): right/left siblings (merge), a tall axis, a
+    far low-score main (rejected by the >70 gate), and a mid 'unknown'
+    rect that only the step-4 intersect pass folds in."""
+    p = spark.read.parquet(f"{sf_dir}/part.parquet").select("p_partkey")
+    k = F.col("p_partkey")
+    j = (k / 200).cast("long") % 5
+    x0 = (F.when(j == 0, 344 + (k % 3) * 2)
+          .when(j == 1, 180 - k % 5 - 90)
+          .when(j == 2, 100 + k % 13)
+          .when(j == 3, F.lit(60))
+          .otherwise(F.lit(380))).cast("double")
+    y0 = (F.when(j == 0, 300 + k % 7)
+          .when(j == 1, F.lit(310))
+          .when(j == 2, F.lit(100))
+          .when(j == 3, F.lit(700))
+          .otherwise(F.lit(380))).cast("double")
+    x1 = (F.when(j == 0, 344 + (k % 3) * 2 + 100)
+          .when(j == 1, 180 - k % 5)
+          .when(j == 2, 100 + k % 13 + 15)
+          .when(j == 3, F.lit(160))
+          .otherwise(F.lit(460))).cast("double")
+    y1 = (F.when(j == 0, 300 + k % 7 + 110)
+          .when(j == 1, F.lit(415))
+          .when(j == 2, F.lit(200))
+          .when(j == 3, F.lit(790))
+          .otherwise(F.lit(440))).cast("double")
+    return p.select(k.alias("drawing_id"), (k % 200).alias("page_key"),
+                    x0.alias("x0"), y0.alias("y0"), x1.alias("x1"),
+                    y1.alias("y1"))
+
+
+_J5_DRAW_SQL = """
+draw AS (
+  SELECT p_partkey AS drawing_id, p_partkey % 200 AS page_key,
+    (CASE WHEN (p_partkey // 200) % 5 = 0 THEN 344 + (p_partkey % 3) * 2
+          WHEN (p_partkey // 200) % 5 = 1 THEN 180 - p_partkey % 5 - 90
+          WHEN (p_partkey // 200) % 5 = 2 THEN 100 + p_partkey % 13
+          WHEN (p_partkey // 200) % 5 = 3 THEN 60
+          ELSE 380 END)::DOUBLE AS x0,
+    (CASE WHEN (p_partkey // 200) % 5 = 0 THEN 300 + p_partkey % 7
+          WHEN (p_partkey // 200) % 5 = 1 THEN 310
+          WHEN (p_partkey // 200) % 5 = 2 THEN 100
+          WHEN (p_partkey // 200) % 5 = 3 THEN 700
+          ELSE 380 END)::DOUBLE AS y0,
+    (CASE WHEN (p_partkey // 200) % 5 = 0 THEN 344 + (p_partkey % 3) * 2 + 100
+          WHEN (p_partkey // 200) % 5 = 1 THEN 180 - p_partkey % 5
+          WHEN (p_partkey // 200) % 5 = 2 THEN 100 + p_partkey % 13 + 15
+          WHEN (p_partkey // 200) % 5 = 3 THEN 160
+          ELSE 460 END)::DOUBLE AS x1,
+    (CASE WHEN (p_partkey // 200) % 5 = 0 THEN 300 + p_partkey % 7 + 110
+          WHEN (p_partkey // 200) % 5 = 1 THEN 415
+          WHEN (p_partkey // 200) % 5 = 2 THEN 200
+          WHEN (p_partkey // 200) % 5 = 3 THEN 790
+          ELSE 440 END)::DOUBLE AS y1
+  FROM part
+)
+"""
+
+
+def _j5_chart_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5: sibling-chart sequential merge + step-4 intersect fold
+    (1406-1485), per-page applyInPandas kernel."""
+    from pdf_to_opensearch_spark.ops.charts import merge_sibling_charts
+
+    _ensure_pkg(spark)
+    drawings = _j5_drawings(spark, sf_dir)
+    mains = (drawings.select("page_key").distinct()
+             .select(F.col("page_key").cast("long").alias("main_id"),
+                     "page_key",
+                     F.lit(200.0).alias("x0"), F.lit(300.0).alias("y0"),
+                     F.lit(320.0).alias("x1"), F.lit(420.0).alias("y1")))
+    return merge_sibling_charts(mains, drawings, page_width=CH_W,
+                                page_height=CH_H)
+
+
+_J5_SQL = f"""
+WITH RECURSIVE {_J5_DRAW_SQL.strip()},
+typed AS (
+  SELECT *, (x1 - x0) AS w, (y1 - y0) AS h,
+         ((x1 - x0) * (y1 - y0)) / 480000.0 AS ar,
+         CASE WHEN (y1 - y0) > 0 THEN (x1 - x0) / (y1 - y0)
+              ELSE 0.0 END AS asp
+  FROM draw
+),
+cand0 AS (
+  SELECT page_key, drawing_id, x0, y0, x1, y1,
+    greatest(0.0, 100.0 - abs(360.0 - (y0 + y1) / 2)) * 0.4
+    + (least(120.0, y1 - y0) / greatest(120.0, y1 - y0)
+       + least(120.0, x1 - x0) / greatest(120.0, x1 - x0)) * 50.0 * 0.3
+    + greatest(0.0, 100.0
+               - abs(least(abs(x0 - 320.0), abs(x1 - 200.0)) - 24.0)) * 0.3
+      AS score
+  FROM typed
+  WHERE NOT (ar < 0.003 OR asp > 20 OR asp < 0.05 OR w < 20 OR h < 20)
+    AND (ar > 0.01 AND asp > 0.2 AND asp < 8.0 AND w > 40 AND h > 40)
+    AND NOT (x0 = 200.0 AND y0 = 300.0 AND x1 = 320.0 AND y1 = 420.0)
+),
+cand AS (
+  SELECT *, row_number() OVER (PARTITION BY page_key
+                               ORDER BY score DESC, drawing_id) AS rk
+  FROM cand0 WHERE score > 70.0
+),
+pages AS (SELECT DISTINCT page_key FROM draw),
+phase1 AS (
+  SELECT page_key, 0::BIGINT AS rk, 200.0 AS x0, 300.0 AS y0,
+         320.0 AS x1, 420.0 AS y1, FALSE AS any_merged
+  FROM pages
+  UNION ALL
+  SELECT p.page_key, c.rk,
+    CASE WHEN c.x0 > p.x1 OR c.x1 < p.x0
+         THEN least(p.x0, c.x0) ELSE p.x0 END,
+    CASE WHEN c.x0 > p.x1 OR c.x1 < p.x0
+         THEN least(p.y0, c.y0) ELSE p.y0 END,
+    CASE WHEN c.x0 > p.x1 OR c.x1 < p.x0
+         THEN greatest(p.x1, c.x1) ELSE p.x1 END,
+    CASE WHEN c.x0 > p.x1 OR c.x1 < p.x0
+         THEN greatest(p.y1, c.y1) ELSE p.y1 END,
+    p.any_merged OR (c.x0 > p.x1 OR c.x1 < p.x0)
+  FROM phase1 p JOIN cand c ON c.page_key = p.page_key AND c.rk = p.rk + 1
+),
+p1final AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY page_key
+                                 ORDER BY rk DESC) AS rr
+    FROM phase1
+  ) WHERE rr = 1
+),
+dseq AS (
+  SELECT *, row_number() OVER (PARTITION BY page_key
+                               ORDER BY drawing_id) AS dk
+  FROM draw
+),
+phase2 AS (
+  SELECT page_key, 0::BIGINT AS dk, x0, y0, x1, y1, any_merged FROM p1final
+  UNION ALL
+  SELECT p.page_key, d.dk,
+    CASE WHEN p.any_merged AND p.x0 < d.x1 AND d.x0 < p.x1
+              AND p.y0 < d.y1 AND d.y0 < p.y1
+         THEN least(p.x0, d.x0) ELSE p.x0 END,
+    CASE WHEN p.any_merged AND p.x0 < d.x1 AND d.x0 < p.x1
+              AND p.y0 < d.y1 AND d.y0 < p.y1
+         THEN least(p.y0, d.y0) ELSE p.y0 END,
+    CASE WHEN p.any_merged AND p.x0 < d.x1 AND d.x0 < p.x1
+              AND p.y0 < d.y1 AND d.y0 < p.y1
+         THEN greatest(p.x1, d.x1) ELSE p.x1 END,
+    CASE WHEN p.any_merged AND p.x0 < d.x1 AND d.x0 < p.x1
+              AND p.y0 < d.y1 AND d.y0 < p.y1
+         THEN greatest(p.y1, d.y1) ELSE p.y1 END,
+    p.any_merged
+  FROM phase2 p JOIN dseq d ON d.page_key = p.page_key AND d.dk = p.dk + 1
+)
+SELECT page_key AS main_id, x0, y0, x1, y1 FROM (
+  SELECT *, row_number() OVER (PARTITION BY page_key ORDER BY dk DESC) AS rr
+  FROM phase2
+) WHERE rr = 1
+"""
+
+
+# -------------------------------------------------------- hybrid retrieval
+
+HYBRID_DEPTH = 20
+HYBRID_K0 = 60
+# query vector for BM25 query qid is the embedding of vec_id = qid*7
+HYBRID_QVECS = {1: 7, 2: 14, 3: 21}
+
+
+def _hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ∪ kNN with reciprocal-rank fusion over an index whose docs
+    table carries the embedding column (the knn_vector field of the
+    reference mapping, opensearch_loader.py:226-230)."""
+    _ensure_pkg(spark)
+    from pdf_to_opensearch_spark.hybrid import search_hybrid
+    from pdf_to_opensearch_spark.indexer import build_index
+
+    docs = _docs(spark, sf_dir)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    unit = (docs.join(emb, docs.doc_id == emb.vec_id)
+            .select(F.concat(F.lit("doc://"),
+                             F.lpad(docs.doc_id.cast("string"), 10, "0")
+                             ).alias("url"),
+                    "text", "lang", "embedding"))
+    out = os.path.join(tempfile.gettempdir(),
+                       "hybrid_index_" + sf_dir.strip("/").replace("/", "_"))
+    build_index(spark, unit, out, num_ranges=8, n_buckets=8, id_partitions=8)
+    qvec = {int(r["vec_id"]): list(r["embedding"]) for r in
+            emb.filter(emb.vec_id.isin(list(HYBRID_QVECS.values()))).collect()}
+    queries = [(qid, text, qvec[HYBRID_QVECS[qid]])
+               for qid, text in BM25_QUERIES.items()]
+    return search_hybrid(spark, out, queries, k=BM25_K, depth=HYBRID_DEPTH,
+                         k0=HYBRID_K0)
+
+
+def _hybrid_oracle_sql() -> str:
+    qvals = ", ".join(
+        f"({qid}, '{t}')"
+        for qid, t in sorted({(qid, t) for qid, q in BM25_QUERIES.items()
+                              for t in q.split()}))
+    qv_vals = ", ".join(f"({q}, {v})" for q, v in sorted(HYBRID_QVECS.items()))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, len({_TOKS_SQL})::DOUBLE AS dl FROM documents),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+q(query_id, term) AS (VALUES {qvals}),
+dfreq AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tf
+  WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY 1
+),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         round(sum( ln(1.0 + (s.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                    * tf.tf * 2.2
+                    / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) ),
+               4) AS score
+  FROM tf
+  JOIN q USING (term) JOIN dfreq USING (term) JOIN dl USING (doc_id)
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+bm AS (
+  SELECT query_id, doc_id, rank FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, doc_id) AS rank
+    FROM scores
+  ) WHERE rank <= {HYBRID_DEPTH}
+),
+qv(query_id, qvec_id) AS (VALUES {qv_vals}),
+knn AS (
+  SELECT query_id, doc_id, rank FROM (
+    SELECT qv.query_id, e.vec_id AS doc_id,
+           row_number() OVER (
+             PARTITION BY qv.query_id
+             ORDER BY list_cosine_similarity(qe.embedding, e.embedding)
+                      DESC, e.vec_id) AS rank
+    FROM qv
+    JOIN embeddings qe ON qe.vec_id = qv.qvec_id
+    CROSS JOIN embeddings e
+  ) WHERE rank <= {HYBRID_DEPTH}
+),
+contrib AS (
+  SELECT query_id, doc_id, 1.0 / ({HYBRID_K0} + rank) AS c FROM bm
+  UNION ALL
+  SELECT query_id, doc_id, 1.0 / ({HYBRID_K0} + rank) AS c FROM knn
+),
+fused AS (
+  SELECT query_id, doc_id, round(sum(c), 6) AS rrf
+  FROM contrib GROUP BY 1, 2
+)
+SELECT query_id, rank, doc_id, rrf FROM (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY rrf DESC, doc_id)::INTEGER AS rank,
+         doc_id, rrf
+  FROM fused
+) WHERE rank <= {BM25_K}
 """
 
 
@@ -718,6 +1613,12 @@ def _extra_queries():
         "a5_envelope": _a5_envelope,
         "u3_except": _u3_except,
         "c9_json_extract": _c9_json_extract,
+        "hybrid_topk": _hybrid_topk,
+        "a4_margin_bands": _a4_margin_bands,
+        "j3_scored_match": _j3_scored_match,
+        "j4_axis_merge": _j4_axis_merge,
+        "j5_chart_merge": _j5_chart_merge,
+        "c_scalars": _c_scalars,
     }
 
 
@@ -730,6 +1631,12 @@ def _extra_oracles():
         "a5_envelope": _A5_SQL,
         "u3_except": _U3_SQL,
         "c9_json_extract": _C9_SQL,
+        "hybrid_topk": _hybrid_oracle_sql(),
+        "a4_margin_bands": _A4_BANDS_SQL,
+        "j3_scored_match": _J3_SQL,
+        "j4_axis_merge": _J4_SQL,
+        "j5_chart_merge": _J5_SQL,
+        "c_scalars": _C_SCALARS_SQL,
     }
 
 

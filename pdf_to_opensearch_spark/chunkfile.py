@@ -118,21 +118,30 @@ METADATA_FIELDS = [
 
 def build_search_documents(chunks_df: DataFrame, source_type: str,
                            source_uri: str, source_title: str | None = None,
-                           crop_name: str | None = None) -> DataFrame:
+                           crop_name: str | None = None,
+                           embedding_col: str | None = None) -> DataFrame:
     """Chunk rows → search documents with prev/next context + metadata
     struct (uploader.py:112-150 + opensearch_loader.py:78-88).
 
     Raises on missing required metadata (opensearch_loader.py:453-470
     semantics); ``created_at`` defaults to now (478-480).
+
+    ``embedding_col``: name of an ``array<float>`` column on ``chunks_df``
+    to carry into the indexed unit as ``vector_embedding`` — the knn_vector
+    field of the reference mapping (opensearch_loader.py:226-230, embed
+    call 586-592). Serves :mod:`hybrid`'s BM25∪kNN retrieval.
     """
     if not source_type or not source_uri:
         raise ValueError("metadata.source_type and metadata.source_uri are "
                          "required (reference: opensearch_loader.py:461-470)")
     w = Window.partitionBy(F.lit(source_uri)).orderBy("chunk_sequence")
+    extra = ([F.col(embedding_col).alias("vector_embedding")]
+             if embedding_col else [])
     return chunks_df.select(
         F.lag("chunk_text").over(w).alias("chunk_text_previous"),
         F.col("chunk_text").alias("chunk_text_current"),
         F.lead("chunk_text").over(w).alias("chunk_text_next"),
+        *extra,
         F.struct(
             F.lit(source_type).alias("source_type"),
             F.lit(source_uri).alias("source_uri"),
@@ -144,6 +153,45 @@ def build_search_documents(chunks_df: DataFrame, source_type: str,
             F.current_timestamp().alias("created_at"),
         ).alias("metadata"),
     ).filter(F.length(F.trim("chunk_text_current")) > 0)
+
+
+def insert_chunk_list(spark, chunk_list: list[str],
+                      base_metadata: dict, chunk_size: int | None = None
+                      ) -> DataFrame:
+    """The reference's alternate public entry (opensearch_loader.py:
+    261-324): a list of texts → re-packed sub-chunks (``_split_text``) →
+    one GLOBAL ``chunk_sequence`` counter across the flattened stream →
+    prev/next context links → search documents carrying
+    ``base_metadata + chunk_sequence``.
+
+    The input is a driver-side Python list (that IS the reference API), so
+    the packing loop runs on the driver and the result is a DataFrame
+    ready for :func:`indexer.build_index` / the bulk sink. Raises on
+    missing required metadata (opensearch_loader.py:453-470).
+    """
+    from .chunking import CHUNK_SIZE, split_text
+
+    if not base_metadata.get("source_type") or \
+            not base_metadata.get("source_uri"):
+        raise ValueError("metadata.source_type and metadata.source_uri are "
+                         "required (reference: opensearch_loader.py:461-470)")
+    cs = chunk_size or CHUNK_SIZE
+    rows = []
+    seq = 0
+    for chunk in chunk_list:
+        for sub in split_text(chunk, cs):
+            seq += 1
+            rows.append((seq, sub))
+    df = spark.createDataFrame(rows, "chunk_sequence int, chunk_text string")
+    w = Window.orderBy("chunk_sequence")  # driver-list input: small by API
+    meta = F.struct(
+        *[F.lit(v).alias(k) for k, v in sorted(base_metadata.items())],
+        F.col("chunk_sequence"))
+    return df.select(
+        F.lag("chunk_text").over(w).alias("chunk_text_previous"),
+        F.col("chunk_text").alias("chunk_text_current"),
+        F.lead("chunk_text").over(w).alias("chunk_text_next"),
+        meta.alias("metadata"))
 
 
 def metadata_term_predicate(filters: dict[str, str]):

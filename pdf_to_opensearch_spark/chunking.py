@@ -63,27 +63,32 @@ def split_text(text: str, chunk_size: int = CHUNK_SIZE) -> list[str]:
     return chunks
 
 
-def _chunk_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    for pdf in it:
-        out_url, out_lang, out_seq, out_content = [], [], [], []
-        chunk_lists = pdf["text"].map(split_text)
-        for url, lang, chunks in zip(pdf["url"], pdf["lang"], chunk_lists):
-            out_url.extend([url] * len(chunks))
-            out_lang.extend([lang] * len(chunks))
-            out_seq.extend(range(len(chunks)))
-            out_content.extend(chunks)
-        yield pd.DataFrame({
-            "url": pd.Series(out_url, dtype="string"),
-            "lang": pd.Series(out_lang, dtype="string"),
-            "chunk_seq": pd.Series(out_seq, dtype="int32"),
-            "content": pd.Series(out_content, dtype="string"),
-        })
+def _chunk_batches(chunk_size: int = CHUNK_SIZE):
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out_url, out_lang, out_seq, out_content = [], [], [], []
+            chunk_lists = pdf["text"].map(
+                lambda t: split_text(t, chunk_size))
+            for url, lang, chunks in zip(pdf["url"], pdf["lang"],
+                                         chunk_lists):
+                out_url.extend([url] * len(chunks))
+                out_lang.extend([lang] * len(chunks))
+                out_seq.extend(range(len(chunks)))
+                out_content.extend(chunks)
+            yield pd.DataFrame({
+                "url": pd.Series(out_url, dtype="string"),
+                "lang": pd.Series(out_lang, dtype="string"),
+                "chunk_seq": pd.Series(out_seq, dtype="int32"),
+                "content": pd.Series(out_content, dtype="string"),
+            })
+
+    return batches
 
 
-def chunk_docs(docs_df):
+def chunk_docs(docs_df, chunk_size: int = CHUNK_SIZE):
     """docs(url, text, lang) → chunks(url, lang, chunk_seq, content)."""
     return docs_df.select("url", "lang", "text").mapInPandas(
-        _chunk_batches, schema=CHUNKS_SCHEMA
+        _chunk_batches(chunk_size), schema=CHUNKS_SCHEMA
     )
 
 

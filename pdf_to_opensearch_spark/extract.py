@@ -65,3 +65,76 @@ def extract_docs(pages_df):
         extract_text_udf(F.col("html")).alias("text"),
         "lang",
     )
+
+
+# ------------------------------------------------- multi-format dispatch
+
+_MD_FENCE_RE = re.compile(r"(?s)```.*?```")
+_MD_IMG_RE = re.compile(r"!\[([^\]]*)\]\([^)]*\)")
+_MD_LINK_RE = re.compile(r"\[([^\]]*)\]\([^)]*\)")
+_MD_HEAD_RE = re.compile(r"(?m)^#{1,6}\s*")
+_MD_MARK_RE = re.compile(r"[*_`]+")
+
+
+def _decode(content: pd.Series) -> pd.Series:
+    import pyarrow as pa
+
+    try:
+        arr = pa.Array.from_pandas(content, type=pa.binary())
+        return arr.cast(pa.string()).to_pandas()
+    except pa.ArrowInvalid:
+        return content.map(bytes).str.decode("utf-8", errors="replace")
+
+
+def markdown_series(content: pd.Series) -> pd.Series:
+    """Deterministic markdown → text (frozen rules: drop code fences,
+    images/links → their text, strip heading markers and emphasis runs),
+    then NFC — the md branch of the reference's extension dispatch
+    (document_parser.py:9-25)."""
+    s = _decode(content)
+    s = s.str.replace(_MD_FENCE_RE, " ", regex=True)
+    s = s.str.replace(_MD_IMG_RE, r"\1", regex=True)
+    s = s.str.replace(_MD_LINK_RE, r"\1", regex=True)
+    s = s.str.replace(_MD_HEAD_RE, "", regex=True)
+    s = s.str.replace(_MD_MARK_RE, "", regex=True)
+    return s.str.normalize("NFC")
+
+
+def plain_series(content: pd.Series) -> pd.Series:
+    """Plain text branch (document_parser.py:18-20: read + return,
+    normalized like every other path)."""
+    return _decode(content).str.normalize("NFC")
+
+
+@F.pandas_udf(T.StringType())
+def extract_dispatch_udf(fmt: pd.Series, content: pd.Series) -> pd.Series:
+    """Format-dispatched extraction (the reference's per-extension
+    dispatch, document_parser.py:9-34, as one Arrow batch UDF that
+    vectorizes per format GROUP — no per-row Python):
+    html → markup strip; markdown → frozen md rules; plain/txt →
+    decode+NFC. Unknown formats raise (reference raises ValueError)."""
+    out = pd.Series(index=fmt.index, dtype=object)
+    for f in fmt.dropna().unique():
+        mask = fmt == f
+        if f == "html":
+            out[mask] = extract_series(content[mask]).to_numpy()
+        elif f in ("md", "markdown"):
+            out[mask] = markdown_series(content[mask]).to_numpy()
+        elif f in ("txt", "plain", "text"):
+            out[mask] = plain_series(content[mask]).to_numpy()
+        else:
+            raise ValueError(f"unsupported format: {f} "
+                             "(reference: document_parser.py:25-26)")
+    return out
+
+
+def extract_docs_dispatch(pages_df, format_col: str = "format",
+                          content_col: str = "content"):
+    """pages(url, format, content, lang) → docs(url, text, lang) via the
+    multi-format dispatch operator."""
+    return pages_df.select(
+        "url",
+        extract_dispatch_udf(F.col(format_col),
+                             F.col(content_col)).alias("text"),
+        "lang",
+    )

@@ -1,0 +1,135 @@
+"""Hybrid retrieval: BM25 ∪ kNN with reciprocal-rank fusion.
+
+The reference's indexed unit carries ``vector_embedding: knn_vector``
+(opensearch_loader.py:202-230; embedding call 586-592) next to the text
+fields, and OpenSearch serves lexical + vector retrieval over the same
+document. Here the ``docs`` table of the index is the indexed unit: it can
+carry an ``embedding array<float>`` column (pass it into
+:func:`indexer.build_index` — :func:`indexer.assign_doc_ids` preserves all
+input columns), and :func:`search_hybrid` fuses the native BM25 engine's
+top-k with an exact cosine top-k over that column.
+
+Fusion rule: reciprocal-rank fusion (RRF), score = Σ 1/(k0 + rank) over
+the lists a doc appears in — rank-based, so it is stable across engines
+(no score normalization constants to disagree on) and exactly
+reproducible in the DuckDB oracle.
+
+Scale notes (100 TB):
+- the kNN side scans only (doc_id, embedding) — parquet column pruning
+  keeps the text/html bytes untouched;
+- per-partition pre-top-k inside the Arrow kernel bounds the shuffle to
+  depth·partitions rows per query (same shape as ops/similarity.cosine_topk);
+- the fusion itself is a union of two ≤depth·|queries| row frames — tiny.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .indexer import IndexPaths
+from .query import search
+
+RRF_K0 = 60
+
+
+def knn_docs_topk(spark: SparkSession, index_dir: str,
+                  query_vecs: list[tuple[int, list[float]]], k: int = 10,
+                  vec_col: str = "embedding") -> DataFrame:
+    """Exact cosine top-k per query vector over the index's docs table.
+
+    Returns (query_id, rank, doc_id, sim); rank by sim desc, doc_id asc.
+    """
+    from collections.abc import Iterator
+
+    qids = np.array([q for q, _v in query_vecs], dtype=np.int64)
+    qm = np.stack([np.asarray(v, dtype=np.float64) for _q, v in query_vecs])
+    qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            m = np.stack([np.asarray(v, dtype=np.float64)
+                          for v in pdf[vec_col]])
+            m = m / np.linalg.norm(m, axis=1, keepdims=True)
+            ids = pdf["doc_id"].to_numpy(np.int64)
+            sims = qn @ m.T
+            out_q, out_d, out_s = [], [], []
+            for qi in range(qids.size):
+                s = sims[qi]
+                top = min(k, ids.size)
+                sel = np.lexsort((ids, -s))[:top]
+                out_q.extend([qids[qi]] * top)
+                out_d.extend(ids[sel].tolist())
+                out_s.extend(s[sel].tolist())
+            yield pd.DataFrame({
+                "query_id": pd.Series(out_q, dtype="int32"),
+                "doc_id": pd.Series(out_d, dtype="int64"),
+                "sim": pd.Series(out_s, dtype="float64"),
+            })
+
+    paths = IndexPaths(index_dir)
+    docs = (spark.read.parquet(paths.docs)
+            .filter(F.col(vec_col).isNotNull())
+            .select("doc_id", vec_col))
+    per_part = docs.mapInPandas(
+        kernel, schema="query_id int, doc_id long, sim double")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("doc_id").asc())
+    return (per_part.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "doc_id",
+                    F.round("sim", 6).alias("sim")))
+
+
+def rrf_fuse(bm25: DataFrame, knn: DataFrame, k: int = 10,
+             k0: int = RRF_K0) -> DataFrame:
+    """Reciprocal-rank fusion of two (query_id, rank, doc_id, ...) lists.
+
+    fused = Σ_{lists containing doc} 1/(k0 + rank); top-k by fused desc,
+    doc_id asc. Rounded to 6 dp BEFORE the final ranking so the order is
+    reproducible bit-for-bit across engines.
+    """
+    a = bm25.select("query_id", "doc_id",
+                    (F.lit(1.0) / (F.lit(k0) + F.col("rank"))).alias("c"))
+    b = knn.select("query_id", "doc_id",
+                   (F.lit(1.0) / (F.lit(k0) + F.col("rank"))).alias("c"))
+    fused = (a.unionByName(b)
+             .groupBy("query_id", "doc_id")
+             .agg(F.round(F.sum("c"), 6).alias("rrf")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf").desc(), F.col("doc_id").asc())
+    return (fused.withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "doc_id", "rrf"))
+
+
+def search_hybrid(spark: SparkSession, index_dir: str,
+                  queries: list[tuple[int, str, list[float]]], k: int = 10,
+                  depth: int = 20, k0: int = RRF_K0,
+                  prune: bool = True) -> DataFrame:
+    """Hybrid top-k: (query_id, text, vector) → RRF(BM25 top-depth, kNN
+    top-depth) → (query_id, rank, doc_id, rrf).
+
+    The lexical side runs the native block-max BM25 engine; the vector
+    side scans the docs table's embedding column. ``depth`` is the
+    per-list candidate depth feeding the fusion (OpenSearch hybrid
+    ``k``-per-subquery analogue).
+    """
+    # fetch a small buffer past depth, then re-rank the engine's exact
+    # scores on ROUNDED values and cut at depth — fusion ranks are then
+    # reproducible against an external oracle even when full-precision
+    # and rounded orderings disagree at the depth boundary
+    bm = search(spark, index_dir, [(q, t) for q, t, _v in queries],
+                k=depth + 5, prune=prune)
+    wb = Window.partitionBy("query_id").orderBy(
+        F.round("score", 4).desc(), F.col("doc_id").asc())
+    bm = (bm.withColumn("rank", F.row_number().over(wb))
+          .filter(F.col("rank") <= depth)
+          .select("query_id", "rank", "doc_id"))
+    knn = knn_docs_topk(spark, index_dir,
+                        [(q, v) for q, _t, v in queries], k=depth)
+    return rrf_fuse(bm, knn.select("query_id", "rank", "doc_id"), k=k, k0=k0)

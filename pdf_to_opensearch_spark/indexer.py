@@ -49,7 +49,8 @@ from .codec import encode_postings_batch
 POSTINGS_SCHEMA = (
     "term string, range_id int, first_doc_id long, n long, cf long, "
     "doc_ids binary, tfs binary, dls binary, poss binary, "
-    "block_max_tf binary, block_min_dl binary, max_tf long, wall_ms long"
+    "block_max_tf binary, block_min_dl binary, max_tf long, "
+    "n_bytes long, wall_ms long"
 )
 
 DEFAULT_BUCKETS = 16
@@ -64,13 +65,21 @@ def bucket_of(term: str, n_buckets: int = DEFAULT_BUCKETS) -> int:
     return zlib.crc32(term.encode("utf-8")) % n_buckets
 
 
-def assign_doc_ids(docs_df: DataFrame, partitions: int = 32) -> DataFrame:
-    """docs(url, ...) → +doc_id: dense global rank by url.
+def assign_doc_ids(docs_df: DataFrame, partitions: int = 32,
+                   with_range_id: bool = False) -> DataFrame:
+    """docs(url, ...) → +doc_id: dense global rank by url
+    (+``range_id`` = the url-range partition id when requested).
 
     zipWithIndex pattern: range-repartition by url, sort within partitions,
     count per partition (one tiny job), then offset-add per partition.
     Avoids the single-partition bottleneck of a global window while
     producing the identical deterministic ordering.
+
+    With ``with_range_id`` the partition id doubles as the SPIMI doc-range
+    id: each range is a contiguous doc_id span fully contained in one
+    partition — the property that lets :func:`build_postings` run with NO
+    shuffle at all (the docs files written from these partitions are
+    range-aligned).
     """
     ranged = (docs_df
               .repartitionByRange(partitions, "url")
@@ -89,7 +98,7 @@ def assign_doc_ids(docs_df: DataFrame, partitions: int = 32) -> DataFrame:
 
     out_schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in docs_df.schema.fields
-    ) + ", doc_id long"
+    ) + ", doc_id long" + (", range_id int" if with_range_id else "")
 
     def add_ids(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         seen = 0
@@ -101,6 +110,8 @@ def assign_doc_ids(docs_df: DataFrame, partitions: int = 32) -> DataFrame:
             seen += len(pdf)
             out = pdf.drop(columns=["_pid"])
             out["doc_id"] = np.arange(base, base + len(pdf), dtype=np.int64)
+            if with_range_id:
+                out["range_id"] = np.full(len(pdf), pid, dtype=np.int32)
             yield out
 
     result = ranged.mapInPandas(add_ids, schema=out_schema)
@@ -110,15 +121,20 @@ def assign_doc_ids(docs_df: DataFrame, partitions: int = 32) -> DataFrame:
     return result
 
 
-def _spimi_batches(docs_per_range: int):
-    """SPIMI kernel factory: per-Spark-partition posting-run builder."""
+def _spimi_batches():
+    """SPIMI kernel factory: per-Spark-partition posting-run builder.
+
+    Ranges come from the input's ``range_id`` column (assigned once at
+    prepare time) — a partition may hold SEVERAL whole ranges (packed
+    files); the (term, range) grouping below keeps their outputs disjoint.
+    """
 
     def spimi(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         t0 = time.monotonic()
         # Arrow-C++ tokenization per batch (no per-token Python objects);
         # batch-local term codes are merged into partition-global codes via
         # one factorize over the (small) per-batch dictionaries
-        parts = []           # (codes_local, doc_ids, dls, pos)
+        parts = []           # (codes_local, doc_ids, dls, pos, ranges)
         dicts = []           # per-batch uniq term arrays
         for pdf in it:
             if len(pdf) == 0:
@@ -127,8 +143,10 @@ def _spimi_batches(docs_per_range: int):
             if tk["codes"].size == 0:
                 continue
             did = pdf["doc_id"].to_numpy(np.int64)
+            rng = pdf["range_id"].to_numpy(np.int32)
             parts.append((tk["codes"], did[tk["doc_idx"]],
-                          tk["dl"][tk["doc_idx"]], tk["pos"]))
+                          tk["dl"][tk["doc_idx"]], tk["pos"],
+                          rng[tk["doc_idx"]]))
             dicts.append(tk["uniq"])
         if not parts:
             yield _empty_postings_frame()
@@ -138,17 +156,32 @@ def _spimi_batches(docs_per_range: int):
         gcodes_of_dict = gcodes_of_dict.astype(np.int64)
         codes_list = []
         off = 0
-        for (codes_local, _d, _l, _p), u in zip(parts, dicts):
+        for (codes_local, _d, _l, _p, _r), u in zip(parts, dicts):
             codes_list.append(gcodes_of_dict[off + codes_local])
             off += u.size
         codes = np.concatenate(codes_list)
         doc_ids = np.concatenate([p[1] for p in parts])
         dls = np.concatenate([p[2] for p in parts])
         pos = np.concatenate([p[3] for p in parts])
-        order = np.lexsort((pos, doc_ids, codes))
+        range_col = np.concatenate([p[4] for p in parts])
+        # single fused uint64 key sort (code | local_doc | pos) — ~2×
+        # faster than the 3-key lexsort and (code, doc, pos) is unique so
+        # an unstable sort is fine; falls back to lexsort when the
+        # cardinalities can't pack into 64 bits
+        dmin = doc_ids.min()
+        local = (doc_ids - dmin).astype(np.uint64)
+        pos_bits = max(int(pos.max()).bit_length(), 1)
+        doc_bits = max(int(local.max()).bit_length(), 1)
+        code_bits = int(codes.max()).bit_length() if codes.size else 1
+        if pos_bits + doc_bits + code_bits <= 64:
+            key = ((codes.astype(np.uint64) << (pos_bits + doc_bits)) |
+                   (local << np.uint64(pos_bits)) | pos.astype(np.uint64))
+            order = np.argsort(key)
+        else:
+            order = np.lexsort((pos, doc_ids, codes))
         codes, doc_ids, dls, pos = (codes[order], doc_ids[order],
                                     dls[order], pos[order])
-        range_ids = doc_ids // docs_per_range
+        range_ids = range_col[order]
         # posting runs: adjacent (code, doc) equal
         chg = np.empty(codes.size, dtype=bool)
         chg[0] = True
@@ -183,6 +216,10 @@ def _spimi_batches(docs_per_range: int):
             "block_min_dl": enc["block_min_dl"],
             "max_tf": enc["max_tf"],
         })
+        # payload size precomputed so the manifest aggregate never has to
+        # re-read the binary columns (metadata-only derived-table pass)
+        out["n_bytes"] = (out["doc_ids"].str.len() + out["tfs"].str.len()
+                          + out["dls"].str.len()).astype("int64")
         out["wall_ms"] = int((time.monotonic() - t0) * 1000)
         yield out
 
@@ -203,6 +240,7 @@ def _empty_postings_frame() -> pd.DataFrame:
         "block_max_tf": pd.Series(dtype=object),
         "block_min_dl": pd.Series(dtype=object),
         "max_tf": pd.Series(dtype="int64"),
+        "n_bytes": pd.Series(dtype="int64"),
         "wall_ms": pd.Series(dtype="int64"),
     })
 
@@ -214,6 +252,7 @@ class IndexPaths:
         self.postings = f"{root}/postings"
         self.dictionary = f"{root}/dictionary"
         self.doc_stats = f"{root}/doc_stats"
+        self.docs_meta = f"{root}/docs_meta"
         self.stats = f"{root}/stats"
         self.manifest = f"{root}/manifest"
 
@@ -229,10 +268,27 @@ def prepare_docs(spark: SparkSession, docs_df: DataFrame, out_dir: str,
     from .analyzer import token_count_udf
 
     paths = IndexPaths(out_dir)
-    with_ids = assign_doc_ids(docs_df, partitions=id_partitions)
+    with_ids = assign_doc_ids(docs_df, partitions=id_partitions,
+                              with_range_id=True)
     docs = with_ids.withColumn("dl", token_count_udf(F.col("text")))
+    # one file per id-partition → each docs file holds exactly one doc
+    # range; build_postings exploits this to run with ZERO shuffle
     docs.write.mode("overwrite").parquet(paths.docs)
     with_ids._persisted_input.unpersist()
+    # docs-derived tables belong to phase A: they never change during the
+    # indexing job, so the job itself doesn't pay for them (and doesn't
+    # rescan docs for N/avgdl — docs_meta is a one-row point read)
+    docs_tbl = spark.read.parquet(paths.docs)
+    (docs_tbl.select("doc_id", "dl")
+     .write.mode("overwrite").parquet(paths.doc_stats))
+    g = docs_tbl.agg(F.count("*").alias("N"),
+                     F.sum("dl").alias("sum_dl")).collect()[0]
+    N = int(g["N"])
+    sum_dl = int(g["sum_dl"] or 0)
+    meta = pd.DataFrame([{"N": N, "sum_dl": sum_dl,
+                          "avgdl": (sum_dl / N) if N else 0.0}])
+    spark.createDataFrame(meta).coalesce(1).write.mode("overwrite").parquet(
+        paths.docs_meta)
     return paths
 
 
@@ -245,47 +301,109 @@ def build_postings(spark: SparkSession, out_dir: str,
     ``completed_ranges`` (from :func:`resume_info`) skips already-committed
     ranges — the resumable-checkpoint path (manifest anti-join).
     """
+    import os
+
+    timing = os.environ.get("SPARK_GRAFT_TIMING") == "1"
+    t0 = time.monotonic()
+
+    def tick(label):
+        nonlocal t0
+        if timing:
+            now = time.monotonic()
+            print(f"[indexer] {label}: {now - t0:.2f}s", flush=True)
+            t0 = now
+
     paths = IndexPaths(out_dir)
     mode = "append" if completed_ranges else "overwrite"
-    docs_tbl = spark.read.parquet(paths.docs)
-    g = docs_tbl.agg(F.count("*").alias("N"), F.avg("dl").alias("avgdl")).collect()[0]
-    N, avgdl = int(g["N"]), float(g["avgdl"] or 0.0)
-    docs_per_range = max(1, -(-N // num_ranges))  # ceil
+    # read docs with NO file splitting and NO file packing: one partition
+    # per docs file = one (or more whole) doc range(s) → the SPIMI stage
+    # needs no repartition — the whole build is SHUFFLE-FREE
+    conf = spark.conf
+    old_mpb = conf.get("spark.sql.files.maxPartitionBytes", None)
+    old_ocb = conf.get("spark.sql.files.openCostInBytes", None)
+    conf.set("spark.sql.files.maxPartitionBytes", str(1 << 40))
+    conf.set("spark.sql.files.openCostInBytes", str(1 << 40))
+    try:
+        docs_tbl = spark.read.parquet(paths.docs)
+        try:
+            m = spark.read.parquet(paths.docs_meta).collect()[0]
+            N, avgdl = int(m["N"]), float(m["avgdl"])
+        except Exception:  # pre-docs_meta layout: one aggregate over docs
+            g = docs_tbl.agg(F.count("*").alias("N"),
+                             F.avg("dl").alias("avgdl")).collect()[0]
+            N, avgdl = int(g["N"]), float(g["avgdl"] or 0.0)
+        docs_per_range = max(1, -(-N // num_ranges))  # ceil (legacy/stats)
+        tick("stats_read")
 
-    indexable = docs_tbl.withColumn(
-        "range_id", (F.col("doc_id") / F.lit(docs_per_range)).cast("int"))
-    if completed_ranges:
-        indexable = indexable.filter(
-            ~F.col("range_id").isin(*[int(r) for r in completed_ranges]))
-    # one Spark partition per doc range → SPIMI unit == checkpoint unit
-    spimi_in = indexable.select("doc_id", "text", "range_id").repartitionByRange(
-        num_ranges, "range_id")
-    postings = spimi_in.mapInPandas(
-        _spimi_batches(docs_per_range), schema=POSTINGS_SCHEMA)
-    postings = postings.withColumn("bucket", term_bucket_col(F.col("term"), n_buckets))
-    (postings.write.mode(mode)
-     .partitionBy("bucket")
-     .parquet(paths.postings))
+        if "range_id" in docs_tbl.columns:
+            indexable = docs_tbl  # prepare-assigned ranges: zero-shuffle
+            spimi_in = indexable.select("doc_id", "text", "range_id")
+        else:
+            # legacy docs table without stored ranges: derive fixed-width
+            # ranges from doc_id and shuffle once onto them
+            indexable = docs_tbl.withColumn(
+                "range_id",
+                (F.col("doc_id") / F.lit(docs_per_range)).cast("int"))
+            spimi_in = (indexable.select("doc_id", "text", "range_id")
+                        .repartitionByRange(num_ranges, "range_id"))
+        if completed_ranges:
+            spimi_in = spimi_in.filter(
+                ~F.col("range_id").isin(*[int(r) for r in completed_ranges]))
+        postings = spimi_in.mapInPandas(
+            _spimi_batches(), schema=POSTINGS_SCHEMA)
+        postings = postings.withColumn(
+            "bucket", term_bucket_col(F.col("term"), n_buckets))
+        # flat write, sorted by (bucket, term) within each task: query-time
+        # bucket/term filters prune via parquet row-group min/max stats —
+        # same pruning power as directory partitioning without the dynamic
+        # -partition writer's sort + many-small-files commit cost
+        (postings.sortWithinPartitions("bucket", "term")
+         .write.mode(mode).parquet(paths.postings))
+        tick("spimi_write")
+    finally:
+        for key, old in (("spark.sql.files.maxPartitionBytes", old_mpb),
+                         ("spark.sql.files.openCostInBytes", old_ocb)):
+            if old is None:
+                conf.unset(key)
+            else:
+                conf.set(key, old)
 
     refresh_derived_tables(spark, paths, N=N, avgdl=avgdl,
                            docs_per_range=docs_per_range,
-                           num_ranges=num_ranges, n_buckets=n_buckets)
+                           num_ranges=num_ranges, n_buckets=n_buckets,
+                           _tick=tick if timing else None)
     return paths
 
 
 def refresh_derived_tables(spark: SparkSession, paths: IndexPaths, *,
                            N: int, avgdl: float, docs_per_range: int,
-                           num_ranges: int, n_buckets: int) -> None:
-    """dictionary / doc_stats / stats / manifest from the postings+docs
-    tables (shared by build, maintenance, and streaming append)."""
-    docs_tbl = spark.read.parquet(paths.docs)
-    built = spark.read.parquet(paths.postings)
+                           num_ranges: int, n_buckets: int,
+                           refresh_doc_stats: bool = False,
+                           _tick=None) -> None:
+    """dictionary / stats / manifest from the postings table (shared by
+    build, maintenance, and streaming rollback).
+
+    Reads ONLY the metadata columns of postings (term, range_id, n, cf,
+    n_bytes, wall_ms — the binary payloads are never touched: parquet
+    column pruning) and caches that one small scan for both aggregates.
+    ``refresh_doc_stats=True`` additionally rewrites doc_stats from docs
+    (needed after deletes/rollbacks; the plain build produces it in
+    :func:`prepare_docs`)."""
+    def tick(label):
+        if _tick is not None:
+            _tick(label)
+
+    meta_cols = spark.read.parquet(paths.postings).select(
+        "term", "range_id", "n", "cf", "n_bytes", "wall_ms")
+    meta_cols = meta_cols.persist()
     # dictionary: tiny associative agg (map-side combine ⇒ Zipf-skew immune)
-    (built.groupBy("term")
+    (meta_cols.groupBy("term")
      .agg(F.sum("n").alias("df"), F.sum("cf").alias("cf"))
      .write.mode("overwrite").parquet(paths.dictionary))
-    (docs_tbl.select("doc_id", "dl")
-     .write.mode("overwrite").parquet(paths.doc_stats))
+    tick("dictionary")
+    if refresh_doc_stats:
+        (spark.read.parquet(paths.docs).select("doc_id", "dl")
+         .write.mode("overwrite").parquet(paths.doc_stats))
     stats_pdf = pd.DataFrame([{
         "N": N, "avgdl": avgdl, "avgdl_build": avgdl,
         "docs_per_range": docs_per_range, "num_ranges": num_ranges,
@@ -294,17 +412,19 @@ def refresh_derived_tables(spark: SparkSession, paths: IndexPaths, *,
     }])
     spark.createDataFrame(stats_pdf).coalesce(1).write.mode("overwrite").parquet(
         paths.stats)
+    tick("stats")
     # manifest/lineage per range (archive-sink analogue)
-    (built.groupBy("range_id")
+    (meta_cols.groupBy("range_id")
      .agg(F.sum("n").alias("n_postings"),
           F.countDistinct("term").alias("n_terms"),
-          F.sum(F.length("doc_ids") + F.length("tfs") + F.length("dls"))
-          .alias("bytes"),
+          F.sum("n_bytes").alias("bytes"),
           F.max("wall_ms").alias("wall_ms"))
      .withColumn("status", F.lit("committed"))
      .withColumn("analyzer_version", F.lit(ANALYZER_VERSION))
      .withColumn("committed_at", F.current_timestamp())
      .write.mode("overwrite").parquet(paths.manifest))
+    tick("manifest")
+    meta_cols.unpersist()
 
 
 def build_index(spark: SparkSession, docs_df: DataFrame, out_dir: str,

@@ -44,8 +44,10 @@ def delete_from_index(spark: SparkSession, index_dir: str, out_dir: str,
     docs_per_range = int(st_row["docs_per_range"])
     n_buckets = int(st_row["n_buckets"])
 
-    docs = spark.read.parquet(src.docs).withColumn(
-        "range_id", (F.col("doc_id") / F.lit(docs_per_range)).cast("int"))
+    docs = spark.read.parquet(src.docs)
+    if "range_id" not in docs.columns:  # legacy fixed-width ranges
+        docs = docs.withColumn(
+            "range_id", (F.col("doc_id") / F.lit(docs_per_range)).cast("int"))
     from .query import IN_LIST_MAX
 
     if len(urls) <= IN_LIST_MAX:
@@ -60,7 +62,8 @@ def delete_from_index(spark: SparkSession, index_dir: str, out_dir: str,
         survivors = docs.join(F.broadcast(udf_), "url", "left_anti")
     affected = {int(r["range_id"]) for r in
                 doomed.select("range_id").distinct().collect()}
-    survivors.drop("range_id").write.mode("overwrite").parquet(dst.docs)
+    # keep range_id in the snapshot: the ranges remain the SPIMI unit
+    survivors.write.mode("overwrite").parquet(dst.docs)
 
     old_postings = spark.read.parquet(src.postings)
     untouched = old_postings.filter(~F.col("range_id").isin(*affected)) \
@@ -70,27 +73,33 @@ def delete_from_index(spark: SparkSession, index_dir: str, out_dir: str,
                       .filter(F.col("range_id").isin(*affected))
                       .select("doc_id", "text", "range_id")
                       .repartitionByRange(max(len(affected), 1), "range_id"))
-        # block maxes recomputed at the ORIGINAL build avgdl so that
-        # untouched + rebuilt ranges share one avgdl_build epoch
         rebuilt = rebuild_in.mapInPandas(
-            _spimi_batches(docs_per_range), schema=POSTINGS_SCHEMA)
+            _spimi_batches(), schema=POSTINGS_SCHEMA)
         rebuilt = rebuilt.withColumn(
             "bucket", term_bucket_col(F.col("term"), n_buckets))
         new_postings = untouched.unionByName(rebuilt)
     else:
         new_postings = untouched
-    new_postings.write.mode("overwrite").partitionBy("bucket").parquet(dst.postings)
+    (new_postings.sortWithinPartitions("bucket", "term")
+     .write.mode("overwrite").parquet(dst.postings))
 
-    built = spark.read.parquet(dst.postings)
+    built = spark.read.parquet(dst.postings).select(
+        "term", "range_id", "n", "cf", "n_bytes", "wall_ms").persist()
     (built.groupBy("term")
      .agg(F.sum("n").alias("df"), F.sum("cf").alias("cf"))
      .write.mode("overwrite").parquet(dst.dictionary))
     surv_tbl = spark.read.parquet(dst.docs)
     (surv_tbl.select("doc_id", "dl")
      .write.mode("overwrite").parquet(dst.doc_stats))
-    g = surv_tbl.agg(F.count("*").alias("N"), F.avg("dl").alias("avgdl")).collect()[0]
+    g = surv_tbl.agg(F.count("*").alias("N"), F.sum("dl").alias("s")).collect()[0]
+    N_s = int(g["N"])
+    sum_dl = int(g["s"] or 0)
+    meta = pd.DataFrame([{"N": N_s, "sum_dl": sum_dl,
+                          "avgdl": (sum_dl / N_s) if N_s else 0.0}])
+    (spark.createDataFrame(meta).coalesce(1)
+     .write.mode("overwrite").parquet(dst.docs_meta))
     stats_pdf = pd.DataFrame([{
-        "N": int(g["N"]), "avgdl": float(g["avgdl"] or 0.0),
+        "N": N_s, "avgdl": (sum_dl / N_s) if N_s else 0.0,
         "avgdl_build": stats.avgdl_build,
         "docs_per_range": docs_per_range,
         "num_ranges": int(st_row["num_ranges"]), "n_buckets": n_buckets,
@@ -102,13 +111,13 @@ def delete_from_index(spark: SparkSession, index_dir: str, out_dir: str,
     (built.groupBy("range_id")
      .agg(F.sum("n").alias("n_postings"),
           F.countDistinct("term").alias("n_terms"),
-          F.sum(F.length("doc_ids") + F.length("tfs") + F.length("dls"))
-          .alias("bytes"),
+          F.sum("n_bytes").alias("bytes"),
           F.max("wall_ms").alias("wall_ms"))
      .withColumn("status", F.lit("committed"))
      .withColumn("analyzer_version", F.lit(ANALYZER_VERSION))
      .withColumn("committed_at", F.current_timestamp())
      .write.mode("overwrite").parquet(dst.manifest))
+    built.unpersist()
     return dst
 
 

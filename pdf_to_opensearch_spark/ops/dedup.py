@@ -17,10 +17,25 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..analyzer import tokenize_udf
+
+
+def md5_60(col: Column, seed: int | None = None) -> Column:
+    """60-bit integer hash from the md5 hex prefix — the SHARED hash family
+    both Spark and DuckDB can compute exactly:
+
+        Spark:  conv(substring(md5(x), 1, 15), 16, 10)::long
+        DuckDB: ('0x' || substr(md5(x), 1, 15))::BIGINT
+
+    Seeded variants append ``:{seed}`` to the input. Used by the
+    oracle-checked minhash/simhash entries; the xxhash64 family remains the
+    production default (one JVM hash call vs md5+substr+conv)."""
+    x = F.concat(col.cast("string"), F.lit(f":{seed}")) if seed is not None \
+        else col.cast("string")
+    return F.conv(F.substring(F.md5(x), 1, 15), 16, 10).cast("long")
 
 
 def exact_dedup(df: DataFrame, id_col: str = "doc_id",
@@ -67,17 +82,24 @@ def distinct_shingles(df: DataFrame, id_col: str = "doc_id",
 def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", num_hashes: int = 16,
                        shingle_n: int = 3,
-                       shingle_df: DataFrame | None = None) -> DataFrame:
-    """MinHash signatures: sig_i = min over shingles of xxhash64(shingle, i).
+                       shingle_df: DataFrame | None = None,
+                       hash_family: str = "xxhash64") -> DataFrame:
+    """MinHash signatures: sig_i = min over shingles of hash_i(shingle).
 
     Entirely built-in expressions → map-side combined min aggregation.
     Output: (id, sig_0..sig_{h-1}). ``shingle_df``: optional precomputed
-    (id, shingle) table (from :func:`distinct_shingles`).
+    (id, shingle) table (from :func:`distinct_shingles`). ``hash_family``:
+    'xxhash64' (production default) or 'md5' (:func:`md5_60`, exactly
+    reproducible in the DuckDB oracle).
     """
     sh = (shingle_df if shingle_df is not None
           else distinct_shingles(df, id_col, text_col, shingle_n))
-    aggs = [F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"sig_{i}")
-            for i in range(num_hashes)]
+    if hash_family == "md5":
+        aggs = [F.min(md5_60(F.col("shingle"), seed=i)).alias(f"sig_{i}")
+                for i in range(num_hashes)]
+    else:
+        aggs = [F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"sig_{i}")
+                for i in range(num_hashes)]
     return sh.groupBy("id").agg(*aggs).withColumnRenamed("id", id_col)
 
 
@@ -85,20 +107,30 @@ def minhash_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
                             text_col: str = "text", num_hashes: int = 32,
                             bands: int = 8, shingle_n: int = 3,
                             max_bucket: int = 1000,
-                            shingle_df: DataFrame | None = None) -> DataFrame:
+                            shingle_df: DataFrame | None = None,
+                            hash_family: str = "xxhash64") -> DataFrame:
     """LSH candidate pairs: same band-bucket in any band → candidate.
 
     Returns distinct (id_a, id_b) with id_a < id_b. Buckets larger than
     ``max_bucket`` are dropped (degenerate boilerplate guard).
     """
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n,
-                              shingle_df=shingle_df)
+                              shingle_df=shingle_df, hash_family=hash_family)
     rows = num_hashes // bands
-    band_arr = F.array(*[
-        F.xxhash64(*[F.col(f"sig_{b*rows+r}") for r in range(rows)],
-                   F.lit(b))
-        for b in range(bands)
-    ])
+    if hash_family == "md5":
+        # equality-only band key: the plain concat of the band's signature
+        # values (no re-hash needed → byte-reproducible in SQL)
+        band_arr = F.array(*[
+            F.concat_ws(",", *[F.col(f"sig_{b*rows+r}").cast("string")
+                               for r in range(rows)])
+            for b in range(bands)
+        ])
+    else:
+        band_arr = F.array(*[
+            F.xxhash64(*[F.col(f"sig_{b*rows+r}") for r in range(rows)],
+                       F.lit(b))
+            for b in range(bands)
+        ])
     # one posexplode + one self-join (vs a union of per-band joins, which
     # would recompute the signature DAG per band)
     banded = sigs.select(
@@ -166,7 +198,8 @@ def minhash_near_duplicates(df: DataFrame, id_col: str = "doc_id",
                             text_col: str = "text", num_hashes: int = 32,
                             bands: int = 8, shingle_n: int = 3,
                             threshold: float = 0.7,
-                            max_bucket: int = 1000) -> DataFrame:
+                            max_bucket: int = 1000,
+                            hash_family: str = "xxhash64") -> DataFrame:
     """MinHash-LSH near-duplicate pairs, Jaccard-verified — the fused
     pipeline: ONE shingle table (tokenize+explode runs once, persisted)
     feeds both the signature/banding stage and the verification join.
@@ -178,26 +211,32 @@ def minhash_near_duplicates(df: DataFrame, id_col: str = "doc_id",
     sh = distinct_shingles(df, id_col, text_col, shingle_n).persist(
         StorageLevel.MEMORY_AND_DISK)
     cands = minhash_candidate_pairs(df, id_col, text_col, num_hashes, bands,
-                                    shingle_n, max_bucket, shingle_df=sh)
+                                    shingle_n, max_bucket, shingle_df=sh,
+                                    hash_family=hash_family)
     return jaccard_pairs(df, id_col, text_col, shingle_n, threshold,
                          candidates=cands, shingle_df=sh)
 
 
 def simhash(df: DataFrame, id_col: str = "doc_id",
-            text_col: str = "text") -> DataFrame:
-    """64-bit SimHash per doc.
+            text_col: str = "text",
+            hash_family: str = "xxhash64") -> DataFrame:
+    """SimHash per doc (64-bit with xxhash64, 60-bit with the md5 shared
+    family — :func:`md5_60` is exactly reproducible in the DuckDB oracle).
 
-    Token hashes are computed JVM-side (xxhash64); the per-doc weighted
-    bit-vote runs in a vectorized numpy kernel over grouped token hashes.
+    Token hashes are computed JVM-side; the per-doc weighted bit-vote runs
+    in a vectorized numpy kernel over grouped token hashes.
     """
     import numpy as np
     import pandas as pd
 
+    bits_n = 60 if hash_family == "md5" else 64
+    hash_col = (md5_60(F.col("token")) if hash_family == "md5"
+                else F.xxhash64("token"))
     toks = (df.select(id_col, tokenize_udf(F.col(text_col)).alias("t"))
             .select(id_col, F.explode("t").alias("token"))
             .groupBy(id_col, "token")
             .agg(F.count("*").alias("tf"))
-            .withColumn("h", F.xxhash64("token"))
+            .withColumn("h", hash_col)
             # coarse grouping key: one kernel call handles ~1/64 of docs
             # (per-doc applyInPandas would mean one Python call per doc)
             .withColumn("_gk", F.pmod(F.col(id_col), F.lit(64))))
@@ -208,16 +247,16 @@ def simhash(df: DataFrame, id_col: str = "doc_id",
         tf = pdf["tf"].to_numpy(np.float64)
         order = np.argsort(ids, kind="stable")
         ids, h, tf = ids[order], h[order], tf[order]
-        bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)) &
-                np.uint64(1)).astype(np.float64)  # (n_tokens, 64)
+        bits = ((h[:, None] >> np.arange(bits_n, dtype=np.uint64)) &
+                np.uint64(1)).astype(np.float64)  # (n_tokens, bits_n)
         votes = (2.0 * bits - 1.0) * tf[:, None]
         # fully vectorized per-doc bit vote: reduceat over sorted groups
         # (no per-doc Python loop — one segmented sum for the whole batch)
         starts = np.flatnonzero(np.concatenate(
             ([True], ids[1:] != ids[:-1])))
-        summed = np.add.reduceat(votes, starts, axis=0)  # (n_docs, 64)
+        summed = np.add.reduceat(votes, starts, axis=0)  # (n_docs, bits_n)
         sig_bits = (summed > 0).astype(np.uint64)
-        sigs = (sig_bits << np.arange(64, dtype=np.uint64)).sum(
+        sigs = (sig_bits << np.arange(bits_n, dtype=np.uint64)).sum(
             axis=1, dtype=np.uint64)
         # reinterpret uint64→int64 (two's complement view; np.int64(scalar)
         # raises OverflowError on numpy>=2.0 when bit 63 is set)
@@ -230,17 +269,21 @@ def simhash(df: DataFrame, id_col: str = "doc_id",
 
 def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text",
-                       max_hamming: int = 3) -> DataFrame:
+                       max_hamming: int = 3,
+                       hash_family: str = "xxhash64") -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
 
-    Candidate generation: split the 64-bit signature into 4 16-bit chunks;
-    by pigeonhole, any pair within Hamming 3 shares at least one exact
-    chunk → equi-join per chunk, then exact popcount filter (JVM-side
-    bit_count).
+    Candidate generation: split the signature into 4 chunks (16 bits for
+    the 64-bit family, 15 for the 60-bit md5 family); by pigeonhole, any
+    pair within Hamming ≤3 shares at least one exact chunk → equi-join per
+    chunk, then exact popcount filter (JVM-side bit_count). EXACT under
+    max_hamming ≤ 3 (4 chunks, 3 flips can't touch all chunks).
     """
-    sigs = simhash(df, id_col, text_col)
-    chunks = [F.shiftrightunsigned(F.col("simhash"), 16 * c)
-              .bitwiseAND(F.lit(0xFFFF)).alias(f"c{c}") for c in range(4)]
+    sigs = simhash(df, id_col, text_col, hash_family=hash_family)
+    cw = 15 if hash_family == "md5" else 16
+    mask = (1 << cw) - 1
+    chunks = [F.shiftrightunsigned(F.col("simhash"), cw * c)
+              .bitwiseAND(F.lit(mask)).alias(f"c{c}") for c in range(4)]
     s = sigs.select(F.col(id_col).alias("id"), "simhash", *chunks)
     pairs = None
     for c in range(4):

@@ -284,13 +284,18 @@ def search(spark: SparkSession, index_dir: str, queries: list[tuple[int, str]],
         .filter(F.col("bucket").isin(buckets)),               # partition pruning
         "term", live_terms)
     if doc_filter is not None:
-        st_row = spark.read.parquet(paths.stats).collect()[0]
-        dpr = int(st_row["docs_per_range"])
-        allowed = (spark.read.parquet(paths.docs)
-                   .filter(doc_filter)
-                   .select("doc_id",
-                           (F.col("doc_id") / F.lit(dpr)).cast("int")
-                           .alias("range_id")))
+        docs_scan = spark.read.parquet(paths.docs)
+        if "range_id" in docs_scan.columns:
+            # prepare-assigned ranges ride on the docs table
+            allowed = (docs_scan.filter(doc_filter)
+                       .select("doc_id", "range_id"))
+        else:  # legacy fixed-width ranges
+            st_row = spark.read.parquet(paths.stats).collect()[0]
+            dpr = int(st_row["docs_per_range"])
+            allowed = (docs_scan.filter(doc_filter)
+                       .select("doc_id",
+                               (F.col("doc_id") / F.lit(dpr)).cast("int")
+                               .alias("range_id")))
         per_range = (postings.groupBy("range_id")
                      .cogroup(allowed.groupBy("range_id"))
                      .applyInPandas(

@@ -45,39 +45,28 @@ from .indexer import (
 )
 
 
-def _refresh_derived(spark: SparkSession, paths: IndexPaths,
-                     avgdl_build: float, docs_per_range: int,
-                     num_ranges: int, n_buckets: int, k1: float,
-                     b: float) -> None:
+def _refresh_derived_full(spark: SparkSession, paths: IndexPaths,
+                          docs_per_range: int, num_ranges: int,
+                          n_buckets: int) -> None:
+    """Full recompute after a rollback rewrite (rare crash-recovery path):
+    docs changed, so N/avgdl/doc_stats/docs_meta are re-derived from the
+    surviving docs, everything else from the surviving postings."""
     import pandas as pd
 
-    built = spark.read.parquet(paths.postings)
-    (built.groupBy("term")
-     .agg(F.sum("n").alias("df"), F.sum("cf").alias("cf"))
-     .write.mode("overwrite").parquet(paths.dictionary))
-    docs_tbl = spark.read.parquet(paths.docs)
-    (docs_tbl.select("doc_id", "dl")
-     .write.mode("overwrite").parquet(paths.doc_stats))
-    g = docs_tbl.agg(F.count("*").alias("N"),
-                     F.avg("dl").alias("avgdl")).collect()[0]
-    stats_pdf = pd.DataFrame([{
-        "N": int(g["N"]), "avgdl": float(g["avgdl"] or 0.0),
-        "avgdl_build": avgdl_build, "docs_per_range": docs_per_range,
-        "num_ranges": num_ranges, "n_buckets": n_buckets,
-        "analyzer_version": ANALYZER_VERSION, "k1": k1, "b": b,
-    }])
-    spark.createDataFrame(stats_pdf).coalesce(1).write.mode(
-        "overwrite").parquet(paths.stats)
-    (built.groupBy("range_id")
-     .agg(F.sum("n").alias("n_postings"),
-          F.countDistinct("term").alias("n_terms"),
-          F.sum(F.length("doc_ids") + F.length("tfs") + F.length("dls"))
-          .alias("bytes"),
-          F.max("wall_ms").alias("wall_ms"))
-     .withColumn("status", F.lit("committed"))
-     .withColumn("analyzer_version", F.lit(ANALYZER_VERSION))
-     .withColumn("committed_at", F.current_timestamp())
-     .write.mode("overwrite").parquet(paths.manifest))
+    from .indexer import refresh_derived_tables
+
+    g = (spark.read.parquet(paths.docs)
+         .agg(F.count("*").alias("N"), F.sum("dl").alias("s")).collect()[0])
+    N = int(g["N"])
+    sum_dl = int(g["s"] or 0)
+    avgdl = (sum_dl / N) if N else 0.0
+    meta = pd.DataFrame([{"N": N, "sum_dl": sum_dl, "avgdl": avgdl}])
+    (spark.createDataFrame(meta).coalesce(1)
+     .write.mode("overwrite").parquet(paths.docs_meta))
+    refresh_derived_tables(spark, paths, N=N, avgdl=avgdl,
+                           docs_per_range=docs_per_range,
+                           num_ranges=num_ranges, n_buckets=n_buckets,
+                           refresh_doc_stats=True)
 
 
 def _batch_log_path(paths: IndexPaths) -> str:
@@ -92,20 +81,23 @@ def _read_batch_log(spark: SparkSession, paths: IndexPaths):
         return set(), []
     by_batch: dict[int, dict] = {}
     for r in rows:
+        br = int(r["base_range"]) if "base_range" in r.__fields__ else -1
         e = by_batch.setdefault(int(r["batch_id"]),
-                                {"base": int(r["base"]), "committed": False})
+                                {"base": int(r["base"]), "base_range": br,
+                                 "committed": False})
         if r["status"] == "committed":
             e["committed"] = True
     committed = {b for b, e in by_batch.items() if e["committed"]}
-    pending = [(b, e["base"]) for b, e in by_batch.items()
+    pending = [(b, e["base"], e["base_range"]) for b, e in by_batch.items()
                if not e["committed"]]
     return committed, pending
 
 
 def _log_batch(spark: SparkSession, paths: IndexPaths, batch_id: int,
-               base: int, status: str) -> None:
-    spark.createDataFrame([(int(batch_id), int(base), status)],
-                          "batch_id long, base long, status string") \
+               base: int, base_range: int, status: str) -> None:
+    spark.createDataFrame(
+        [(int(batch_id), int(base), int(base_range), status)],
+        "batch_id long, base long, base_range long, status string") \
         .write.mode("append").parquet(_batch_log_path(paths))
 
 
@@ -133,31 +125,35 @@ def rollback_incomplete(spark: SparkSession, index_dir: str) -> list[int]:
     """Drop artifacts of begin-without-commit batches (crash recovery).
 
     A failed batch's docs all have ``doc_id >= base`` and its postings all
-    have ``range_id >= base // docs_per_range`` (bases are range-aligned),
-    so rollback is a pair of filtered rewrites. Returns rolled-back ids.
+    have ``range_id >= base_range`` (both recorded in the begin log entry;
+    appended ranges are strictly above every committed one), so rollback
+    is a pair of filtered rewrites. Returns rolled-back ids.
     """
     paths = IndexPaths(index_dir)
     _committed, pending = _read_batch_log(spark, paths)
     if not pending:
         return []
-    min_base = min(b for _i, b in pending)
+    min_base = min(b for _i, b, _r in pending)
     st = spark.read.parquet(paths.stats).collect()[0]
     dpr = int(st["docs_per_range"])
+    ranges = [r for _i, _b, r in pending if r >= 0]
+    # the log records each batch's first NEW range id; legacy logs
+    # (base_range = -1) fall back to fixed-width arithmetic
+    min_range = min(ranges) if len(ranges) == len(pending) \
+        else min_base // dpr
     _swap_rewrite(spark, paths.docs,
                   spark.read.parquet(paths.docs)
                   .filter(F.col("doc_id") < min_base))
     _swap_rewrite(spark, paths.postings,
                   spark.read.parquet(paths.postings)
-                  .filter(F.col("range_id") < min_base // dpr),
-                  partition_by="bucket")
+                  .filter(F.col("range_id") < min_range))
     # mark as committed-with-rollback so they are not retried against
-    for bid, base in pending:
-        _log_batch(spark, paths, bid, base, "rolled_back")
-        _log_batch(spark, paths, bid, base, "committed")
-    _refresh_derived(spark, paths, float(st["avgdl_build"]), dpr,
-                     int(st["num_ranges"]), int(st["n_buckets"]),
-                     float(st["k1"]), float(st["b"]))
-    return [bid for bid, _b in pending]
+    for bid, base, brange in pending:
+        _log_batch(spark, paths, bid, base, brange, "rolled_back")
+        _log_batch(spark, paths, bid, base, brange, "committed")
+    _refresh_derived_full(spark, paths, dpr, int(st["num_ranges"]),
+                          int(st["n_buckets"]))
+    return [bid for bid, _b, _r in pending]
 
 
 def append_batch(spark: SparkSession, new_docs: DataFrame, index_dir: str,
@@ -167,8 +163,8 @@ def append_batch(spark: SparkSession, new_docs: DataFrame, index_dir: str,
     Exactly-once: the commit log records ``begin`` before any write and
     ``committed`` after all writes; a replayed ``batch_id`` that already
     committed is skipped, and a crashed batch is rolled back (its doc_ids
-    and ranges are strictly above every committed ones — bases are aligned
-    to range boundaries so committed postings files are never touched).
+    AND range_ids are strictly above every committed one — appended docs
+    get fresh ranges, so committed postings files are never touched).
     """
     paths = IndexPaths(index_dir)
     if batch_id is not None:
@@ -180,23 +176,32 @@ def append_batch(spark: SparkSession, new_docs: DataFrame, index_dir: str,
     st = spark.read.parquet(paths.stats).collect()[0]
     docs_per_range = int(st["docs_per_range"])
     n_buckets = int(st["n_buckets"])
-    cur = spark.read.parquet(paths.docs).agg(
-        F.max("doc_id").alias("m")).collect()[0]
-    nxt = int(cur["m"]) + 1 if cur["m"] is not None else 0
-    # align to the next range boundary: appended docs NEVER share a range
-    # with committed docs (one-postings-row-per-(term,range) invariant)
-    base = -(-nxt // docs_per_range) * docs_per_range
+    docs_now = spark.read.parquet(paths.docs)
+    if "range_id" in docs_now.columns:
+        cur = docs_now.agg(F.max("doc_id").alias("m"),
+                           F.max("range_id").alias("r")).collect()[0]
+        base = int(cur["m"]) + 1 if cur["m"] is not None else 0
+        base_range = int(cur["r"]) + 1 if cur["r"] is not None else 0
+    else:  # legacy fixed-width ranges: align base to a range boundary
+        cur = docs_now.agg(F.max("doc_id").alias("m")).collect()[0]
+        nxt = int(cur["m"]) + 1 if cur["m"] is not None else 0
+        base = -(-nxt // docs_per_range) * docs_per_range
+        base_range = base // docs_per_range
 
     ided = assign_doc_ids(new_docs.select("url", "text", "lang"),
-                          partitions=max(new_docs.rdd.getNumPartitions(), 1))
+                          partitions=max(new_docs.rdd.getNumPartitions(), 1),
+                          with_range_id=True)
     with_ids = (ided
                 .withColumn("doc_id", F.col("doc_id") + F.lit(base))
+                .withColumn("range_id",
+                            (F.col("range_id") + F.lit(base_range))
+                            .cast("int"))
                 .withColumn("dl", token_count_udf(F.col("text"))))
     n_new = with_ids.count()
     if n_new == 0:
         return 0
     if batch_id is not None:
-        _log_batch(spark, paths, batch_id, base, "begin")
+        _log_batch(spark, paths, batch_id, base, base_range, "begin")
     with_ids.write.mode("append").parquet(paths.docs)
     ided._persisted_input.unpersist()
     # batch-local Σdl for the incremental N/avgdl update (O(batch) agg
@@ -207,23 +212,21 @@ def append_batch(spark: SparkSession, new_docs: DataFrame, index_dir: str,
     batch_dl_sum = int(dl_row["s"] or 0)
 
     indexable = (spark.read.parquet(paths.docs)
-                 .filter(F.col("doc_id") >= base)
-                 .withColumn("range_id",
-                             (F.col("doc_id") / F.lit(docs_per_range))
-                             .cast("int")))
-    n_ranges = max(1, -(-n_new // docs_per_range))
-    spimi_in = indexable.select("doc_id", "text", "range_id").repartitionByRange(
-        n_ranges, "range_id")
+                 .filter(F.col("doc_id") >= base))
+    n_ranges = max(1, min(int(indexable.rdd.getNumPartitions()),
+                          -(-n_new // max(docs_per_range, 1))))
+    spimi_in = (indexable.select("doc_id", "text", "range_id")
+                .repartitionByRange(n_ranges, "range_id"))
     postings = spimi_in.mapInPandas(
-        _spimi_batches(docs_per_range), schema=POSTINGS_SCHEMA)
+        _spimi_batches(), schema=POSTINGS_SCHEMA)
     postings = postings.withColumn(
         "bucket", term_bucket_col(F.col("term"), n_buckets))
-    postings.write.mode("append").partitionBy("bucket").parquet(paths.postings)
+    (postings.sortWithinPartitions("bucket", "term")
+     .write.mode("append").parquet(paths.postings))
 
-    _incremental_refresh(spark, paths, st, base // docs_per_range,
-                         n_new, batch_dl_sum)
+    _incremental_refresh(spark, paths, st, base_range, n_new, batch_dl_sum)
     if batch_id is not None:
-        _log_batch(spark, paths, batch_id, base, "committed")
+        _log_batch(spark, paths, batch_id, base, base_range, "committed")
     return n_new
 
 
@@ -257,6 +260,11 @@ def _incremental_refresh(spark: SparkSession, paths: IndexPaths, st,
     N_old, avgdl_old = int(st["N"]), float(st["avgdl"])
     N_new = N_old + n_new
     avgdl_new = (N_old * avgdl_old + batch_dl_sum) / N_new if N_new else 0.0
+    meta = pd.DataFrame([{"N": N_new,
+                          "sum_dl": int(round(N_new * avgdl_new)),
+                          "avgdl": avgdl_new}])
+    (spark.createDataFrame(meta).coalesce(1)
+     .write.mode("overwrite").parquet(paths.docs_meta))
     stats_pdf = pd.DataFrame([{
         "N": N_new, "avgdl": avgdl_new,
         "avgdl_build": float(st["avgdl_build"]),
@@ -271,8 +279,7 @@ def _incremental_refresh(spark: SparkSession, paths: IndexPaths, st,
     (new_posts.groupBy("range_id")
      .agg(F.sum("n").alias("n_postings"),
           F.countDistinct("term").alias("n_terms"),
-          F.sum(F.length("doc_ids") + F.length("tfs") + F.length("dls"))
-          .alias("bytes"),
+          F.sum("n_bytes").alias("bytes"),
           F.max("wall_ms").alias("wall_ms"))
      .withColumn("status", F.lit("committed"))
      .withColumn("analyzer_version", F.lit(ANALYZER_VERSION))

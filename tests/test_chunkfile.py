@@ -156,3 +156,29 @@ def test_filtered_search_matches_oracle(spark, tmp_path):
         assert list(sub["doc_id"]) == [d for d, _ in want], qtext
         np.testing.assert_allclose(sub["score"].to_numpy(),
                                    [s for _, s in want], atol=1e-6)
+
+
+def test_insert_chunk_list(spark):
+    """opensearch_loader.py:261-324: global chunk_sequence across the
+    flattened sub-chunk stream, prev/next links, metadata propagation."""
+    from pdf_to_opensearch_spark.chunkfile import insert_chunk_list
+
+    chunks = ["one. two. " + "x" * 30, "three"]
+    out = (insert_chunk_list(spark, chunks,
+                             {"source_type": "t", "source_uri": "s3://u"},
+                             chunk_size=12)
+           .toPandas())
+    out = out.sort_values(
+        by="metadata", key=lambda s: s.map(lambda m: m["chunk_sequence"]),
+        ignore_index=True)
+    texts = list(out["chunk_text_current"])
+    # split_text(chunk_size=12): "one. two." -> ["one. two."], then the
+    # 30-char run hard-slices into 12+12+6; "three" is its own chunk
+    assert texts == ["one. two.", "x" * 12, "x" * 12, "x" * 6, "three"]
+    assert list(out["chunk_text_previous"]) == [None] + texts[:-1]
+    assert list(out["chunk_text_next"]) == texts[1:] + [None]
+    assert [m["chunk_sequence"] for m in out["metadata"]] == [1, 2, 3, 4, 5]
+    assert all(m["source_type"] == "t" for m in out["metadata"])
+    import pytest
+    with pytest.raises(ValueError, match="required"):
+        insert_chunk_list(spark, ["x"], {"source_type": "t"})

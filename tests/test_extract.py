@@ -54,3 +54,29 @@ def test_chunk_docs_spark(spark):
             assert sub["prev"].iloc[0] is None or pd.isna(sub["prev"].iloc[0])
             assert sub["prev"].iloc[1] == expect[0]
             assert sub["next"].iloc[0] == expect[1]
+
+
+def test_extract_dispatch_formats(spark):
+    """Multi-format dispatch (document_parser.py:9-34 analogue): one
+    golden per branch + unknown-format error."""
+    import pytest
+
+    from pdf_to_opensearch_spark.extract import extract_docs_dispatch
+
+    schema = "url string, format string, content binary, lang string"
+    rows = [
+        ("u1", "html",
+         b"<html><body>Hi <b>there</b> &amp; you</body></html>", "en"),
+        ("u2", "markdown",
+         b"# Title\nSome *bold* [link](http://x) and ![img](y)\n"
+         b"```code\nblock\n```\ntail", "en"),
+        ("u3", "plain", "plain Å text".encode(), "en"),
+    ]
+    df = spark.createDataFrame(rows, schema)
+    out = {r["url"]: r["text"] for r in extract_docs_dispatch(df).collect()}
+    assert out["u1"] == "Hi there & you"
+    assert out["u2"] == "Title\nSome bold link and img\n \ntail"
+    assert out["u3"] == "plain Å text"
+    bad = spark.createDataFrame([("u", "docx", b"x", "en")], schema)
+    with pytest.raises(Exception, match="unsupported format"):
+        extract_docs_dispatch(bad).collect()

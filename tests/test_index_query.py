@@ -107,8 +107,8 @@ def test_resume_from_manifest(spark, index_dir, corpus, tmp_path):
         ~F.col("range_id").isin(2, 4)).toPandas()
     man = spark.read.parquet(paths.manifest).filter(
         ~F.col("range_id").isin(2, 4)).toPandas()
-    spark.createDataFrame(post).write.mode("overwrite").partitionBy(
-        "bucket").parquet(paths.postings)
+    spark.createDataFrame(post).write.mode("overwrite").parquet(
+        paths.postings)
     spark.createDataFrame(man).write.mode("overwrite").parquet(paths.manifest)
 
     done = resume_info(spark, root)

@@ -58,10 +58,9 @@ def test_append_batch_matches_oracle(spark, base_index):
     pdf1, sdf1 = _batch_docs(spark, 40, seed=77)
     n = append_batch(spark, sdf1, root, batch_id=1)
     assert n == len(pdf1)
-    # appended ids start at the next range boundary
+    # appended ids continue densely after the current max
     n0 = len(pdf0)
-    dpr = -(-n0 // 4)
-    base = -(-n0 // dpr) * dpr
+    base = n0
     oracle = _oracle_for(
         [pdf0, pdf1],
         [np.arange(n0), np.arange(base, base + len(pdf1))])
@@ -94,16 +93,18 @@ def test_crash_rollback_then_retry(spark, base_index):
     # simulate a crash mid-batch: begin logged, docs partially appended,
     # postings missing
     n0 = len(pdf0)
-    dpr = -(-n0 // 4)
-    base = -(-n0 // dpr) * dpr
-    _log_batch(spark, paths, 9, base, "begin")
+    base = n0
+    base_range = 100  # any id above the committed max
+    _log_batch(spark, paths, 9, base, base_range, "begin")
     partial = spark.createDataFrame(
         pdf1.iloc[:10][["url", "text", "lang"]])
     from pdf_to_opensearch_spark.indexer import assign_doc_ids
     from pdf_to_opensearch_spark.analyzer import token_count_udf
 
-    wi = (assign_doc_ids(partial, partitions=2)
+    wi = (assign_doc_ids(partial, partitions=2, with_range_id=True)
           .withColumn("doc_id", F.col("doc_id") + F.lit(base))
+          .withColumn("range_id",
+                      (F.col("range_id") + F.lit(base_range)).cast("int"))
           .withColumn("dl", token_count_udf(F.col("text"))))
     wi.write.mode("append").parquet(paths.docs)
     assert spark.read.parquet(paths.docs).count() == n0 + 10
@@ -135,8 +136,7 @@ def test_streaming_end_to_end(spark, base_index, tmp_path):
     finally:
         q.stop()
     n0 = len(pdf0)
-    dpr = -(-n0 // 4)
-    base = -(-n0 // dpr) * dpr
+    base = n0
     assert spark.read.parquet(f"{root}/docs").count() == n0 + len(pdf1)
     oracle = _oracle_for([pdf0, pdf1],
                          [np.arange(n0), np.arange(base, base + len(pdf1))])
