@@ -153,9 +153,64 @@ def test_multimodal_plumbing(spark):
     a = [list(f) for f in feats.sort_values("media_id")["features"]]
     b = [list(f) for f in again.sort_values("media_id")["features"]]
     assert a == b
-    # real decode is an explicit stub
-    with pytest.raises(Exception, match="NotImplementedError|decode"):
-        decode_features(media, fake=False).count()
     plan = frame_sample_plan(media, every_ms=5000).toPandas()
     assert (plan["frame_ts_ms"] % 5000 == 0).all()
     assert plan["media_id"].nunique() == 10  # every 3rd row is video
+
+
+def test_multimodal_real_decode(spark):
+    """REAL numpy-only decoders: P6 PPM images, 16-bit PCM WAV audio,
+    concatenated-PPM video — features verified against independently
+    computed ground truth; compressed formats still raise."""
+    import numpy as np
+
+    from pdf_to_opensearch_spark.ops.multimodal import (
+        decode_bmp,
+        decode_features,
+        decode_image,
+        encode_ppm,
+        make_media,
+        resize_nearest,
+    )
+
+    media = make_media(spark, n=30)
+    feats = (decode_features(media, fake=False).toPandas()
+             .set_index("media_id").sort_index())
+    # video 2 is constant-valued frames: gray grid cells == channel means
+    vid = feats.loc[2]
+    assert vid["kind"] == "video"
+    v = list(vid["features"])
+    np.testing.assert_allclose(v[6:15], [v[0]] * 9, atol=1e-6)
+    # audio 1: 0.5-amplitude sine → rms ≈ 0.5/sqrt(2)
+    aud = list(feats.loc[1, "features"])
+    assert abs(aud[0] - 0.5 / np.sqrt(2)) < 0.01
+    # image roundtrip: encode → decode is exact
+    img = np.arange(4 * 5 * 3, dtype=np.uint8).reshape(4, 5, 3)
+    np.testing.assert_array_equal(decode_image(encode_ppm(img)), img)
+    # nearest resize picks exact source pixels
+    r = resize_nearest(img, 2, 2)
+    np.testing.assert_array_equal(r, img[[0, 2]][:, [0, 2]])
+    # 24-bit BMP roundtrip (hand-built header, bottom-up rows + padding)
+    import struct
+
+    h, w = 3, 2
+    rows = []
+    for y in range(h - 1, -1, -1):          # bottom-up
+        row = bytes()
+        for x in range(w):
+            rgb = img[y, x % 5]
+            row += bytes([rgb[2], rgb[1], rgb[0]])  # BGR
+        row += b"\x00" * ((4 - (w * 3) % 4) % 4)
+        rows.append(row)
+    pix = b"".join(rows)
+    header = (b"BM" + struct.pack("<IHHI", 54 + len(pix), 0, 0, 54)
+              + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pix),
+                            0, 0, 0, 0))
+    got = decode_bmp(header + pix)
+    np.testing.assert_array_equal(got, img[:3, :2])
+    # compressed formats are honestly unsupported
+    with pytest.raises(Exception, match="NotImplementedError|compressed"):
+        bad = spark.createDataFrame(
+            [(99, "u", "image", b"\x89PNG\r\n", (1, 1, None, "image/png"))],
+            media.schema)
+        decode_features(bad, fake=False).count()

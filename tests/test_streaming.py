@@ -65,7 +65,9 @@ def test_append_batch_matches_oracle(spark, base_index):
         [pdf0, pdf1],
         [np.arange(n0), np.arange(base, base + len(pdf1))])
     _check(spark, root, oracle)
-    # avgdl drifted → pruning must auto-disable but stay correct
+    # avgdl drifted after the append → pruning must STAY SOUND (block
+    # metadata stores raw (max_tf, min_dl); bounds recomputed at the
+    # current avgdl) — pruned and exhaustive results must agree
     got_p = search(spark, root, QUERIES, k=10, prune=True).toPandas()
     got_e = search(spark, root, QUERIES, k=10, prune=False).toPandas()
     assert got_p.equals(got_e)
