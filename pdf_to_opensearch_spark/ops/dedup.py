@@ -38,6 +38,17 @@ def md5_60(col: Column, seed: int | None = None) -> Column:
     return F.conv(F.substring(F.md5(x), 1, 15), 16, 10).cast("long")
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Widen a narrow input (e.g. one small parquet file) to the session's
+    default parallelism BEFORE the per-row tokenize/hash work — otherwise
+    the whole map side runs single-threaded. At real scale inputs have
+    plenty of partitions and this is a no-op (no shuffle added)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < min(target, 16):
+        return df.repartition(target)
+    return df
+
+
 def exact_dedup(df: DataFrame, id_col: str = "doc_id",
                 text_col: str = "text") -> DataFrame:
     """Exact duplicate groups by md5(text).
@@ -58,7 +69,7 @@ def shingles(df: DataFrame, text_col: str = "text", n: int = 3,
     """Explode word n-gram shingles (analyzer-tokenized, space-joined)."""
     # materialize the UDF output first: Spark disallows a Python UDF inside
     # a higher-order lambda, so the transform references the plain column
-    with_toks = df.withColumn("_toks", tokenize_udf(F.col(text_col)))
+    with_toks = _spread(df).withColumn("_toks", tokenize_udf(F.col(text_col)))
     toks = F.col("_toks")
     grams = F.when(
         F.size(toks) >= n,
@@ -213,6 +224,11 @@ def minhash_near_duplicates(df: DataFrame, id_col: str = "doc_id",
     cands = minhash_candidate_pairs(df, id_col, text_col, num_hashes, bands,
                                     shingle_n, max_bucket, shingle_df=sh,
                                     hash_family=hash_family)
+    # materialize the (tiny) candidate set: the verification stage joins
+    # it twice, and an unpersisted candidate DAG would re-run the whole
+    # signature+banding pipeline per join
+    cands = cands.persist(StorageLevel.MEMORY_AND_DISK)
+    cands.count()
     return jaccard_pairs(df, id_col, text_col, shingle_n, threshold,
                          candidates=cands, shingle_df=sh)
 
@@ -232,7 +248,8 @@ def simhash(df: DataFrame, id_col: str = "doc_id",
     bits_n = 60 if hash_family == "md5" else 64
     hash_col = (md5_60(F.col("token")) if hash_family == "md5"
                 else F.xxhash64("token"))
-    toks = (df.select(id_col, tokenize_udf(F.col(text_col)).alias("t"))
+    toks = (_spread(df)
+            .select(id_col, tokenize_udf(F.col(text_col)).alias("t"))
             .select(id_col, F.explode("t").alias("token"))
             .groupBy(id_col, "token")
             .agg(F.count("*").alias("tf"))
