@@ -582,6 +582,60 @@ SELECT query_id, rank, vec_id FROM (
 CHUNK_CS = 120  # small chunk budget so sf docs exercise real packing
 
 
+LSH_PLANES = 4
+LSH_SEED = 42
+LSH_DIM = 64
+
+
+def _lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN scale path: hyperplane-LSH bucketing + exact in-bucket re-rank.
+    The seeded plane matrix is generated once here and INLINED into the
+    SQL oracle, so candidate generation AND re-ranking are both checked."""
+    from pdf_to_opensearch_spark.ops.similarity import lsh_topk
+
+    _ensure_pkg(spark)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return lsh_topk(emb, ANN_QUERY_IDS, k=ANN_K, n_planes=LSH_PLANES,
+                    seed=LSH_SEED, dim=LSH_DIM).select(
+        "query_id", "rank", "vec_id")
+
+
+def _lsh_oracle_sql() -> str:
+    import numpy as np
+
+    rng = np.random.default_rng(LSH_SEED)
+    planes = rng.standard_normal((LSH_PLANES, LSH_DIM))
+    plane_lits = [
+        "[" + ", ".join(repr(float(x)) for x in row) + "]" for row in planes
+    ]
+    bucket_expr = " + ".join(
+        f"(CASE WHEN list_inner_product(embedding, {plane_lits[p]}) > 0 "
+        f"THEN {1 << p} ELSE 0 END)"
+        for p in range(LSH_PLANES))
+    qids = ", ".join(map(str, ANN_QUERY_IDS))
+    return f"""
+WITH b AS (
+  SELECT vec_id, embedding, ({bucket_expr}) AS bucket FROM embeddings
+),
+q AS (
+  SELECT vec_id AS query_id, embedding AS qv, bucket FROM b
+  WHERE vec_id IN ({qids})
+),
+cand AS (
+  SELECT q.query_id, e.vec_id,
+         list_cosine_similarity(q.qv, e.embedding) AS sim
+  FROM q JOIN b e ON e.bucket = q.bucket AND e.vec_id <> q.query_id
+)
+SELECT query_id, rank, vec_id FROM (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, vec_id)::INTEGER AS rank,
+         vec_id
+  FROM cand
+) WHERE rank <= {ANN_K}
+"""
+
+
 def _chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic chunker (C3-C5 packing rule) over sentence-enriched
     documents ('. ' planted at every ' the ' so the split/pack/hard-slice
@@ -689,6 +743,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs_md5": _minhash_pairs_md5,
         "simhash_pairs_md5": _simhash_pairs_md5,
         "ann_cosine_topk": _ann_topk,
+        "ann_lsh_topk": _lsh_topk,
         "chunk_stats": _chunk_stats,
     }
 
@@ -717,6 +772,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_scores": quality_scores_oracle_sql(),
         "lang_id": lang_id_oracle_sql(),
         "ann_cosine_topk": _ANN_SQL,
+        "ann_lsh_topk": _lsh_oracle_sql(),
         "chunk_stats": _chunk_stats_oracle_sql(),
         "minhash_pairs_md5": _minhash_md5_oracle_sql(),
         "simhash_pairs_md5": _simhash_md5_oracle_sql(),

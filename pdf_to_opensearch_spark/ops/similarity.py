@@ -25,6 +25,15 @@ def _as_matrix(col: pd.Series) -> np.ndarray:
     return np.stack([np.asarray(v, dtype=np.float64) for v in col])
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Widen a narrow input (single small file) to session parallelism so
+    the vector kernels don't run on one task; no-op at real scale."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < min(target, 16):
+        return df.repartition(target)
+    return df
+
+
 def cosine_topk(embeddings: DataFrame, query_ids: list[int], k: int = 10,
                 id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Exact top-k cosine neighbors for each query id (excluding self).
@@ -63,7 +72,7 @@ def cosine_topk(embeddings: DataFrame, query_ids: list[int], k: int = 10,
                 "sim": pd.Series(out_s, dtype="float64"),
             })
 
-    per_part = embeddings.select(id_col, vec_col).mapInPandas(
+    per_part = _spread(embeddings.select(id_col, vec_col)).mapInPandas(
         kernel, schema="query_id long, vec_id long, sim double")
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(),
                                                F.col("vec_id").asc())
