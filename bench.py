@@ -267,18 +267,28 @@ def query_batch_once(cores: int, index_dir: str) -> float:
         spark.stop()
 
 
-def _interleaved(run_fn, reps: int) -> dict[int, list[float]]:
+def _interleaved(run_fn, reps: int,
+                 budget_s: float | None = None) -> dict[int, list[float]]:
     """HI, LO, HI, LO, … with a cooldown-gate before every run (inside
-    run_fn) — adjacent pairs see comparable machine states."""
+    run_fn) — adjacent pairs see comparable machine states.
+
+    With ``budget_s``, keeps sampling extra pairs beyond ``reps`` while
+    wall-clock budget remains (min-over-samples beats the neighbor noise
+    documented in BENCH.md §1; each extra pair is another chance to catch
+    a clean window at BOTH levels)."""
     times: dict[int, list[float]] = {SCALE_LO: [], SCALE_HI: []}
-    order: list[int] = []
-    for _ in range(reps):
-        order += [SCALE_HI, SCALE_LO]
-    for cores in order:
-        t = run_fn(cores)
-        times[cores].append(t)
-        print(f"[bench] run local[{cores}]: {t:.2f}s", file=sys.stderr,
-              flush=True)
+    t0 = time.monotonic()
+    pair = 0
+    max_pairs = max(reps * 2, 6)
+    while pair < reps or (budget_s is not None
+                          and time.monotonic() - t0 < budget_s
+                          and pair < max_pairs):
+        for cores in (SCALE_HI, SCALE_LO):
+            t = run_fn(cores)
+            times[cores].append(t)
+            print(f"[bench] run local[{cores}]: {t:.2f}s", file=sys.stderr,
+                  flush=True)
+        pair += 1
     return times
 
 
@@ -315,7 +325,10 @@ def main() -> None:  # noqa: C901
         results["control_scaling_efficiency"] = round(
             (c_lo / c_hi) / (SCALE_HI / SCALE_LO), 4)
 
-        times = _interleaved(lambda c: index_once(c, idx), SCALE_REPS)
+        idx_budget = float(os.environ.get("SPARK_GRAFT_SCALE_BUDGET",
+                                           "420"))
+        times = _interleaved(lambda c: index_once(c, idx), SCALE_REPS,
+                             budget_s=idx_budget)
         t_lo, t_hi, eff, eff_paired = _efficiency(times)
         results[f"scale_index_local{SCALE_LO}"] = round(t_lo, 3)
         results[f"scale_index_local{SCALE_HI}"] = round(t_hi, 3)
@@ -329,7 +342,7 @@ def main() -> None:  # noqa: C901
             eff / max(results["control_scaling_efficiency"], 1e-9), 4)
 
         qtimes = _interleaved(lambda c: query_batch_once(c, idx),
-                              max(SCALE_REPS - 1, 2))
+                              max(SCALE_REPS - 1, 2), budget_s=240.0)
         q_lo, q_hi, qeff, qeff_paired = _efficiency(qtimes)
         results[f"scale_query_local{SCALE_LO}"] = round(q_lo, 3)
         results[f"scale_query_local{SCALE_HI}"] = round(q_hi, 3)
