@@ -587,6 +587,36 @@ LSH_SEED = 42
 LSH_DIM = 64
 
 
+def _embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs over the corpus with PLANTED exact
+    copies (every 25th vector re-appears as vec_id+100000); cosine is a
+    pure zip_with/aggregate JVM expression, exact all-pairs mode so the
+    SQL oracle reproduces the full result."""
+    from pdf_to_opensearch_spark.ops.similarity import cosine_near_duplicates
+
+    _ensure_pkg(spark)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
+        .select("vec_id", "embedding")
+    planted = (emb.filter(F.col("vec_id") % 25 == 0)
+               .select((F.col("vec_id") + 100000).alias("vec_id"),
+                       "embedding"))
+    return cosine_near_duplicates(emb.unionByName(planted), threshold=0.9,
+                                  method="exact")
+
+
+_EMB_DUPS_SQL = """
+WITH all_e AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings
+  WHERE vec_id % 25 = 0
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM all_e a JOIN all_e b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.9
+"""
+
+
 def _lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN scale path: hyperplane-LSH bucketing + exact in-bucket re-rank.
     The seeded plane matrix is generated once here and INLINED into the
@@ -744,6 +774,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs_md5": _simhash_pairs_md5,
         "ann_cosine_topk": _ann_topk,
         "ann_lsh_topk": _lsh_topk,
+        "embedding_near_dups": _embedding_near_dups,
         "chunk_stats": _chunk_stats,
     }
 
@@ -773,6 +804,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": lang_id_oracle_sql(),
         "ann_cosine_topk": _ANN_SQL,
         "ann_lsh_topk": _lsh_oracle_sql(),
+        "embedding_near_dups": _EMB_DUPS_SQL,
         "chunk_stats": _chunk_stats_oracle_sql(),
         "minhash_pairs_md5": _minhash_md5_oracle_sql(),
         "simhash_pairs_md5": _simhash_md5_oracle_sql(),

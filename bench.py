@@ -293,13 +293,13 @@ def _interleaved(run_fn, reps: int,
 
 
 def _efficiency(times: dict[int, list[float]]
-                ) -> tuple[float, float, float, float]:
+                ) -> tuple[float, float, float]:
+    # min per level over all interleaved samples: each min is that level's
+    # best observed machine window (cherry-picking a single favorable
+    # PAIR can exceed 1.0 from noise, so only per-level mins are reported)
     t_lo, t_hi = min(times[SCALE_LO]), min(times[SCALE_HI])
     eff = (t_lo / t_hi) / (SCALE_HI / SCALE_LO)
-    # best adjacent (hi, lo) pair: robust to slow machine-state drift
-    paired = max((lo / hi) / (SCALE_HI / SCALE_LO)
-                 for lo, hi in zip(times[SCALE_LO], times[SCALE_HI]))
-    return t_lo, t_hi, eff, paired
+    return t_lo, t_hi, eff
 
 
 def main() -> None:  # noqa: C901
@@ -329,7 +329,7 @@ def main() -> None:  # noqa: C901
                                            "420"))
         times = _interleaved(lambda c: index_once(c, idx), SCALE_REPS,
                              budget_s=idx_budget)
-        t_lo, t_hi, eff, eff_paired = _efficiency(times)
+        t_lo, t_hi, eff = _efficiency(times)
         results[f"scale_index_local{SCALE_LO}"] = round(t_lo, 3)
         results[f"scale_index_local{SCALE_HI}"] = round(t_hi, 3)
         results["scale_runs_lo"] = [round(t, 2) for t in times[SCALE_LO]]
@@ -337,20 +337,18 @@ def main() -> None:  # noqa: C901
         results["scale_thr_lo"] = round(n_scale / t_lo, 1)
         results["scale_thr_hi"] = round(n_scale / t_hi, 1)
         results["scaling_efficiency"] = round(eff, 4)
-        results["scaling_efficiency_paired"] = round(eff_paired, 4)
         results["scaling_vs_machine_envelope"] = round(
             eff / max(results["control_scaling_efficiency"], 1e-9), 4)
 
         qtimes = _interleaved(lambda c: query_batch_once(c, idx),
                               max(SCALE_REPS - 1, 2), budget_s=240.0)
-        q_lo, q_hi, qeff, qeff_paired = _efficiency(qtimes)
+        q_lo, q_hi, qeff = _efficiency(qtimes)
         results[f"scale_query_local{SCALE_LO}"] = round(q_lo, 3)
         results[f"scale_query_local{SCALE_HI}"] = round(q_hi, 3)
         results["scale_query_runs_lo"] = [round(t, 2) for t in qtimes[SCALE_LO]]
         results["scale_query_runs_hi"] = [round(t, 2) for t in qtimes[SCALE_HI]]
         results["scale_query_qps_hi"] = round(QUERY_BATCH / q_hi, 1)
         results["query_scaling_efficiency"] = round(qeff, 4)
-        results["query_scaling_efficiency_paired"] = round(qeff_paired, 4)
         results["gate_samples"] = _GATE_LOG[-60:]
         results["gate_best"] = round(_CALIB_BEST[0], 3)
         shutil.rmtree(idx, ignore_errors=True)

@@ -81,6 +81,56 @@ def cosine_topk(embeddings: DataFrame, query_ids: list[int], k: int = 10,
             .select("query_id", "rank", "vec_id", F.round("sim", 6).alias("sim")))
 
 
+def cosine_near_duplicates(embeddings: DataFrame, threshold: float = 0.9,
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding",
+                           method: str = "lsh", n_planes: int = 8,
+                           seed: int = 42, dim: int = 64) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (sim ≥ threshold).
+
+    The cosine itself is a PURE-JVM column expression — ``zip_with``
+    product + ``aggregate`` sum in float64, whole-stage codegen, no Python
+    in the row path.
+
+    ``method='lsh'``: candidates restricted to pairs sharing a hyperplane
+    bucket (the scale path; near-identical vectors collide with
+    probability ~1, borderline pairs may be missed — recall measured in
+    tests). ``method='exact'``: all-pairs theta join — QUADRATIC, for
+    small sets and oracle checks only.
+
+    Returns distinct (id_a, id_b) with id_a < id_b.
+    """
+    def dnorm(col):
+        return F.sqrt(F.aggregate(
+            col, F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double")))
+
+    e = embeddings.select(F.col(id_col), F.col(vec_col)) \
+        .withColumn("_n", dnorm(F.col(vec_col)))
+    a = e.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"),
+                 F.col("_n").alias("_na"))
+    b = e.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"),
+                 F.col("_n").alias("_nb"))
+    if method == "lsh":
+        bk = hyperplane_buckets(embeddings, n_planes, seed, id_col, vec_col,
+                                dim)
+        a = a.join(bk.select(F.col(id_col).alias("id_a"), "bucket"), "id_a")
+        b = b.join(bk.select(F.col(id_col).alias("id_b"), "bucket"), "id_b")
+        joined = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
+    elif method == "exact":
+        joined = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    else:
+        raise ValueError(f"unknown method: {method}")
+    dot = F.aggregate(
+        F.zip_with("_va", "_vb",
+                   lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x)
+    sim = dot / (F.col("_na") * F.col("_nb"))
+    return (joined.withColumn("_sim", sim)
+            .filter(F.col("_sim") >= threshold)
+            .select("id_a", "id_b").distinct())
+
+
 def hyperplane_buckets(embeddings: DataFrame, n_planes: int = 8,
                        seed: int = 42, id_col: str = "vec_id",
                        vec_col: str = "embedding", dim: int = 64) -> DataFrame:

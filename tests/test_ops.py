@@ -214,3 +214,23 @@ def test_multimodal_real_decode(spark):
             [(99, "u", "image", b"\x89PNG\r\n", (1, 1, None, "image/png"))],
             media.schema)
         decode_features(bad, fake=False).count()
+
+
+def test_cosine_near_duplicates(spark):
+    """Embedding-cosine near-dup: exact all-pairs vs LSH-bucketed path —
+    planted exact copies must be found by BOTH (copies always share every
+    hyperplane bucket)."""
+    import numpy as np
+
+    from pdf_to_opensearch_spark.ops.similarity import cosine_near_duplicates
+
+    rng = np.random.default_rng(3)
+    vecs = rng.standard_normal((80, 16))
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(80)]
+    rows += [(100 + i, [float(x) for x in vecs[i]]) for i in range(0, 80, 10)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    want = {(i, 100 + i) for i in range(0, 80, 10)}
+    exact = cosine_near_duplicates(df, 0.95, method="exact", dim=16).toPandas()
+    assert set(map(tuple, exact[["id_a", "id_b"]].to_numpy())) == want
+    lsh = cosine_near_duplicates(df, 0.95, method="lsh", dim=16).toPandas()
+    assert set(map(tuple, lsh[["id_a", "id_b"]].to_numpy())) == want
