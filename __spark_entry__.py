@@ -150,20 +150,35 @@ SELECT query_id, rank, doc_id, score FROM (
 """
 
 
+_BUILT_INDEXES: set[str] = set()
+
+
+def _ensure_engine_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build the engine index over the sf documents corpus once per
+    process (never trust a stale /tmp dir from an older engine layout)."""
+    from pdf_to_opensearch_spark.indexer import build_index
+
+    out = os.path.join(tempfile.gettempdir(),
+                       "entry_index_" + sf_dir.strip("/").replace("/", "_"))
+    if out not in _BUILT_INDEXES:
+        docs = _docs(spark, sf_dir).select(
+            F.concat(F.lit("doc://"),
+                     F.lpad(F.col("doc_id").cast("string"), 10, "0")
+                     ).alias("url"),
+            "text", "lang")
+        build_index(spark, docs, out, num_ranges=8, n_buckets=8,
+                    id_partitions=8)
+        _BUILT_INDEXES.add(out)
+    return out
+
+
 def _engine_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The real engine (SPIMI index + block-max BM25) on the documents
     corpus; re-ranked on rounded scores for oracle comparison."""
     _ensure_pkg(spark)
-    from pdf_to_opensearch_spark.indexer import build_index
     from pdf_to_opensearch_spark.query import search
 
-    docs = _docs(spark, sf_dir).select(
-        F.concat(F.lit("doc://"), F.lpad(F.col("doc_id").cast("string"), 10, "0")
-                 ).alias("url"),
-        "text", "lang")
-    out = os.path.join(tempfile.gettempdir(),
-                       "entry_index_" + sf_dir.strip("/").replace("/", "_"))
-    build_index(spark, docs, out, num_ranges=8, n_buckets=8, id_partitions=8)
+    out = _ensure_engine_index(spark, sf_dir)
     res = search(spark, out, list(BM25_QUERIES.items()), k=BM25_K, prune=True)
     # engine doc_id == documents.doc_id because url embeds the zero-padded id
     w = Window.partitionBy("query_id").orderBy(
@@ -172,6 +187,81 @@ def _engine_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("rank2", F.row_number().over(w))
             .select("query_id", F.col("rank2").cast("int").alias("rank"),
                     "doc_id", F.col("score_r").alias("score")))
+
+
+# ---------------------------------------------------------- phrase queries
+
+PHRASE_QUERIES: dict[int, str] = {
+    1: "table hash",
+    2: "merge group",
+    3: "customer join",
+}
+
+
+def _phrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """match_phrase top-k through the positional index
+    (opensearch_loader.py:386-408 / Lucene PhraseQuery semantics:
+    tf = exact-phrase frequency, idf = Σ per-term idfs)."""
+    _ensure_pkg(spark)
+    from pdf_to_opensearch_spark.query import phrase_search
+
+    out = _ensure_engine_index(spark, sf_dir)
+    res = phrase_search(spark, out, list(PHRASE_QUERIES.items()), k=BM25_K)
+    w = Window.partitionBy("query_id").orderBy(
+        F.round("score", 4).desc(), F.col("doc_id").asc())
+    return (res.withColumn("rank2", F.row_number().over(w))
+            .select("query_id", F.col("rank2").cast("int").alias("rank"),
+                    "doc_id", F.round("score", 4).alias("score")))
+
+
+def _phrase_oracle_sql() -> str:
+    parts = []
+    for qid, phrase in sorted(PHRASE_QUERIES.items()):
+        ts = phrase.split()
+        cond = " AND ".join(f"t[i+{j}] = '{t}'" for j, t in enumerate(ts))
+        terms_arr = ", ".join(f"'{t}'" for t in ts)
+        parts.append(f"""
+  SELECT {qid} AS query_id, doc_id, len(t)::DOUBLE AS dl,
+         len(list_filter(range(1, len(t) - {len(ts) - 2}),
+                         i -> {cond}))::DOUBLE AS pf,
+         [{terms_arr}] AS qterms
+  FROM toks""")
+    body = "\n  UNION ALL\n".join(parts)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+),
+stats AS (
+  SELECT count(*)::DOUBLE AS n, avg(len(t))::DOUBLE AS avgdl FROM toks
+),
+term_df AS (
+  SELECT term, count(DISTINCT doc_id)::DOUBLE AS df
+  FROM (SELECT doc_id, unnest(t) AS term FROM toks) GROUP BY 1
+),
+pf AS ({body}),
+idfs AS (
+  SELECT p.query_id,
+         sum(ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))) AS sum_idf
+  FROM (SELECT DISTINCT query_id, unnest(qterms) AS term FROM pf) p
+  JOIN term_df d USING (term) CROSS JOIN stats s
+  GROUP BY 1
+),
+scores AS (
+  SELECT pf.query_id, pf.doc_id,
+         round(i.sum_idf * pf.pf * 2.2
+               / (pf.pf + 1.2 * (1.0 - 0.75 + 0.75 * pf.dl / s.avgdl)),
+               4) AS score
+  FROM pf JOIN idfs i USING (query_id) CROSS JOIN stats s
+  WHERE pf.pf >= 1
+)
+SELECT query_id, rank, doc_id, score FROM (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id)::INTEGER AS rank,
+         doc_id, score
+  FROM scores
+) WHERE rank <= {BM25_K}
+"""
 
 
 # ------------------------------------------------------- corpus statistics
@@ -755,6 +845,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bm25_brute_topk": _brute_bm25,
         "bm25_engine_topk": _engine_bm25,
+        "phrase_topk": _phrase_topk,
         "corpus_stats": _corpus_stats,
         "term_df_topk": _term_df_topk,
         "doc_token_counts": _doc_token_counts,
@@ -789,6 +880,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "bm25_brute_topk": _bm25_oracle_sql(),
         "bm25_engine_topk": _bm25_oracle_sql(),
+        "phrase_topk": _phrase_oracle_sql(),
         "corpus_stats": _CORPUS_STATS_SQL,
         "term_df_topk": _TERM_DF_SQL,
         "doc_token_counts": _DOC_TOKEN_SQL,
