@@ -279,7 +279,7 @@ def _interleaved(run_fn, reps: int,
     times: dict[int, list[float]] = {SCALE_LO: [], SCALE_HI: []}
     t0 = time.monotonic()
     pair = 0
-    max_pairs = max(reps * 2, 6)
+    max_pairs = reps + 2  # bounded: driver wall-clock stays predictable
     while pair < reps or (budget_s is not None
                           and time.monotonic() - t0 < budget_s
                           and pair < max_pairs):
