@@ -51,6 +51,16 @@ def main(argv: list[str] | None = None) -> int:
     ph.add_argument("-q", "--query", action="append", required=True)
     ph.add_argument("-k", type=int, default=10)
 
+    hy = sub.add_parser("hybrid", help="BM25 ∪ kNN top-k (RRF fusion; the "
+                                       "docs table must carry an embedding "
+                                       "column)")
+    hy.add_argument("--index", required=True)
+    hy.add_argument("-q", "--query", required=True, help="lexical query text")
+    hy.add_argument("--vec", required=True,
+                    help="query vector as a JSON float list")
+    hy.add_argument("-k", type=int, default=10)
+    hy.add_argument("--depth", type=int, default=20)
+
     args = p.parse_args(argv)
 
     from .session import get_spark
@@ -98,6 +108,17 @@ def main(argv: list[str] | None = None) -> int:
                                   "rank": row["rank"],
                                   "doc_id": row["doc_id"],
                                   "score": round(row["score"], 6)}))
+        elif args.cmd == "hybrid":
+            from .hybrid import search_hybrid
+
+            vec = [float(x) for x in json.loads(args.vec)]
+            res = search_hybrid(spark, args.index,
+                                [(1, args.query, vec)], k=args.k,
+                                depth=args.depth)
+            for row in res.collect():
+                print(json.dumps({"rank": row["rank"],
+                                  "doc_id": row["doc_id"],
+                                  "rrf": round(row["rrf"], 6)}))
         return 0
     finally:
         spark.stop()
