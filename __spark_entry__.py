@@ -461,6 +461,69 @@ SELECT pattern, n FROM (
 # ---------------------------------------------------------- pipeline ops
 
 
+def _a3_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 median (the median-line-height analogue, text_based:~520):
+    EXACT interpolated median per group (not percentile_approx — the
+    oracle must hash-match)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (li.groupBy("l_suppkey")
+            .agg(F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4)
+                 .alias("median_price"),
+                 F.count("*").cast("long").alias("n")))
+
+
+_A3_SQL = """
+SELECT l_suppkey, round(quantile_cont(l_extendedprice, 0.5), 4)
+         AS median_price,
+       count(*)::BIGINT AS n
+FROM lineitem GROUP BY 1
+"""
+
+
+def _w6_para_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W6 incomplete-paragraph carry (chunker.py:44-68 shape): lines whose
+    predecessor did NOT terminate merge into its paragraph — a running sum
+    over a lag flag assigns paragraph ids; aggregates per paragraph."""
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    lines = part.select(
+        "p_brand", F.col("p_partkey").alias("ord"),
+        F.length("p_name").alias("chars"),
+        # deterministic 'line terminates a paragraph' flag
+        (F.col("p_partkey") % 3 == 0).cast("int").alias("terminal"))
+    w = Window.partitionBy("p_brand").orderBy("ord")
+    para = (lines
+            .withColumn("starts_new",
+                        F.coalesce(F.lag("terminal").over(w), F.lit(1)))
+            .withColumn("para_id",
+                        F.sum("starts_new").over(
+                            w.rowsBetween(Window.unboundedPreceding, 0))))
+    return (para.groupBy("p_brand", "para_id")
+            .agg(F.count("*").cast("long").alias("n_lines"),
+                 F.sum("chars").cast("long").alias("chars"),
+                 F.min("ord").alias("first_ord")))
+
+
+_W6_SQL = """
+WITH lines AS (
+  SELECT p_brand, p_partkey AS ord, length(p_name) AS chars,
+         CASE WHEN p_partkey % 3 = 0 THEN 1 ELSE 0 END AS terminal
+  FROM part
+),
+para AS (
+  SELECT *, sum(starts_new) OVER (PARTITION BY p_brand ORDER BY ord
+                                  ROWS UNBOUNDED PRECEDING) AS para_id
+  FROM (
+    SELECT *, coalesce(lag(terminal) OVER (PARTITION BY p_brand
+                                           ORDER BY ord), 1) AS starts_new
+    FROM lines
+  )
+)
+SELECT p_brand, para_id, count(*)::BIGINT AS n_lines,
+       sum(chars)::BIGINT AS chars, min(ord) AS first_ord
+FROM para GROUP BY 1, 2
+"""
+
+
 def _dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup over the corpus with PLANTED duplicates (every 50th doc
     re-appears under doc_id+1000000) so the oracle verifies non-trivial
@@ -855,6 +918,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f4_anti_join": _f4_anti_join,
         "w5_sessionize": _w5_sessionize,
         "a4_repeated_patterns": _a4_repeated_patterns,
+        "a3_median": _a3_median,
+        "w6_para_merge": _w6_para_merge,
         "dedup_exact": _dedup_exact,
         "fingerprints": _fingerprints,
         "quality_scores": _quality,
@@ -890,6 +955,8 @@ def oracle_sql() -> dict[str, str]:
         "f4_anti_join": _F4_SQL,
         "w5_sessionize": _W5_SQL,
         "a4_repeated_patterns": _A4_SQL,
+        "a3_median": _A3_SQL,
+        "w6_para_merge": _W6_SQL,
         "dedup_exact": _DEDUP_EXACT_SQL,
         "fingerprints": fingerprints_oracle_sql(),
         "quality_scores": quality_scores_oracle_sql(),
