@@ -518,7 +518,7 @@ para AS (
     FROM lines
   )
 )
-SELECT p_brand, para_id, count(*)::BIGINT AS n_lines,
+SELECT p_brand, para_id::BIGINT AS para_id, count(*)::BIGINT AS n_lines,
        sum(chars)::BIGINT AS chars, min(ord) AS first_ord
 FROM para GROUP BY 1, 2
 """

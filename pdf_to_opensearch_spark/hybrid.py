@@ -46,7 +46,11 @@ def knn_docs_topk(spark: SparkSession, index_dir: str,
 
     qids = np.array([q for q, _v in query_vecs], dtype=np.int64)
     qm = np.stack([np.asarray(v, dtype=np.float64) for _q, v in query_vecs])
-    qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    qnorms = np.linalg.norm(qm, axis=1, keepdims=True)
+    if not np.all(qnorms > 0):
+        bad = qids[(qnorms[:, 0] == 0)].tolist()
+        raise ValueError(f"zero-norm query vector(s) for query_id {bad}")
+    qn = qm / qnorms
 
     def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -54,7 +58,10 @@ def knn_docs_topk(spark: SparkSession, index_dir: str,
                 continue
             m = np.stack([np.asarray(v, dtype=np.float64)
                           for v in pdf[vec_col]])
-            m = m / np.linalg.norm(m, axis=1, keepdims=True)
+            # epsilon clamp: a zero-norm stored embedding gets sim 0
+            # everywhere (deterministic) instead of NaN poisoning lexsort
+            m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True),
+                               1e-12)
             ids = pdf["doc_id"].to_numpy(np.int64)
             sims = qn @ m.T
             out_q, out_d, out_s = [], [], []
@@ -85,6 +92,73 @@ def knn_docs_topk(spark: SparkSession, index_dir: str,
                     F.round("sim", 6).alias("sim")))
 
 
+def knn_docs_topk_lsh(spark: SparkSession, index_dir: str,
+                      query_vecs: list[tuple[int, list[float]]], k: int = 10,
+                      vec_col: str = "embedding", n_planes: int = 8,
+                      seed: int = 42) -> DataFrame:
+    """Approximate cosine top-k: exact re-rank restricted to docs sharing
+    the query's hyperplane-LSH bucket (ops/similarity.lsh_topk pattern,
+    external query vectors). The 100-TB vector side: candidate set shrinks
+    ~2^-n_planes vs the full-scan GEMM of :func:`knn_docs_topk`.
+
+    Same output schema/ordering as :func:`knn_docs_topk`; recall < 1 by
+    construction (bucket boundary misses) — pick via ``vector_mode``.
+    """
+    from collections.abc import Iterator
+
+    from .ops.similarity import hyperplane_buckets
+
+    qm = np.stack([np.asarray(v, dtype=np.float64) for _q, v in query_vecs])
+    qnorms = np.linalg.norm(qm, axis=1, keepdims=True)
+    if not np.all(qnorms > 0):
+        raise ValueError("zero-norm query vector")
+    dim = qm.shape[1]
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, dim))  # same as hyperplane_buckets
+    signs = (qm @ planes.T) > 0
+    q_buckets = (signs.astype(np.int64) <<
+                 np.arange(n_planes, dtype=np.int64)).sum(axis=1)
+    qn = {int(q): (qm[i] / qnorms[i, 0])
+          for i, (q, _v) in enumerate(query_vecs)}
+    bucket_rows = [(int(q), int(b))
+                   for (q, _v), b in zip(query_vecs, q_buckets)]
+
+    paths = IndexPaths(index_dir)
+    docs = (spark.read.parquet(paths.docs)
+            .filter(F.col(vec_col).isNotNull())
+            .select("doc_id", vec_col))
+    d_buckets = hyperplane_buckets(docs, n_planes=n_planes, seed=seed,
+                                   id_col="doc_id", vec_col=vec_col, dim=dim)
+    qb = spark.createDataFrame(bucket_rows, "query_id int, bucket long")
+    cands = (docs.join(d_buckets, "doc_id")
+             .join(F.broadcast(qb), "bucket")
+             .select("query_id", "doc_id", vec_col))
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            m = np.stack([np.asarray(v, dtype=np.float64)
+                          for v in pdf[vec_col]])
+            m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True),
+                               1e-12)
+            qmat = np.stack([qn[int(q)] for q in pdf["query_id"]])
+            yield pd.DataFrame({
+                "query_id": pdf["query_id"].to_numpy(np.int32),
+                "doc_id": pdf["doc_id"].to_numpy(np.int64),
+                "sim": (qmat * m).sum(axis=1),
+            })
+
+    scored = cands.mapInPandas(
+        kernel, schema="query_id int, doc_id long, sim double")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("doc_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "doc_id",
+                    F.round("sim", 6).alias("sim")))
+
+
 def rrf_fuse(bm25: DataFrame, knn: DataFrame, k: int = 10,
              k0: int = RRF_K0) -> DataFrame:
     """Reciprocal-rank fusion of two (query_id, rank, doc_id, ...) lists.
@@ -110,15 +184,20 @@ def rrf_fuse(bm25: DataFrame, knn: DataFrame, k: int = 10,
 def search_hybrid(spark: SparkSession, index_dir: str,
                   queries: list[tuple[int, str, list[float]]], k: int = 10,
                   depth: int = 20, k0: int = RRF_K0,
-                  prune: bool = True) -> DataFrame:
+                  prune: bool = True,
+                  vector_mode: str = "exact") -> DataFrame:
     """Hybrid top-k: (query_id, text, vector) → RRF(BM25 top-depth, kNN
     top-depth) → (query_id, rank, doc_id, rrf).
 
     The lexical side runs the native block-max BM25 engine; the vector
     side scans the docs table's embedding column. ``depth`` is the
     per-list candidate depth feeding the fusion (OpenSearch hybrid
-    ``k``-per-subquery analogue).
+    ``k``-per-subquery analogue). ``vector_mode='exact'`` is the full-scan
+    GEMM baseline (oracle-checkable); ``'lsh'`` restricts the scan to the
+    query's hyperplane bucket — the 10^12-doc scale path (approximate).
     """
+    if vector_mode not in ("exact", "lsh"):
+        raise ValueError(f"vector_mode must be exact|lsh, got {vector_mode!r}")
     # fetch a small buffer past depth, then re-rank the engine's exact
     # scores on ROUNDED values and cut at depth — fusion ranks are then
     # reproducible against an external oracle even when full-precision
@@ -130,6 +209,7 @@ def search_hybrid(spark: SparkSession, index_dir: str,
     bm = (bm.withColumn("rank", F.row_number().over(wb))
           .filter(F.col("rank") <= depth)
           .select("query_id", "rank", "doc_id"))
-    knn = knn_docs_topk(spark, index_dir,
-                        [(q, v) for q, _t, v in queries], k=depth)
+    knn_fn = knn_docs_topk if vector_mode == "exact" else knn_docs_topk_lsh
+    knn = knn_fn(spark, index_dir,
+                 [(q, v) for q, _t, v in queries], k=depth)
     return rrf_fuse(bm, knn.select("query_id", "rank", "doc_id"), k=k, k0=k0)

@@ -270,11 +270,15 @@ def prepare_docs(spark: SparkSession, docs_df: DataFrame, out_dir: str,
     paths = IndexPaths(out_dir)
     with_ids = assign_doc_ids(docs_df, partitions=id_partitions,
                               with_range_id=True)
-    docs = with_ids.withColumn("dl", token_count_udf(F.col("text")))
-    # one file per id-partition → each docs file holds exactly one doc
-    # range; build_postings exploits this to run with ZERO shuffle
-    docs.write.mode("overwrite").parquet(paths.docs)
-    with_ids._persisted_input.unpersist()
+    try:
+        docs = with_ids.withColumn("dl", token_count_udf(F.col("text")))
+        # one file per id-partition → each docs file holds exactly one doc
+        # range; build_postings exploits this to run with ZERO shuffle
+        docs.write.mode("overwrite").parquet(paths.docs)
+    finally:
+        # unpersist even when the write fails: repeated builds in one
+        # session must not accumulate cached partitions
+        with_ids._persisted_input.unpersist()
     # docs-derived tables belong to phase A: they never change during the
     # indexing job, so the job itself doesn't pay for them (and doesn't
     # rescan docs for N/avgdl — docs_meta is a one-row point read)
@@ -357,8 +361,15 @@ def build_postings(spark: SparkSession, out_dir: str,
         # bucket/term filters prune via parquet row-group min/max stats —
         # same pruning power as directory partitioning without the dynamic
         # -partition writer's sort + many-small-files commit cost
-        (postings.sortWithinPartitions("bucket", "term")
-         .write.mode(mode).parquet(paths.postings))
+        w = postings.sortWithinPartitions("bucket", "term").write.mode(mode)
+        if mode == "append":
+            from .streaming import _bucket_partitioned
+            if _bucket_partitioned(paths.postings):
+                # resuming onto a legacy bucket=N/ partitioned index: a
+                # root-level flat append would be invisible to partition
+                # discovery — keep the dir's own layout
+                w = w.partitionBy("bucket")
+        w.parquet(paths.postings)
         tick("spimi_write")
     finally:
         for key, old in (("spark.sql.files.maxPartitionBytes", old_mpb),

@@ -101,6 +101,18 @@ def _log_batch(spark: SparkSession, paths: IndexPaths, batch_id: int,
         .write.mode("append").parquet(_batch_log_path(paths))
 
 
+def _bucket_partitioned(postings_path: str) -> bool:
+    """True when the postings dir uses the legacy ``bucket=N/`` directory
+    layout (pre-flat-write indexes). Appending root-level flat files to
+    such a dir would be SILENTLY IGNORED by Spark partition discovery —
+    every write path must check this and keep the layout consistent."""
+    import glob
+    import os
+
+    return any(os.path.isdir(p)
+               for p in glob.glob(os.path.join(postings_path, "bucket=*")))
+
+
 def _swap_rewrite(spark: SparkSession, path: str, df: DataFrame,
                   partition_by: str | None = None) -> None:
     """Rewrite a local parquet dir from a filtered read (staging + rename).
@@ -136,17 +148,20 @@ def rollback_incomplete(spark: SparkSession, index_dir: str) -> list[int]:
     min_base = min(b for _i, b, _r in pending)
     st = spark.read.parquet(paths.stats).collect()[0]
     dpr = int(st["docs_per_range"])
-    ranges = [r for _i, _b, r in pending if r >= 0]
-    # the log records each batch's first NEW range id; legacy logs
-    # (base_range = -1) fall back to fixed-width arithmetic
-    min_range = min(ranges) if len(ranges) == len(pending) \
-        else min_base // dpr
+    # the log records each batch's first NEW range id; a legacy entry
+    # (base_range = -1) falls back to fixed-width arithmetic FOR THAT
+    # ENTRY ONLY — an all-or-nothing fallback on a mixed-era log would
+    # apply doc_id//dpr arithmetic to assigned-range ids it has no
+    # relation to, orphaning or dropping committed ranges
+    min_range = min((r if r >= 0 else b // dpr) for _i, b, r in pending)
     _swap_rewrite(spark, paths.docs,
                   spark.read.parquet(paths.docs)
                   .filter(F.col("doc_id") < min_base))
     _swap_rewrite(spark, paths.postings,
                   spark.read.parquet(paths.postings)
-                  .filter(F.col("range_id") < min_range))
+                  .filter(F.col("range_id") < min_range),
+                  partition_by="bucket"
+                  if _bucket_partitioned(paths.postings) else None)
     # mark as committed-with-rollback so they are not retried against
     for bid, base, brange in pending:
         _log_batch(spark, paths, bid, base, brange, "rolled_back")
@@ -191,19 +206,21 @@ def append_batch(spark: SparkSession, new_docs: DataFrame, index_dir: str,
     ided = assign_doc_ids(new_docs.select("url", "text", "lang"),
                           partitions=max(new_docs.rdd.getNumPartitions(), 1),
                           with_range_id=True)
-    with_ids = (ided
-                .withColumn("doc_id", F.col("doc_id") + F.lit(base))
-                .withColumn("range_id",
-                            (F.col("range_id") + F.lit(base_range))
-                            .cast("int"))
-                .withColumn("dl", token_count_udf(F.col("text"))))
-    n_new = with_ids.count()
-    if n_new == 0:
-        return 0
-    if batch_id is not None:
-        _log_batch(spark, paths, batch_id, base, base_range, "begin")
-    with_ids.write.mode("append").parquet(paths.docs)
-    ided._persisted_input.unpersist()
+    try:
+        with_ids = (ided
+                    .withColumn("doc_id", F.col("doc_id") + F.lit(base))
+                    .withColumn("range_id",
+                                (F.col("range_id") + F.lit(base_range))
+                                .cast("int"))
+                    .withColumn("dl", token_count_udf(F.col("text"))))
+        n_new = with_ids.count()
+        if n_new == 0:
+            return 0
+        if batch_id is not None:
+            _log_batch(spark, paths, batch_id, base, base_range, "begin")
+        with_ids.write.mode("append").parquet(paths.docs)
+    finally:
+        ided._persisted_input.unpersist()
     # batch-local Σdl for the incremental N/avgdl update (O(batch) agg
     # over the just-written rows, pruned by the doc_id >= base predicate)
     dl_row = (spark.read.parquet(paths.docs)
@@ -221,17 +238,22 @@ def append_batch(spark: SparkSession, new_docs: DataFrame, index_dir: str,
         _spimi_batches(), schema=POSTINGS_SCHEMA)
     postings = postings.withColumn(
         "bucket", term_bucket_col(F.col("term"), n_buckets))
-    (postings.sortWithinPartitions("bucket", "term")
-     .write.mode("append").parquet(paths.postings))
+    w = postings.sortWithinPartitions("bucket", "term").write.mode("append")
+    if _bucket_partitioned(paths.postings):
+        # legacy bucket=N/ directory layout: a root-level flat append would
+        # be invisible to partition discovery — keep the dir's own layout
+        w = w.partitionBy("bucket")
+    w.parquet(paths.postings)
 
-    _incremental_refresh(spark, paths, st, base_range, n_new, batch_dl_sum)
+    _incremental_refresh(spark, paths, st, base, base_range, n_new,
+                         batch_dl_sum)
     if batch_id is not None:
         _log_batch(spark, paths, batch_id, base, base_range, "committed")
     return n_new
 
 
 def _incremental_refresh(spark: SparkSession, paths: IndexPaths, st,
-                         base_range: int, n_new: int,
+                         base: int, base_range: int, n_new: int,
                          batch_dl_sum: int) -> None:
     """O(batch) derived-table maintenance after an append.
 
@@ -253,8 +275,11 @@ def _incremental_refresh(spark: SparkSession, paths: IndexPaths, st,
               .groupBy("term")
               .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf")))
     _swap_rewrite(spark, paths.dictionary, merged)
+    # filter on the batch's OWN first doc_id: with prepare-assigned ranges
+    # base_range is a partition ordinal unrelated to doc_id arithmetic, so
+    # base_range * docs_per_range would silently drop or duplicate rows
     (spark.read.parquet(paths.docs)
-     .filter(F.col("doc_id") >= base_range * int(st["docs_per_range"]))
+     .filter(F.col("doc_id") >= base)
      .select("doc_id", "dl")
      .write.mode("append").parquet(paths.doc_stats))
     N_old, avgdl_old = int(st["N"]), float(st["avgdl"])

@@ -95,3 +95,71 @@ def test_knn_docs_topk_exact(spark, hybrid_setup):
     sims = emb_n @ (qv / np.linalg.norm(qv))
     order = np.lexsort((np.arange(len(sims)), -sims))[:5]
     assert list(got["doc_id"]) == [int(i) for i in order]
+
+
+def test_zero_norm_doc_embedding_is_deterministic(spark, tmp_path):
+    # a zero-norm stored embedding must score 0 (not NaN) and never
+    # displace real neighbors nondeterministically
+    from pdf_to_opensearch_spark.hybrid import knn_docs_topk
+
+    rng = np.random.default_rng(3)
+    vecs = rng.standard_normal((20, 8))
+    vecs[5] = 0.0
+    rows = [(int(i), [float(x) for x in vecs[i]]) for i in range(20)]
+    root = str(tmp_path / "zn")
+    spark.createDataFrame(rows, "doc_id long, embedding array<double>") \
+        .write.parquet(f"{root}/docs")
+    got = (knn_docs_topk(spark, root, [(1, list(vecs[0]))], k=20)
+           .toPandas().sort_values("rank", ignore_index=True))
+    assert np.isfinite(got["sim"]).all()
+    assert float(got.set_index("doc_id").loc[5, "sim"]) == 0.0
+
+
+def test_zero_norm_query_raises(spark, tmp_path):
+    from pdf_to_opensearch_spark.hybrid import knn_docs_topk
+
+    root = str(tmp_path / "znq")
+    spark.createDataFrame([(0, [1.0, 2.0])],
+                          "doc_id long, embedding array<double>") \
+        .write.parquet(f"{root}/docs")
+    with pytest.raises(ValueError, match="zero-norm"):
+        knn_docs_topk(spark, root, [(1, [0.0, 0.0])], k=5)
+
+
+def test_knn_lsh_recall_vs_exact(spark, tmp_path):
+    # clustered corpus: each query's true neighbors are its cluster mates,
+    # which co-bucket w.h.p. → LSH recall vs exact must be >= 0.8
+    from pdf_to_opensearch_spark.hybrid import knn_docs_topk, knn_docs_topk_lsh
+
+    rng = np.random.default_rng(11)
+    centers = rng.standard_normal((20, 16)) * 4.0
+    vecs = np.repeat(centers, 10, axis=0) + rng.standard_normal((200, 16)) * 0.05
+    rows = [(int(i), [float(x) for x in vecs[i]]) for i in range(200)]
+    root = str(tmp_path / "lshidx")
+    spark.createDataFrame(rows, "doc_id long, embedding array<double>") \
+        .write.parquet(f"{root}/docs")
+    queries = [(q, list(vecs[q * 10])) for q in range(5)]
+    exact = knn_docs_topk(spark, root, queries, k=8).toPandas()
+    approx = knn_docs_topk_lsh(spark, root, queries, k=8,
+                               n_planes=4).toPandas()
+    recalls = []
+    for q in range(5):
+        e = set(exact[exact["query_id"] == q]["doc_id"])
+        a = set(approx[approx["query_id"] == q]["doc_id"])
+        recalls.append(len(e & a) / len(e))
+    assert sum(recalls) / len(recalls) >= 0.8, recalls
+
+
+def test_search_hybrid_lsh_mode(spark, hybrid_setup):
+    # lsh mode must run end-to-end and keep the exact mode untouched
+    from pdf_to_opensearch_spark.hybrid import search_hybrid
+
+    root, _oracle, emb = hybrid_setup
+    queries = [(1, "spark index posting", list(emb[7]))]
+    got = (search_hybrid(spark, root, queries, k=K, depth=DEPTH,
+                         vector_mode="lsh")
+           .toPandas().sort_values("rank", ignore_index=True))
+    assert len(got) == K
+    assert list(got["rank"]) == list(range(1, K + 1))
+    with pytest.raises(ValueError, match="vector_mode"):
+        search_hybrid(spark, root, queries, vector_mode="bogus")

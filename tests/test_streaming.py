@@ -143,3 +143,64 @@ def test_streaming_end_to_end(spark, base_index, tmp_path):
     oracle = _oracle_for([pdf0, pdf1],
                          [np.arange(n0), np.arange(base, base + len(pdf1))])
     _check(spark, root, oracle)
+
+
+def test_append_to_legacy_bucket_partitioned_index(spark, base_index):
+    # legacy indexes store postings under bucket=N/ subdirs; a flat append
+    # would be silently invisible to partition discovery — the writer must
+    # detect the layout and keep it (appended docs stay searchable)
+    import shutil
+
+    from pdf_to_opensearch_spark.indexer import IndexPaths
+    from pdf_to_opensearch_spark.streaming import _bucket_partitioned
+
+    root, pdf0 = base_index
+    paths = IndexPaths(root)
+    # migrate the flat postings dir to the legacy bucket-partitioned layout
+    legacy = paths.postings + ".legacy"
+    (spark.read.parquet(paths.postings)
+     .write.partitionBy("bucket").parquet(legacy))
+    shutil.rmtree(paths.postings)
+    shutil.move(legacy, paths.postings)
+    assert _bucket_partitioned(paths.postings)
+
+    pdf1, sdf1 = _batch_docs(spark, 30, seed=44)
+    assert append_batch(spark, sdf1, root, batch_id=2) == len(pdf1)
+    # the appended postings are VISIBLE: per-range doc coverage is complete
+    posts = spark.read.parquet(paths.postings)
+    n0 = len(pdf0)
+    n_docs = spark.read.parquet(f"{root}/docs").count()
+    assert n_docs == n0 + len(pdf1)
+    appended_terms = posts.filter(posts["first_doc_id"] >= n0).count()
+    assert appended_terms > 0
+    oracle = _oracle_for([pdf0, pdf1],
+                         [np.arange(n0), np.arange(n0, n0 + len(pdf1))])
+    _check(spark, root, oracle)
+
+
+def test_append_doc_stats_consistency(spark, tmp_path):
+    # prepare-assigned range ids are partition ordinals, NOT doc_id //
+    # docs_per_range — the doc_stats append filter must use the batch's
+    # own base doc_id (id_partitions=8 / num_ranges=2 is the combination
+    # where the old arithmetic silently dropped batch rows)
+    from pyspark.sql import functions as F
+
+    from pdf_to_opensearch_spark.extract import extract_docs
+    from pdf_to_opensearch_spark.indexer import build_index
+    from pdf_to_opensearch_spark.synth import make_pages
+
+    root = str(tmp_path / "dsidx")
+    pages = make_pages(spark, n_docs=40, seed=13, partitions=4)
+    build_index(spark, extract_docs(pages), root, num_ranges=2, n_buckets=8,
+                id_partitions=8)
+    _pdf1, sdf1 = _batch_docs(spark, 10, seed=66)
+    assert append_batch(spark, sdf1, root, batch_id=1) == 10
+    docs_n = spark.read.parquet(f"{root}/docs").count()
+    stats = spark.read.parquet(f"{root}/doc_stats")
+    assert docs_n == 50
+    assert stats.count() == docs_n
+    assert stats.select("doc_id").distinct().count() == docs_n
+    # and the stats rows agree with docs on dl
+    joined = (spark.read.parquet(f"{root}/docs").select("doc_id", "dl")
+              .join(stats.withColumnRenamed("dl", "dl2"), "doc_id"))
+    assert joined.filter(F.col("dl") != F.col("dl2")).count() == 0
