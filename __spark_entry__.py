@@ -155,18 +155,25 @@ _BUILT_INDEXES: set[str] = set()
 
 def _ensure_engine_index(spark: SparkSession, sf_dir: str) -> str:
     """Build the engine index over the sf documents corpus once per
-    process (never trust a stale /tmp dir from an older engine layout)."""
+    process (never trust a stale /tmp dir from an older engine layout).
+
+    The indexed unit carries the embedding column (LEFT join — docs
+    without a vector still serve BM25, mirroring the reference mapping's
+    optional knn_vector field, opensearch_loader.py:226-230), so the SAME
+    index serves the lexical entries AND hybrid_topk: no second build."""
     from pdf_to_opensearch_spark.indexer import build_index
 
     out = os.path.join(tempfile.gettempdir(),
                        "entry_index_" + sf_dir.strip("/").replace("/", "_"))
     if out not in _BUILT_INDEXES:
-        docs = _docs(spark, sf_dir).select(
-            F.concat(F.lit("doc://"),
-                     F.lpad(F.col("doc_id").cast("string"), 10, "0")
-                     ).alias("url"),
-            "text", "lang")
-        build_index(spark, docs, out, num_ranges=8, n_buckets=8,
+        docs = _docs(spark, sf_dir)
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        unit = (docs.join(emb, docs.doc_id == emb.vec_id, "left")
+                .select(F.concat(F.lit("doc://"),
+                                 F.lpad(docs.doc_id.cast("string"), 10, "0")
+                                 ).alias("url"),
+                        "text", "lang", "embedding"))
+        build_index(spark, unit, out, num_ranges=8, n_buckets=8,
                     id_partitions=8)
         _BUILT_INDEXES.add(out)
     return out
@@ -675,6 +682,44 @@ WHERE i / (sa.sz + sb.sz - i) >= {threshold}
 """
 
 
+def _jaccard_allpairs_oracle_sql(threshold: float = 0.7) -> str:
+    """Oracle for the xxhash64 ``minhash_pairs`` entry: ALL pairs with
+    exact shingle-Jaccard ≥ threshold, banding omitted.
+
+    Sound because (a) the pipeline's verification stage computes the SAME
+    exact Jaccard over the same distinct-shingle sets, so emitted values
+    are hash-family-independent, and (b) on this corpus LSH recall is 1:
+    every true pair has J ≥ 0.8 (next pair down is at J ≈ 0.14) and
+    P(all 8 bands miss | J = 0.8, r = 4) ≈ 1.5% — verified empirically
+    (emitted set == all-pairs set at sf0.01 AND sf0.1, deterministic
+    hashes so the equality is stable). The md5 twin separately
+    hash-checks the banding/bucket-guard stages themselves."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id AS id, {_TOKS_SQL} AS t FROM documents
+),
+sh AS (
+  SELECT DISTINCT id,
+         unnest(list_transform(range(1, len(t)-1),
+                               i -> array_to_string(t[i:i+2], ' '))) AS shingle
+  FROM toks WHERE len(t) >= 3
+),
+sizes AS (SELECT id, count(*)::BIGINT AS sz FROM sh GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*)::BIGINT AS i
+  FROM sh a
+  JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(i / (sa.sz + sb.sz - i), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.id = inter.id_a
+JOIN sizes sb ON sb.id = inter.id_b
+WHERE i / (sa.sz + sb.sz - i) >= {threshold}
+"""
+
+
 def _simhash_md5_oracle_sql(max_hamming: int = 3) -> str:
     hv = _MD5_60.format(x="term")
     return f"""
@@ -967,8 +1012,12 @@ def oracle_sql() -> dict[str, str]:
         "chunk_stats": _chunk_stats_oracle_sql(),
         "minhash_pairs_md5": _minhash_md5_oracle_sql(),
         "simhash_pairs_md5": _simhash_md5_oracle_sql(),
-        # minhash_pairs / simhash_pairs (xxhash64 production family):
-        # rows-only — the md5-family twins are fully oracle-checked.
+        "minhash_pairs": _jaccard_allpairs_oracle_sql(),
+        # simhash_pairs (xxhash64 production family): rows-only — the
+        # hamming-ball pair set depends on the hash family itself, which
+        # DuckDB cannot compute; the md5 twin oracle-checks the pipeline
+        # and tests/test_ops.py pins the xxhash64 family on a planted
+        # fixture where both families must agree.
     }
 
 
@@ -1750,18 +1799,11 @@ def _hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference mapping, opensearch_loader.py:226-230)."""
     _ensure_pkg(spark)
     from pdf_to_opensearch_spark.hybrid import search_hybrid
-    from pdf_to_opensearch_spark.indexer import build_index
 
-    docs = _docs(spark, sf_dir)
+    # the shared engine index already carries the embedding column — the
+    # round-2 entry paid a FULL second build_index here (57.2s of 161.9s)
+    out = _ensure_engine_index(spark, sf_dir)
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    unit = (docs.join(emb, docs.doc_id == emb.vec_id)
-            .select(F.concat(F.lit("doc://"),
-                             F.lpad(docs.doc_id.cast("string"), 10, "0")
-                             ).alias("url"),
-                    "text", "lang", "embedding"))
-    out = os.path.join(tempfile.gettempdir(),
-                       "hybrid_index_" + sf_dir.strip("/").replace("/", "_"))
-    build_index(spark, unit, out, num_ranges=8, n_buckets=8, id_partitions=8)
     qvec = {int(r["vec_id"]): list(r["embedding"]) for r in
             emb.filter(emb.vec_id.isin(list(HYBRID_QVECS.values()))).collect()}
     queries = [(qid, text, qvec[HYBRID_QVECS[qid]])

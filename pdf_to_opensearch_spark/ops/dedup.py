@@ -144,19 +144,33 @@ def minhash_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
         ])
     # one posexplode + one self-join (vs a union of per-band joins, which
     # would recompute the signature DAG per band)
+    from pyspark import StorageLevel
+
     banded = sigs.select(
         F.col(id_col).alias("id"),
         F.posexplode(band_arr).alias("band", "bucket"))
-    w = Window.partitionBy("band", "bucket")
-    banded = (banded.withColumn("bn", F.count("*").over(w))
-              .filter(F.col("bn") <= max_bucket)
-              .drop("bn"))
-    a = banded.select(F.col("id").alias("id_a"), "band", "bucket")
-    b = banded.select(F.col("id").alias("id_b"), "band", "bucket")
-    return (a.join(b, ["band", "bucket"])
-            .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b")
-            .distinct())
+    # persist BEFORE the guard + self-join: banded is tiny (docs × bands
+    # rows) but its upstream is the whole shingle→signature pipeline,
+    # which would otherwise run once per join side
+    banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
+    # degenerate-bucket guard as a map-side-combinable groupBy count +
+    # broadcast anti-join of the (rare) oversized buckets — the previous
+    # count(*) OVER (PARTITION BY band, bucket) window shuffled and sorted
+    # EVERY banded row
+    big = (banded.groupBy("band", "bucket")
+           .agg(F.count("*").alias("bn"))
+           .filter(F.col("bn") > max_bucket)
+           .select("band", "bucket"))
+    kept = banded.join(F.broadcast(big), ["band", "bucket"], "left_anti")
+    a = kept.select(F.col("id").alias("id_a"), "band", "bucket")
+    b = kept.select(F.col("id").alias("id_b"), "band", "bucket")
+    out = (a.join(b, ["band", "bucket"])
+           .filter(F.col("id_a") < F.col("id_b"))
+           .select("id_a", "id_b")
+           .distinct())
+    # callers that materialize `out` should unpersist this afterwards
+    out._persisted_banded = banded
+    return out
 
 
 def jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
@@ -229,6 +243,7 @@ def minhash_near_duplicates(df: DataFrame, id_col: str = "doc_id",
     # signature+banding pipeline per join
     cands = cands.persist(StorageLevel.MEMORY_AND_DISK)
     cands.count()
+    cands._persisted_banded.unpersist()
     return jaccard_pairs(df, id_col, text_col, shingle_n, threshold,
                          candidates=cands, shingle_df=sh)
 

@@ -234,3 +234,64 @@ def test_cosine_near_duplicates(spark):
     assert set(map(tuple, exact[["id_a", "id_b"]].to_numpy())) == want
     lsh = cosine_near_duplicates(df, 0.95, method="lsh", dim=16).toPandas()
     assert set(map(tuple, lsh[["id_a", "id_b"]].to_numpy())) == want
+
+
+def test_xxhash64_families_agree_on_planted_corpus(spark):
+    # planted corpus designed so the TRUE near-dup pair set is unambiguous
+    # for any decent hash family: dup docs differ by one word in ~60,
+    # all other docs share no vocabulary. The production xxhash64 family
+    # and the oracle-checked md5 family must both emit exactly the
+    # planted pairs — this pins the xxhash64 outputs that the driver's
+    # DuckDB gate cannot reproduce (no xxhash64 in SQL).
+    from pdf_to_opensearch_spark.ops.dedup import (
+        minhash_near_duplicates,
+        simhash_near_pairs,
+    )
+
+    rng = np.random.default_rng(21)
+    words = [f"w{i:03d}" for i in range(2000)]
+    docs, planted = [], set()
+    did = 0
+    for g in range(4):  # 4 near-dup groups of 2
+        base = list(rng.choice(words, size=60, replace=False))
+        var = list(base)
+        var[7] = "zzz" + str(g)
+        docs.append((did, " ".join(base)))
+        docs.append((did + 1, " ".join(var)))
+        planted.add((did, did + 1))
+        did += 2
+    for _ in range(12):  # unrelated docs: disjoint vocab draws
+        docs.append((did, " ".join(rng.choice(words, size=60, replace=False))))
+        did += 1
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    for fam in ("xxhash64", "md5"):
+        mh = minhash_near_duplicates(df, threshold=0.7, hash_family=fam) \
+            .toPandas()
+        assert set(zip(mh["id_a"], mh["id_b"])) == planted, fam
+
+    # simhash hamming<=3 needs near-identical term-FREQUENCY vectors:
+    # 61 (odd) words repeated 30x — every bit's vote margin is an odd
+    # multiple of 30 (never a tie), so the one-occurrence edit (delta
+    # <= 2 per bit) can NEVER flip a bit: planted pairs sit at hamming 0
+    # under ANY hash family, unrelated docs at ~32
+    sdocs, splanted, did = [], set(), 0
+    for g in range(4):
+        base = list(rng.choice(words, size=61, replace=False))
+        btext = " ".join(w for w in base for _ in range(30))
+        vtext = btext.replace(base[7] + " ", "zzq" + str(g) + " ", 1)
+        sdocs.append((did, btext))
+        sdocs.append((did + 1, vtext))
+        splanted.add((did, did + 1))
+        did += 2
+    for _ in range(12):
+        sdocs.append((did, " ".join(
+            w for w in rng.choice(words, size=61, replace=False)
+            for _ in range(30))))
+        did += 1
+    sdf = spark.createDataFrame(sdocs, "doc_id long, text string")
+    for fam in ("xxhash64", "md5"):
+        sh = simhash_near_pairs(sdf, max_hamming=3,
+                                hash_family=fam).toPandas()
+        got = set(zip(sh["id_a"], sh["id_b"]))
+        assert got == splanted, (fam, got)
