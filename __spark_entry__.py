@@ -1129,6 +1129,282 @@ SELECT left_id, right_id, iou FROM (
 """
 
 
+def _j2_caption_fallback(spark, sf_dir):
+    """J2 with the reference's 'NO CAPTION' fallback (text_based:802-813):
+    images on pages 8-11 have no caption candidates (captions live on
+    pages 0-7 only) and flow through the fallback + aspect-ratio gate."""
+    from pdf_to_opensearch_spark.ops.spatial import nearest_caption_or_fallback
+
+    _ensure_pkg(spark)
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    images = cust.select(
+        F.col("c_custkey").alias("image_id"),
+        (F.col("c_custkey") % 12).alias("page_key"),
+        ((F.col("c_custkey") * 53) % 500).cast("double").alias("x0"),
+        ((F.col("c_custkey") * 41) % 700).cast("double").alias("y0"),
+        (((F.col("c_custkey") * 53) % 500) +
+         (F.col("c_custkey") % 40) * 5).cast("double").alias("x1"),
+        (((F.col("c_custkey") * 41) % 700) + 10 +
+         F.col("c_custkey") % 20).cast("double").alias("y1"))
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    captions = part.select(
+        F.col("p_partkey").alias("caption_id"),
+        (F.col("p_partkey") % 8).alias("page_key"),
+        F.concat(F.lit("cap_"),
+                 F.col("p_partkey").cast("string")).alias("caption"),
+        ((F.col("p_partkey") * 37) % 500).cast("double").alias("x0"),
+        ((F.col("p_partkey") * 61) % 700).cast("double").alias("y0"),
+        (((F.col("p_partkey") * 37) % 500) + 20 +
+         F.col("p_partkey") % 30).cast("double").alias("x1"),
+        (((F.col("p_partkey") * 61) % 700) + 10 +
+         F.col("p_partkey") % 20).cast("double").alias("y1"))
+    return nearest_caption_or_fallback(images, captions,
+                                       image_id="image_id",
+                                       caption_id="caption_id",
+                                       caption_text="caption")
+
+
+_J2_SQL = """
+WITH img AS (
+  SELECT c_custkey AS image_id, c_custkey % 12 AS page_key,
+         ((c_custkey * 53) % 500)::DOUBLE AS x0,
+         ((c_custkey * 41) % 700)::DOUBLE AS y0,
+         (((c_custkey * 53) % 500) + (c_custkey % 40) * 5)::DOUBLE AS x1,
+         (((c_custkey * 41) % 700) + 10 + c_custkey % 20)::DOUBLE AS y1
+  FROM customer
+),
+cap AS (
+  SELECT p_partkey AS caption_id, p_partkey % 8 AS page_key,
+         'cap_' || p_partkey AS caption,
+         ((p_partkey * 37) % 500)::DOUBLE AS x0,
+         ((p_partkey * 61) % 700)::DOUBLE AS y0,
+         (((p_partkey * 37) % 500) + 20 + p_partkey % 30)::DOUBLE AS x1,
+         (((p_partkey * 61) % 700) + 10 + p_partkey % 20)::DOUBLE AS y1
+  FROM part
+),
+joined AS (
+  SELECT i.image_id, c.caption_id, c.caption,
+         CASE WHEN c.caption_id IS NOT NULL THEN
+           round(sqrt(pow(greatest(c.x0 - i.x1, i.x0 - c.x1, 0.0), 2) +
+                      pow(greatest(c.y0 - i.y1, i.y0 - c.y1, 0.0), 2)), 6)
+         END AS distance,
+         i.x1 - i.x0 AS w, i.y1 - i.y0 AS h
+  FROM img i LEFT JOIN cap c USING (page_key)
+),
+best AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY image_id
+                                 ORDER BY distance ASC NULLS LAST,
+                                          caption_id ASC NULLS LAST) AS rn
+    FROM joined
+  ) WHERE rn = 1
+)
+SELECT image_id, caption_id,
+       coalesce(caption, 'NO CAPTION') AS caption, distance
+FROM best
+WHERE caption_id IS NOT NULL
+   OR (h > 0 AND w / h > 0.15 AND w / h < 9.5)
+"""
+
+
+def _f1_dispatch(spark, sf_dir):
+    """F1 text-vs-image routing (pdf_processor.py:29-55): avg 'chars' over
+    the first <=3 pages of each doc routes to text or image extraction.
+    Pages are lineitem rows (chars = 10x quantity); threshold 250 splits
+    the corpus roughly in half so both routes are exercised."""
+    from pdf_to_opensearch_spark.ops.textstats import text_image_dispatch
+
+    _ensure_pkg(spark)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    pages = li.select(F.col("l_orderkey").alias("doc_id"),
+                      F.col("l_linenumber").alias("page_number"),
+                      (F.col("l_quantity") * 10).alias("chars"))
+    out = text_image_dispatch(pages, threshold=250)
+    return out.withColumn("avg_chars", F.round("avg_chars", 4))
+
+
+_F1_SQL = """
+WITH pages AS (
+  SELECT l_orderkey AS doc_id, l_quantity * 10 AS chars
+  FROM lineitem WHERE l_linenumber <= 3
+),
+agg AS (SELECT doc_id, avg(chars) AS a FROM pages GROUP BY 1)
+SELECT doc_id, round(a, 4) AS avg_chars,
+       CASE WHEN a > 250 THEN 'text' ELSE 'image' END AS route
+FROM agg
+"""
+
+
+def _a2_indent_hist(spark, sf_dir):
+    """A2 indentation histogram (text_based:212-239): round(x0,1) counts,
+    top-2 per doc; continuation = the smaller, start = the larger (NULL
+    when only one distinct indent). x0 values are exact binary halves so
+    round(,1) is engine-independent."""
+    from pdf_to_opensearch_spark.ops.textstats import indentation_profile
+
+    _ensure_pkg(spark)
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    blocks = part.select(
+        "p_brand",
+        (((F.col("p_partkey") * 7) % 40) / 2.0).alias("x0"))
+    return indentation_profile(blocks, doc_col="p_brand")
+
+
+_A2_SQL = """
+WITH blocks AS (
+  SELECT p_brand, round(((p_partkey * 7) % 40) / 2.0, 1) AS xr FROM part
+),
+counts AS (SELECT p_brand, xr, count(*) AS n FROM blocks GROUP BY 1, 2),
+top2 AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY p_brand
+                                 ORDER BY n DESC, xr) AS rn
+    FROM counts
+  ) WHERE rn <= 2
+)
+SELECT p_brand,
+       CASE WHEN count(*) = 2 THEN max(xr) END AS start_indent,
+       min(xr) AS continuation_indent
+FROM top2 GROUP BY 1
+"""
+
+
+def _c19_table_render(spark, sf_dir):
+    """C19 table-payload serialization (text_based:1604-1606, 1637): per
+    brand, a (columns, rows) payload rendered as a pipe table and a
+    pandas-split-orient JSON string."""
+    from pdf_to_opensearch_spark.ops.render import (
+        table_markdown,
+        table_split_json,
+    )
+
+    _ensure_pkg(spark)
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    rows = part.select(
+        "p_brand",
+        F.array(F.lpad(F.col("p_partkey").cast("string"), 6, "0"),
+                F.col("p_size").cast("string")).alias("r"))
+    payload = (rows.groupBy("p_brand")
+               .agg(F.sort_array(F.collect_list("r")).alias("data"))
+               .withColumn("cols", F.array(F.lit("key"), F.lit("size"))))
+    return payload.select(
+        "p_brand",
+        table_markdown(F.col("cols"), F.col("data")).alias("table_md"),
+        table_split_json(F.col("cols"), F.col("data")).alias("table_json"))
+
+
+_C19_SQL = """
+WITH rows_ AS (
+  SELECT p_brand, [lpad(p_partkey::VARCHAR, 6, '0'),
+                   p_size::VARCHAR] AS r
+  FROM part
+),
+payload AS (
+  SELECT p_brand, list(r ORDER BY r) AS data FROM rows_ GROUP BY 1
+)
+SELECT p_brand,
+       '| key | size |' || chr(10) || '| --- | --- |' || chr(10) ||
+       list_aggregate(list_transform(data,
+                                     x -> '| ' || x[1] || ' | ' || x[2]
+                                          || ' |'),
+                      'string_agg', chr(10)) AS table_md,
+       to_json(struct_pack(index := range(0, len(data)),
+                           columns := ['key', 'size'],
+                           data := data)) AS table_json
+FROM payload
+"""
+
+
+def _s9_markdown_render(spark, sf_dir):
+    """S9 markdown surface (_generate_final_markdown, text_based:1610-1650)
+    over a synthetic element stream: one doc per customer, elements from
+    its orders (kind cycles through title/text/table/image/etc; every
+    reference branch — page markers, skip-first, caption fallbacks, CDN
+    URL join, empty-table guard — is exercised)."""
+    from pdf_to_opensearch_spark.ops.render import render_markdown
+
+    _ensure_pkg(spark)
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    k = F.col("o_orderkey")
+    elements = o.select(
+        F.col("o_custkey").alias("doc_id"),
+        k.alias("seq"),
+        (k % 3).cast("int").alias("page_index"),
+        F.element_at(F.array(F.lit("title"), F.lit("text"), F.lit("table"),
+                             F.lit("image"), F.lit("etc")),
+                     (k % 5).cast("int") + 1).alias("kind"),
+        F.when(k % 7 == 0, F.lit(""))
+         .otherwise(F.concat(F.lit("body_"), k.cast("string")))
+         .alias("content"),
+        F.when(k % 2 == 0,
+               F.concat(F.lit("cap_"), k.cast("string"))).alias("caption"),
+        F.when(k % 3 == 0,
+               F.concat(F.lit("imgs/"), k.cast("string"),
+                        F.lit(".png"))).alias("s3_key"))
+    return render_markdown(elements)
+
+
+_S9_SQL = """
+WITH el AS (
+  SELECT o_custkey AS doc_id, o_orderkey AS seq,
+         (o_orderkey % 3)::INTEGER AS page_index,
+         ['title','text','table','image','etc'][(o_orderkey % 5)::INTEGER + 1]
+           AS kind,
+         CASE WHEN o_orderkey % 7 = 0 THEN ''
+              ELSE 'body_' || o_orderkey END AS content,
+         CASE WHEN o_orderkey % 2 = 0 THEN 'cap_' || o_orderkey END
+           AS caption,
+         CASE WHEN o_orderkey % 3 = 0 THEN 'imgs/' || o_orderkey || '.png' END
+           AS s3_key
+  FROM orders
+),
+emitted AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY seq) AS rn
+    FROM el
+  ) WHERE rn > 1
+),
+marked AS (
+  SELECT *,
+         CASE WHEN page_index <>
+                   coalesce(lag(page_index) OVER (PARTITION BY doc_id
+                                                  ORDER BY seq), -1)
+              THEN '[page_index: ' || page_index || ']' END AS marker,
+         CASE WHEN caption IS NOT NULL AND caption <> '' THEN caption
+              ELSE 'no caption' END AS cap_or_no
+  FROM emitted
+),
+chunked AS (
+  SELECT doc_id, seq,
+         concat_ws(chr(10), marker,
+           CASE
+             WHEN kind = 'title' THEN '## ' || content
+             WHEN kind = 'table' THEN
+               CASE WHEN content IS NOT NULL AND content <> ''
+                    THEN '** 표: ' || cap_or_no || ' **' || chr(10)
+                         || content END
+             WHEN kind = 'image' THEN
+               CASE WHEN s3_key IS NOT NULL
+                    THEN '**그림: ' || cap_or_no || '**' || chr(10)
+                         || '[URL: ' ||
+                         CASE WHEN starts_with(s3_key, '/') THEN s3_key
+                              ELSE 'https://cdn.example.invalid/' || s3_key
+                              END || ']' ||
+                         CASE WHEN content IS NOT NULL AND content <> ''
+                              THEN chr(10) || '[내용: ' || content
+                                   || ']'
+                              ELSE '' END
+                    END
+             ELSE content
+           END) AS chunk
+  FROM marked
+)
+SELECT doc_id,
+       string_agg(chunk, chr(10) || chr(10) ORDER BY seq) AS markdown
+FROM chunked GROUP BY 1
+"""
+
+
 def _f4b_overlap_anti(spark, sf_dir):
     from pdf_to_opensearch_spark.ops.spatial import overlap_anti_filter
 
@@ -1896,7 +2172,12 @@ FROM events WHERE props->>'k' IS NOT NULL
 def _extra_queries():
     return {
         "j1_nearest_match": _j1_nearest,
+        "j2_caption_fallback": _j2_caption_fallback,
         "j6_best_iou": _j6_best_iou,
+        "f1_dispatch": _f1_dispatch,
+        "a2_indent_hist": _a2_indent_hist,
+        "c19_table_render": _c19_table_render,
+        "s9_markdown_render": _s9_markdown_render,
         "f4b_overlap_anti": _f4b_overlap_anti,
         "w4_percent_rank": _w4_percent_rank,
         "a5_envelope": _a5_envelope,
@@ -1914,7 +2195,12 @@ def _extra_queries():
 def _extra_oracles():
     return {
         "j1_nearest_match": _J1_SQL,
+        "j2_caption_fallback": _J2_SQL,
         "j6_best_iou": _J6_SQL,
+        "f1_dispatch": _F1_SQL,
+        "a2_indent_hist": _A2_SQL,
+        "c19_table_render": _C19_SQL,
+        "s9_markdown_render": _S9_SQL,
         "f4b_overlap_anti": _F4B_SQL,
         "w4_percent_rank": _W4_SQL,
         "a5_envelope": _A5_SQL,

@@ -70,6 +70,52 @@ def nearest_match(left: DataFrame, right: DataFrame, key: str = "page_key",
             .select(left_id, right_id, "distance"))
 
 
+def nearest_caption_or_fallback(images: DataFrame, captions: DataFrame,
+                                key: str = "page_key",
+                                image_id: str = "left_id",
+                                caption_id: str = "right_id",
+                                caption_text: str = "caption",
+                                min_aspect: float = 0.15,
+                                max_aspect: float = 9.5) -> DataFrame:
+    """J2 with the reference's "NO CAPTION" fallback
+    (text_based_converter_refactored.py:802-813): per image, the nearest
+    same-page caption; an image on a page with NO captions emits a
+    fallback row with caption = 'NO CAPTION' — kept only when its aspect
+    ratio passes the reference's outlier gate (height > 0 and
+    min_aspect < w/h < max_aspect; matched images skip the gate).
+
+    ``captions`` carries (caption_id, key, x0..y1, caption_text).
+    Returns (image_id, caption_id nullable, caption, distance nullable).
+    """
+    l = images.select(F.col(image_id), F.col(key),
+                      *[F.col(c).alias(f"l_{c}") for c in
+                        ("x0", "y0", "x1", "y1")])
+    r = captions.select(F.col(caption_id), F.col(key), F.col(caption_text),
+                        *[F.col(c).alias(f"r_{c}") for c in
+                          ("x0", "y0", "x1", "y1")])
+    dist = rect_distance(F.col("l_x0"), F.col("l_y0"), F.col("l_x1"),
+                         F.col("l_y1"), F.col("r_x0"), F.col("r_y0"),
+                         F.col("r_x1"), F.col("r_y1"))
+    joined = (l.join(r, key, "left")
+              .withColumn("distance",
+                          # greatest() ignores NULLs, so an unmatched row
+                          # would read distance 0.0 — force NULL instead
+                          F.when(F.col(caption_id).isNotNull(),
+                                 F.round(dist, 6))))
+    w = Window.partitionBy(image_id).orderBy(
+        F.col("distance").asc_nulls_last(), F.col(caption_id).asc_nulls_last())
+    best = (joined.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1))
+    h = F.col("l_y1") - F.col("l_y0")
+    ratio = (F.col("l_x1") - F.col("l_x0")) / h
+    aspect_ok = (h > 0) & (ratio > min_aspect) & (ratio < max_aspect)
+    return (best.filter(F.col(caption_id).isNotNull() | aspect_ok)
+            .select(image_id, caption_id,
+                    F.coalesce(F.col(caption_text),
+                               F.lit("NO CAPTION")).alias(caption_text),
+                    "distance"))
+
+
 def best_iou_match(left: DataFrame, right: DataFrame, key: str = "page_key",
                    left_id: str = "left_id", right_id: str = "right_id",
                    min_iou: float = 0.0) -> DataFrame:

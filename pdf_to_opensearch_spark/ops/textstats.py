@@ -163,3 +163,51 @@ SELECT {id_col},
                            t -> t <> ''))), ' ')) AS fingerprint
 FROM {table}
 """
+
+
+def text_image_dispatch(pages: DataFrame, doc_col: str = "doc_id",
+                        page_col: str = "page_number",
+                        chars_col: str = "chars",
+                        threshold: int = 100,
+                        first_pages: int = 3) -> DataFrame:
+    """F1: the reference's text-vs-image routing classifier
+    (pdf_processor.py:29-55 ``is_text_based``): average character count
+    over the first ≤ ``first_pages`` pages; above ``threshold`` → the
+    text-extraction branch, else the image/OCR branch.
+
+    Input: one row per page with a character count. Returns
+    (doc, avg_chars, route) with route ∈ {'text', 'image'} — the
+    ``when/otherwise`` dispatch column downstream pipelines branch on.
+    """
+    return (pages
+            .filter(F.col(page_col) <= first_pages)
+            .groupBy(F.col(doc_col))
+            .agg(F.avg(F.col(chars_col)).alias("avg_chars"))
+            .withColumn("route",
+                        F.when(F.col("avg_chars") > threshold, "text")
+                        .otherwise("image")))
+
+
+def indentation_profile(blocks: DataFrame, doc_col: str = "doc_id",
+                        x0_col: str = "x0") -> DataFrame:
+    """A2: the reference's indentation histogram
+    (text_based_converter_refactored.py:212-239
+    ``_analyze_indentation_within_body``): round(x0, 1), count, take the
+    two most common values; continuation = the smaller, start = the
+    larger; a single distinct value yields continuation only (start
+    NULL). Ties in count break by x0 ascending (the reference's Counter
+    order is insertion-dependent — frozen here deterministically).
+    """
+    from pyspark.sql import Window
+
+    counts = (blocks
+              .withColumn("xr", F.round(F.col(x0_col), 1))
+              .groupBy(F.col(doc_col), F.col("xr"))
+              .agg(F.count("*").alias("n")))
+    w = Window.partitionBy(doc_col).orderBy(
+        F.col("n").desc(), F.col("xr").asc())
+    top2 = (counts.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 2))
+    return (top2.groupBy(doc_col)
+            .agg(F.when(F.count("*") == 2, F.max("xr")).alias("start_indent"),
+                 F.min("xr").alias("continuation_indent")))

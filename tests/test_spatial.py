@@ -92,3 +92,29 @@ def test_overlap_anti_filter(spark, rect_dfs):
         overlaps = any(b[1] == a[1] and a[2] < b[4] and b[2] < a[4]
                        and a[3] < b[5] and b[3] < a[5] for b in right)
         assert (a[0] not in kept) == overlaps
+
+
+def test_nearest_caption_or_fallback(spark):
+    from pdf_to_opensearch_spark.ops.spatial import nearest_caption_or_fallback
+
+    # page 1 has a caption; page 2 has none → fallback + aspect gate
+    images = spark.createDataFrame(
+        [(1, 1, 0.0, 0.0, 10.0, 10.0),    # matched (gate skipped)
+         (2, 2, 0.0, 0.0, 10.0, 10.0),    # fallback, ratio 1 → kept
+         (3, 2, 0.0, 0.0, 100.0, 10.0),   # fallback, ratio 10 → dropped
+         (4, 2, 0.0, 0.0, 1.0, 10.0),     # fallback, ratio 0.1 → dropped
+         (5, 2, 0.0, 0.0, 10.0, 0.0)],    # fallback, zero height → dropped
+        "left_id long, page_key long, x0 double, y0 double, "
+        "x1 double, y1 double")
+    captions = spark.createDataFrame(
+        [(100, 1, "Fig 1", 20.0, 0.0, 30.0, 10.0)],
+        "right_id long, page_key long, caption string, x0 double, "
+        "y0 double, x1 double, y1 double")
+    got = (nearest_caption_or_fallback(images, captions)
+           .toPandas().set_index("left_id").sort_index())
+    assert list(got.index) == [1, 2]
+    assert got.loc[1, "caption"] == "Fig 1"
+    assert got.loc[1, "right_id"] == 100
+    assert got.loc[1, "distance"] == 10.0
+    assert got.loc[2, "caption"] == "NO CAPTION"
+    assert got.loc[2, ["right_id", "distance"]].isna().all()
