@@ -1405,6 +1405,177 @@ FROM chunked GROUP BY 1
 """
 
 
+def _c1_nfc_normalize(spark, sf_dir):
+    """C1 NFC normalization (analyzer.py:45, extract.py:49): decomposed
+    combining sequences are appended to each doc so the entry verifies
+    real composition work (pre/post char lengths differ), cross-checked
+    against DuckDB's nfc_normalize."""
+    from pdf_to_opensearch_spark.extract import nfc_udf
+
+    _ensure_pkg(spark)
+    docs = _docs(spark, sf_dir)
+    raw = F.concat(F.substring("text", 1, 40),
+                   F.lit(" cafe\u0301 A\u030arhus"))
+    return docs.select(
+        "doc_id",
+        nfc_udf(raw).alias("nfc_text"),
+        F.length(raw).alias("pre_len"),
+        F.length(nfc_udf(raw)).alias("post_len"))
+
+
+_C1_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         substr(text, 1, 40) || ' cafe' || chr(769) || ' A' || chr(778)
+           || 'rhus' AS raw
+  FROM documents
+)
+SELECT doc_id, nfc_normalize(raw) AS nfc_text,
+       length(raw) AS pre_len,
+       length(nfc_normalize(raw)) AS post_len
+FROM d
+"""
+
+
+def _f11_nearest_threshold(spark, sf_dir):
+    """F11 distance-threshold match (text_based:758-761 max-distance gate):
+    nearest_match with candidates beyond max_distance excluded BEFORE the
+    per-left argmax — lefts whose nearest is too far drop out entirely."""
+    from pdf_to_opensearch_spark.ops.spatial import nearest_match
+
+    _ensure_pkg(spark)
+    return nearest_match(_rects_from_part(spark, sf_dir),
+                         _rects_from_customer(spark, sf_dir),
+                         max_distance=30.0)
+
+
+_F11_SQL = f"""
+WITH {_RECTS_SQL},
+joined AS (
+  SELECT l.left_id, r.right_id,
+         round(sqrt(pow(greatest(r.x0 - l.x1, l.x0 - r.x1, 0.0), 2) +
+                    pow(greatest(r.y0 - l.y1, l.y0 - r.y1, 0.0), 2)), 6)
+           AS distance
+  FROM lrect l JOIN rrect r USING (page_key)
+)
+SELECT left_id, right_id, distance FROM (
+  SELECT *, row_number() OVER (PARTITION BY left_id
+                               ORDER BY distance, right_id) AS rn
+  FROM joined WHERE distance <= 30.0
+) WHERE rn = 1
+"""
+
+
+def _c10_date_format(spark, sf_dir):
+    """C10/C11 timestamp/date formatting (opensearch_loader.py:424 indexed_at
+    / chunkfile date fields): the lineage-timestamp string formats the
+    sinks emit, on the events table (session TZ pinned to UTC so the
+    string render is engine-independent)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss").alias("iso_ts"),
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.year("ts").cast("long").alias("y"),
+        F.month("ts").cast("long").alias("m"),
+        F.unix_timestamp("ts").alias("epoch_s"))
+
+
+_C10_SQL = """
+SELECT event_id,
+       strftime(ts, '%Y-%m-%dT%H:%M:%S') AS iso_ts,
+       strftime(ts, '%Y-%m-%d') AS day,
+       year(ts)::BIGINT AS y, month(ts)::BIGINT AS m,
+       floor(epoch(ts))::BIGINT AS epoch_s
+FROM events
+"""
+
+
+def _f9_blank_canon(spark, sf_dir):
+    """F9 blank filter + C2 whitespace canonicalization (chunking.py:44-46):
+    collapse whitespace runs, trim, drop rows that canonicalize to empty.
+    Planted all-whitespace docs (doc_id+2000000) verify the filter side."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    blanks = docs.orderBy("doc_id").limit(20).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.lit(" \t  \n ").alias("text"))
+    unioned = docs.unionByName(blanks)
+    canon = F.trim(F.regexp_replace("text", r"\s+", " "))
+    return (unioned.select("doc_id", canon.alias("canon_text"))
+            .filter(F.col("canon_text") != "")
+            .select("doc_id", F.length("canon_text").alias("canon_len"),
+                    F.substring("canon_text", 1, 60).alias("head")))
+
+
+_F9_SQL = r"""
+WITH unioned AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 2000000, ' ' || chr(9) || '  ' || chr(10) || ' '
+  FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 20)
+),
+canon AS (
+  SELECT doc_id, trim(regexp_replace(text, '\s+', ' ', 'g')) AS canon_text
+  FROM unioned
+)
+SELECT doc_id, length(canon_text) AS canon_len,
+       substr(canon_text, 1, 60) AS head
+FROM canon WHERE canon_text <> ''
+"""
+
+
+def _f2_font_classes(spark, sf_dir):
+    """F2 font-class projection (text_based:241-296): dominant font by
+    summed span length per doc → text/title/etc per span. Planted blank
+    spans (p_partkey % 23 == 0) exercise the strip-filter: they classify
+    but never vote for the dominant font."""
+    from pdf_to_opensearch_spark.ops.textstats import font_classify
+
+    _ensure_pkg(spark)
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    spans = part.select(
+        F.col("p_partkey").alias("span_id"),
+        F.col("p_brand").alias("doc_id"),
+        (F.col("p_partkey") % 5 + 8).cast("double").alias("size"),
+        F.split(F.col("p_type"), " ").getItem(0).alias("font"),
+        ((F.col("p_partkey") % 5 + 8) * 12).cast("double").alias("height"),
+        F.when(F.col("p_partkey") % 23 == 0, F.lit("  "))
+         .otherwise(F.col("p_name")).alias("text"))
+    out = font_classify(spans)
+    return out.select("span_id", "doc_id", "size", "plain_size",
+                      "text_class")
+
+
+_F2_SQL = """
+WITH spans AS (
+  SELECT p_partkey AS span_id, p_brand AS doc_id,
+         (p_partkey % 5 + 8)::DOUBLE AS size,
+         split_part(p_type, ' ', 1) AS font,
+         ((p_partkey % 5 + 8) * 12)::DOUBLE AS height,
+         CASE WHEN p_partkey % 23 = 0 THEN '  ' ELSE p_name END AS text
+  FROM part
+),
+agg AS (
+  SELECT doc_id, size, font, height,
+         sum(length(trim(text))) AS wl
+  FROM spans WHERE trim(text) <> ''
+  GROUP BY 1, 2, 3, 4
+),
+plain AS (
+  SELECT doc_id, size AS plain_size FROM (
+    SELECT *, row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY wl DESC, size, font, height) AS rn
+    FROM agg
+  ) WHERE rn = 1
+)
+SELECT s.span_id, s.doc_id, s.size, p.plain_size,
+       CASE WHEN s.size = coalesce(p.plain_size, 10.0) THEN 'text'
+            WHEN s.size > coalesce(p.plain_size, 10.0) THEN 'title'
+            ELSE 'etc' END AS text_class
+FROM spans s LEFT JOIN plain p USING (doc_id)
+"""
+
+
 def _f4b_overlap_anti(spark, sf_dir):
     from pdf_to_opensearch_spark.ops.spatial import overlap_anti_filter
 
@@ -2178,6 +2349,11 @@ def _extra_queries():
         "a2_indent_hist": _a2_indent_hist,
         "c19_table_render": _c19_table_render,
         "s9_markdown_render": _s9_markdown_render,
+        "c1_nfc_normalize": _c1_nfc_normalize,
+        "f11_nearest_threshold": _f11_nearest_threshold,
+        "c10_date_format": _c10_date_format,
+        "f9_blank_canon": _f9_blank_canon,
+        "f2_font_classes": _f2_font_classes,
         "f4b_overlap_anti": _f4b_overlap_anti,
         "w4_percent_rank": _w4_percent_rank,
         "a5_envelope": _a5_envelope,
@@ -2201,6 +2377,11 @@ def _extra_oracles():
         "a2_indent_hist": _A2_SQL,
         "c19_table_render": _C19_SQL,
         "s9_markdown_render": _S9_SQL,
+        "c1_nfc_normalize": _C1_SQL,
+        "f11_nearest_threshold": _F11_SQL,
+        "c10_date_format": _C10_SQL,
+        "f9_blank_canon": _F9_SQL,
+        "f2_font_classes": _F2_SQL,
         "f4b_overlap_anti": _F4B_SQL,
         "w4_percent_rank": _W4_SQL,
         "a5_envelope": _A5_SQL,

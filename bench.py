@@ -15,10 +15,15 @@ Scaling protocol (north rule: ≥0.8 efficiency from N to 4N):
   throttles multi-× after sustained load and recovers when idle; gating
   puts every measurement in a comparable machine state). Gate samples are
   emitted as evidence.
-- alternating runs (HI, LO, HI, LO, …), min-of-3 per level, plus a
-  Spark-free process-pool CONTROL at the same worker counts over the same
-  corpus (the machine-envelope reference the efficiency can be compared
-  against).
+- FULLY INTERLEAVED windows (round 3): every window runs spark_hi →
+  pool-control_hi → spark_lo → pool-control_lo back-to-back, so the
+  Spark job and its Spark-free machine-envelope control (a process pool
+  running the REAL SPIMI kernel at the same worker counts over the same
+  corpus) are measured in the same noise window; per-window pairs and
+  per-window envelope ratios are emitted alongside the min-based
+  headline. A kernel-only efficiency (SPIMI+write stage, without the
+  ~2s derived-tables epilogue that amortizes away at any real corpus
+  size) is emitted as well.
 - identical logical work at both levels: fixed num_ranges/buckets, same
   input, same code; a cores-wide warm-up job spawns every Python worker
   before each timed region.
@@ -210,12 +215,15 @@ def _pool_control(corpus_path: str, workers: int) -> float:
 
 # ------------------------------------------------------- spark timed runs
 
-def index_once(cores: int, index_dir: str) -> float:
+def index_once(cores: int, index_dir: str) -> tuple[float, float]:
     """Time the indexing job (phase B) in a fresh JVM at ``cores``.
 
     A cores-wide warm-up UDF job spawns every Python worker before the
     timed region so both parallelism levels measure steady-state
-    throughput.
+    throughput. Returns (whole_job, kernel) seconds — kernel is the
+    SPIMI+write stage alone, whole_job adds the derived-tables epilogue
+    (the constant that dominates whole-job scaling at toy corpus sizes
+    but amortizes to nothing on a real multi-hour build).
     """
     from pdf_to_opensearch_spark.analyzer import token_count_udf
     from pdf_to_opensearch_spark.indexer import build_postings
@@ -230,9 +238,11 @@ def index_once(cores: int, index_dir: str) -> float:
          .select(token_count_udf("text")).count())  # warm-up, all workers
         _gate()
         t0 = time.monotonic()
-        build_postings(spark, index_dir, num_ranges=NUM_RANGES,
-                       n_buckets=N_BUCKETS)
-        return time.monotonic() - t0
+        paths = build_postings(spark, index_dir, num_ranges=NUM_RANGES,
+                               n_buckets=N_BUCKETS)
+        total = time.monotonic() - t0
+        kernel = paths.timings.get("spimi_write", total)
+        return total, kernel
     finally:
         spark.stop()
 
@@ -311,34 +321,83 @@ def main() -> None:  # noqa: C901
         idx = os.path.join(tempfile.gettempdir(), "bench_index_scale")
         n_scale = _prepare_scaling_docs(corpus, idx)
 
-        # Spark-free control: the machine's achievable envelope for the
-        # identical kernel at the same worker counts
-        ctrl: dict[int, list[float]] = {SCALE_LO: [], SCALE_HI: []}
-        for _ in range(2):
-            ctrl[SCALE_HI].append(_pool_control(corpus, SCALE_HI))
-            ctrl[SCALE_LO].append(_pool_control(corpus, SCALE_LO))
-            print(f"[bench] pool control hi/lo: {ctrl[SCALE_HI][-1]:.2f}/"
-                  f"{ctrl[SCALE_LO][-1]:.2f}s", file=sys.stderr, flush=True)
-        c_lo, c_hi = min(ctrl[SCALE_LO]), min(ctrl[SCALE_HI])
-        results["control_pool_lo"] = [round(t, 2) for t in ctrl[SCALE_LO]]
-        results["control_pool_hi"] = [round(t, 2) for t in ctrl[SCALE_HI]]
-        results["control_scaling_efficiency"] = round(
-            (c_lo / c_hi) / (SCALE_HI / SCALE_LO), 4)
-
+        # FULLY INTERLEAVED windows: each window runs spark_hi → ctrl_hi →
+        # spark_lo → ctrl_lo back-to-back, so the Spark job and its
+        # machine-envelope control (the same SPIMI kernel in a plain
+        # process pool) are measured in the SAME noise window — the
+        # round-2 record ran all control pairs before the Spark runs and
+        # the two landed in different machine states.
+        ratio = SCALE_HI / SCALE_LO
         idx_budget = float(os.environ.get("SPARK_GRAFT_SCALE_BUDGET",
-                                           "420"))
-        times = _interleaved(lambda c: index_once(c, idx), SCALE_REPS,
-                             budget_s=idx_budget)
+                                          "420"))
+        times: dict[int, list[float]] = {SCALE_LO: [], SCALE_HI: []}
+        ktimes: dict[int, list[float]] = {SCALE_LO: [], SCALE_HI: []}
+        ctrl: dict[int, list[float]] = {SCALE_LO: [], SCALE_HI: []}
+        windows: list[dict[str, float]] = []
+        t_start = time.monotonic()
+        pair = 0
+        max_pairs = SCALE_REPS + 2
+        while pair < SCALE_REPS or (time.monotonic() - t_start < idx_budget
+                                    and pair < max_pairs):
+            # alternate which level runs first so slow machine-state drift
+            # within a window doesn't systematically penalize one level
+            if pair % 2 == 0:
+                s_hi, k_hi = index_once(SCALE_HI, idx)
+                c_hi = _pool_control(corpus, SCALE_HI)
+                s_lo, k_lo = index_once(SCALE_LO, idx)
+                c_lo = _pool_control(corpus, SCALE_LO)
+            else:
+                s_lo, k_lo = index_once(SCALE_LO, idx)
+                c_lo = _pool_control(corpus, SCALE_LO)
+                s_hi, k_hi = index_once(SCALE_HI, idx)
+                c_hi = _pool_control(corpus, SCALE_HI)
+            times[SCALE_HI].append(s_hi)
+            times[SCALE_LO].append(s_lo)
+            ktimes[SCALE_HI].append(k_hi)
+            ktimes[SCALE_LO].append(k_lo)
+            ctrl[SCALE_HI].append(c_hi)
+            ctrl[SCALE_LO].append(c_lo)
+            w_eff = (s_lo / s_hi) / ratio
+            w_ctrl = (c_lo / c_hi) / ratio
+            windows.append({
+                "spark_hi": round(s_hi, 2), "ctrl_hi": round(c_hi, 2),
+                "spark_lo": round(s_lo, 2), "ctrl_lo": round(c_lo, 2),
+                "kernel_hi": round(k_hi, 2), "kernel_lo": round(k_lo, 2),
+                "spark_eff": round(w_eff, 4),
+                "ctrl_eff": round(w_ctrl, 4),
+                "envelope": round(w_eff / max(w_ctrl, 1e-9), 4),
+                "kernel_eff": round((k_lo / k_hi) / ratio, 4),
+            })
+            print(f"[bench] window {pair}: {windows[-1]}", file=sys.stderr,
+                  flush=True)
+            pair += 1
+
         t_lo, t_hi, eff = _efficiency(times)
+        c_lo, c_hi = min(ctrl[SCALE_LO]), min(ctrl[SCALE_HI])
+        ctrl_eff = (c_lo / c_hi) / ratio
+        k_lo, k_hi = min(ktimes[SCALE_LO]), min(ktimes[SCALE_HI])
         results[f"scale_index_local{SCALE_LO}"] = round(t_lo, 3)
         results[f"scale_index_local{SCALE_HI}"] = round(t_hi, 3)
         results["scale_runs_lo"] = [round(t, 2) for t in times[SCALE_LO]]
         results["scale_runs_hi"] = [round(t, 2) for t in times[SCALE_HI]]
+        results["control_pool_lo"] = [round(t, 2) for t in ctrl[SCALE_LO]]
+        results["control_pool_hi"] = [round(t, 2) for t in ctrl[SCALE_HI]]
         results["scale_thr_lo"] = round(n_scale / t_lo, 1)
         results["scale_thr_hi"] = round(n_scale / t_hi, 1)
         results["scaling_efficiency"] = round(eff, 4)
+        results["control_scaling_efficiency"] = round(ctrl_eff, 4)
         results["scaling_vs_machine_envelope"] = round(
-            eff / max(results["control_scaling_efficiency"], 1e-9), 4)
+            eff / max(ctrl_eff, 1e-9), 4)
+        # kernel-only scaling: the SPIMI+write stage without the
+        # derived-tables epilogue (a ~2s constant that amortizes away on
+        # any real corpus but dominates the whole-job ratio at 30k docs)
+        results["kernel_scaling_efficiency"] = round(
+            (k_lo / k_hi) / ratio, 4)
+        results["scale_windows"] = windows
+        env_sorted = sorted(w["envelope"] for w in windows)
+        results["envelope_per_window_median"] = env_sorted[
+            len(env_sorted) // 2]
+        results["envelope_per_window_best"] = env_sorted[-1]
 
         qtimes = _interleaved(lambda c: query_batch_once(c, idx),
                               max(SCALE_REPS - 1, 2), budget_s=240.0)

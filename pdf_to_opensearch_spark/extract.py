@@ -54,6 +54,15 @@ def extract_text_udf(html_bytes: pd.Series) -> pd.Series:
     return extract_series(html_bytes)
 
 
+@F.pandas_udf(T.StringType())
+def nfc_udf(text: pd.Series) -> pd.Series:
+    """C1 standalone: Unicode NFC normalization of a string column
+    (the normalization step every extract path applies; exposed on its
+    own so downstream text that skipped extraction can be canonicalized).
+    Cython-vectorized pandas normalize — no per-row Python."""
+    return text.fillna("").astype(str).str.normalize("NFC")
+
+
 def extract_docs(pages_df):
     """pages(url, warc_ts, html, text, lang) → docs(url, text, lang).
 

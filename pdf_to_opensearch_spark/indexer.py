@@ -309,13 +309,15 @@ def build_postings(spark: SparkSession, out_dir: str,
 
     timing = os.environ.get("SPARK_GRAFT_TIMING") == "1"
     t0 = time.monotonic()
+    timings: dict[str, float] = {}
 
     def tick(label):
         nonlocal t0
+        now = time.monotonic()
+        timings[label] = timings.get(label, 0.0) + (now - t0)
         if timing:
-            now = time.monotonic()
             print(f"[indexer] {label}: {now - t0:.2f}s", flush=True)
-            t0 = now
+        t0 = now
 
     paths = IndexPaths(out_dir)
     mode = "append" if completed_ranges else "overwrite"
@@ -382,7 +384,11 @@ def build_postings(spark: SparkSession, out_dir: str,
     refresh_derived_tables(spark, paths, N=N, avgdl=avgdl,
                            docs_per_range=docs_per_range,
                            num_ranges=num_ranges, n_buckets=n_buckets,
-                           _tick=tick if timing else None)
+                           _tick=tick)
+    # stage wall-clock breakdown (spimi_write = the parallel kernel+write;
+    # the rest is the small derived-tables epilogue) — bench.py reads this
+    # to report kernel-level scaling next to whole-job scaling
+    paths.timings = dict(timings)
     return paths
 
 
@@ -404,37 +410,55 @@ def refresh_derived_tables(spark: SparkSession, paths: IndexPaths, *,
         if _tick is not None:
             _tick(label)
 
+    from concurrent.futures import ThreadPoolExecutor
+
     meta_cols = spark.read.parquet(paths.postings).select(
         "term", "range_id", "n", "cf", "n_bytes", "wall_ms")
     meta_cols = meta_cols.persist()
-    # dictionary: tiny associative agg (map-side combine ⇒ Zipf-skew immune)
-    (meta_cols.groupBy("term")
-     .agg(F.sum("n").alias("df"), F.sum("cf").alias("cf"))
-     .write.mode("overwrite").parquet(paths.dictionary))
-    tick("dictionary")
+
+    def _dictionary_job():
+        # tiny associative agg (map-side combine ⇒ Zipf-skew immune)
+        (meta_cols.groupBy("term")
+         .agg(F.sum("n").alias("df"), F.sum("cf").alias("cf"))
+         .write.mode("overwrite").parquet(paths.dictionary))
+
+    def _manifest_job():
+        # manifest/lineage per range (archive-sink analogue)
+        (meta_cols.groupBy("range_id")
+         .agg(F.sum("n").alias("n_postings"),
+              F.countDistinct("term").alias("n_terms"),
+              F.sum("n_bytes").alias("bytes"),
+              F.max("wall_ms").alias("wall_ms"))
+         .withColumn("status", F.lit("committed"))
+         .withColumn("analyzer_version", F.lit(ANALYZER_VERSION))
+         .withColumn("committed_at", F.current_timestamp())
+         .write.mode("overwrite").parquet(paths.manifest))
+
+    def _stats_job():
+        stats_pdf = pd.DataFrame([{
+            "N": N, "avgdl": avgdl, "avgdl_build": avgdl,
+            "docs_per_range": docs_per_range, "num_ranges": num_ranges,
+            "n_buckets": n_buckets, "analyzer_version": ANALYZER_VERSION,
+            "k1": BM25_K1, "b": BM25_B,
+        }])
+        (spark.createDataFrame(stats_pdf).coalesce(1)
+         .write.mode("overwrite").parquet(paths.stats))
+
+    # the epilogue's three jobs are independent small writes over a cached
+    # scan — run them as CONCURRENT Spark jobs so the fixed per-job
+    # overhead overlaps instead of serializing (this constant is the
+    # Amdahl term of whole-job scaling at small corpus sizes)
+    jobs = [_dictionary_job, _manifest_job, _stats_job]
     if refresh_doc_stats:
-        (spark.read.parquet(paths.docs).select("doc_id", "dl")
-         .write.mode("overwrite").parquet(paths.doc_stats))
-    stats_pdf = pd.DataFrame([{
-        "N": N, "avgdl": avgdl, "avgdl_build": avgdl,
-        "docs_per_range": docs_per_range, "num_ranges": num_ranges,
-        "n_buckets": n_buckets, "analyzer_version": ANALYZER_VERSION,
-        "k1": BM25_K1, "b": BM25_B,
-    }])
-    spark.createDataFrame(stats_pdf).coalesce(1).write.mode("overwrite").parquet(
-        paths.stats)
-    tick("stats")
-    # manifest/lineage per range (archive-sink analogue)
-    (meta_cols.groupBy("range_id")
-     .agg(F.sum("n").alias("n_postings"),
-          F.countDistinct("term").alias("n_terms"),
-          F.sum("n_bytes").alias("bytes"),
-          F.max("wall_ms").alias("wall_ms"))
-     .withColumn("status", F.lit("committed"))
-     .withColumn("analyzer_version", F.lit(ANALYZER_VERSION))
-     .withColumn("committed_at", F.current_timestamp())
-     .write.mode("overwrite").parquet(paths.manifest))
-    tick("manifest")
+        jobs.append(lambda: (spark.read.parquet(paths.docs)
+                             .select("doc_id", "dl")
+                             .write.mode("overwrite")
+                             .parquet(paths.doc_stats)))
+    with ThreadPoolExecutor(max_workers=len(jobs)) as ex:
+        futures = [ex.submit(j) for j in jobs]
+        for f in futures:
+            f.result()
+    tick("derived_tables")
     meta_cols.unpersist()
 
 

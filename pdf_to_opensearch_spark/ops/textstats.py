@@ -211,3 +211,40 @@ def indentation_profile(blocks: DataFrame, doc_col: str = "doc_id",
     return (top2.groupBy(doc_col)
             .agg(F.when(F.count("*") == 2, F.max("xr")).alias("start_indent"),
                  F.min("xr").alias("continuation_indent")))
+
+
+def font_classify(spans: DataFrame, doc_col: str = "doc_id",
+                  size_col: str = "size", font_col: str = "font",
+                  height_col: str = "height",
+                  text_col: str = "text") -> DataFrame:
+    """F2: the reference's font-class projection
+    (text_based_converter_refactored.py:241-296): per doc, the dominant
+    (size, font, height) triple by summed stripped-span-text length is
+    'plain'; each span classifies as 'text' (size == plain size),
+    'title' (size > plain), else 'etc'. Docs whose spans are all blank
+    fall back to the reference default plain_size = 10.0.
+
+    The reference's ``max(dict)`` tie-break is insertion-order dependent;
+    frozen here as (weight desc, size, font, height asc) — deterministic
+    and engine-independent.
+    """
+    from pyspark.sql import Window
+
+    stripped = F.length(F.trim(F.col(text_col)))
+    agg = (spans.filter(F.trim(F.col(text_col)) != "")
+           .groupBy(doc_col, size_col, font_col, height_col)
+           .agg(F.sum(stripped).alias("wl")))
+    w = Window.partitionBy(doc_col).orderBy(
+        F.col("wl").desc(), F.col(size_col).asc(), F.col(font_col).asc(),
+        F.col(height_col).asc())
+    plain = (agg.withColumn("rn", F.row_number().over(w))
+             .filter(F.col("rn") == 1)
+             .select(F.col(doc_col), F.col(size_col).alias("plain_size"),
+                     F.col(font_col).alias("plain_font"),
+                     F.col(height_col).alias("plain_height")))
+    ps = F.coalesce(F.col("plain_size"), F.lit(10.0))
+    return (spans.join(plain, doc_col, "left")
+            .withColumn("text_class",
+                        F.when(F.col(size_col) == ps, "text")
+                        .when(F.col(size_col) > ps, "title")
+                        .otherwise("etc")))
