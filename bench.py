@@ -386,8 +386,12 @@ def main() -> None:  # noqa: C901
         results["scale_thr_hi"] = round(n_scale / t_hi, 1)
         results["scaling_efficiency"] = round(eff, 4)
         results["control_scaling_efficiency"] = round(ctrl_eff, 4)
+        # envelope denominator clamped to [eps, 1]: a measured control
+        # efficiency > 1 is superlinear-by-noise (per-level mins landing
+        # in different machine states), and dividing by it would punish
+        # the Spark job for the machine's noise, not its scaling
         results["scaling_vs_machine_envelope"] = round(
-            eff / max(ctrl_eff, 1e-9), 4)
+            eff / min(max(ctrl_eff, 1e-9), 1.0), 4)
         # kernel-only scaling: the SPIMI+write stage without the
         # derived-tables epilogue (a ~2s constant that amortizes away on
         # any real corpus but dominates the whole-job ratio at 30k docs)
