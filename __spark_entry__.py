@@ -112,17 +112,23 @@ def _brute_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "doc_id", "score"))
 
 
-def _bm25_oracle_sql() -> str:
+def _bm25_oracle_sql(docs_where: str = "") -> str:
+    """Brute-force BM25 oracle; ``docs_where`` restricts the corpus (the
+    J8 delete-requery twin scores only surviving docs — N/avgdl/df all
+    recompute over the filtered corpus, matching delete_from_index)."""
     qvals = ", ".join(
         f"({qid}, '{t}')"
         for qid, t in sorted({(qid, t) for qid, q in BM25_QUERIES.items()
                               for t in q.split()}))
     return f"""
-WITH toks AS (
-  SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents
+WITH docs0 AS (
+  SELECT * FROM documents {docs_where}
+),
+toks AS (
+  SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM docs0
 ),
 tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2),
-dl AS (SELECT doc_id, len({_TOKS_SQL})::DOUBLE AS dl FROM documents),
+dl AS (SELECT doc_id, len({_TOKS_SQL})::DOUBLE AS dl FROM docs0),
 stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
 q(query_id, term) AS (VALUES {qvals}),
 dfreq AS (
@@ -1576,6 +1582,33 @@ FROM spans s LEFT JOIN plain p USING (doc_id)
 """
 
 
+def _j8_delete_requery(spark, sf_dir):
+    """J8 delete-by-metadata then re-query (uploader.py:218-229 delete
+    path + maintenance.delete_from_index): snapshot the engine index
+    minus every 17th doc, rebuild only the affected ranges, and run the
+    BM25 reference queries against the snapshot. The oracle scores the
+    SAME filtered corpus from scratch — N/avgdl/df must all have been
+    refreshed over the survivors for ranks to match."""
+    from pdf_to_opensearch_spark.maintenance import delete_from_index
+    from pdf_to_opensearch_spark.query import search
+
+    _ensure_pkg(spark)
+    src = _ensure_engine_index(spark, sf_dir)
+    dst = src + "_j8del"
+    if dst not in _BUILT_INDEXES:
+        n = _docs(spark, sf_dir).count()
+        urls = [f"doc://{i:010d}" for i in range(0, n, 17)]
+        delete_from_index(spark, src, dst, urls)
+        _BUILT_INDEXES.add(dst)
+    res = search(spark, dst, list(BM25_QUERIES.items()), k=BM25_K,
+                 prune=True)
+    w = Window.partitionBy("query_id").orderBy(
+        F.round("score", 4).desc(), F.col("doc_id").asc())
+    return (res.withColumn("rank2", F.row_number().over(w))
+            .select("query_id", F.col("rank2").cast("int").alias("rank"),
+                    "doc_id", F.round("score", 4).alias("score")))
+
+
 def _f4b_overlap_anti(spark, sf_dir):
     from pdf_to_opensearch_spark.ops.spatial import overlap_anti_filter
 
@@ -2354,6 +2387,7 @@ def _extra_queries():
         "c10_date_format": _c10_date_format,
         "f9_blank_canon": _f9_blank_canon,
         "f2_font_classes": _f2_font_classes,
+        "j8_delete_requery": _j8_delete_requery,
         "f4b_overlap_anti": _f4b_overlap_anti,
         "w4_percent_rank": _w4_percent_rank,
         "a5_envelope": _a5_envelope,
@@ -2382,6 +2416,8 @@ def _extra_oracles():
         "c10_date_format": _C10_SQL,
         "f9_blank_canon": _F9_SQL,
         "f2_font_classes": _F2_SQL,
+        "j8_delete_requery": _bm25_oracle_sql(
+            docs_where="WHERE doc_id % 17 <> 0"),
         "f4b_overlap_anti": _F4B_SQL,
         "w4_percent_rank": _W4_SQL,
         "a5_envelope": _A5_SQL,

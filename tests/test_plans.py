@@ -89,3 +89,20 @@ def test_dictionary_agg_is_partial_aggregated(spark, index_dir):
           .groupBy("term").agg(F.sum("n").alias("df")))
     plan = _plan(df)
     assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_minhash_candidates_have_no_window_exchange(spark):
+    """The LSH bucket guard must be a partial-aggregated groupBy count +
+    broadcast anti-join, NOT a count(*) window — a window would shuffle
+    and SORT every banded row on (band, bucket)."""
+    from pdf_to_opensearch_spark.ops.dedup import minhash_candidate_pairs
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon token{i} zeta eta theta")
+         for i in range(30)],
+        "doc_id long, text string")
+    cands = minhash_candidate_pairs(docs, num_hashes=8, bands=4)
+    plan = _plan(cands)
+    assert "Window" not in plan, f"window survived in candidate plan:\n{plan}"
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan
+    cands._persisted_banded.unpersist()
