@@ -870,6 +870,72 @@ SELECT query_id, rank, vec_id FROM (
 """
 
 
+IVF_CELLS = 8
+IVF_PROBE = 2
+IVF_SEED = 7
+
+
+def _ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN (the second scale path next to LSH): seeded coarse
+    centroids, argmax-dot cell assignment, n_probe-cell exact re-rank.
+    Oracle inlines the centroid literals (same pattern as the LSH
+    hyperplane oracle)."""
+    from pdf_to_opensearch_spark.ops.similarity import ivf_topk
+
+    _ensure_pkg(spark)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ivf_topk(emb, ANN_QUERY_IDS, k=ANN_K, n_cells=IVF_CELLS,
+                    n_probe=IVF_PROBE, seed=IVF_SEED, dim=LSH_DIM)
+
+
+def _ivf_oracle_sql() -> str:
+    import numpy as np
+
+    rng = np.random.default_rng(IVF_SEED)
+    centroids = rng.standard_normal((IVF_CELLS, LSH_DIM))
+    cvals = ", ".join(
+        "({}, [{}])".format(c, ", ".join(repr(float(x))
+                                         for x in centroids[c]))
+        for c in range(IVF_CELLS))
+    qids = ", ".join(map(str, ANN_QUERY_IDS))
+    return f"""
+WITH c(cell, cv) AS (VALUES {cvals}),
+ranked AS (
+  SELECT e.vec_id, e.embedding, c.cell,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY list_inner_product(e.embedding, c.cv)
+                                     DESC, c.cell) AS rn
+  FROM embeddings e CROSS JOIN c
+),
+assign AS (
+  SELECT vec_id, embedding, cell FROM ranked WHERE rn = 1
+),
+qprobe AS (
+  SELECT vec_id AS query_id, cell FROM ranked
+  WHERE vec_id IN ({qids}) AND rn <= {IVF_PROBE}
+),
+q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+  WHERE vec_id IN ({qids})
+),
+cand AS (
+  SELECT qp.query_id, a.vec_id,
+         list_cosine_similarity(q.qv, a.embedding) AS sim
+  FROM qprobe qp
+  JOIN assign a ON a.cell = qp.cell
+  JOIN q ON q.query_id = qp.query_id
+  WHERE a.vec_id <> qp.query_id
+)
+SELECT query_id, rank, vec_id FROM (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, vec_id)::INTEGER AS rank,
+         vec_id
+  FROM cand
+) WHERE rank <= {ANN_K}
+"""
+
+
 def _chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic chunker (C3-C5 packing rule) over sentence-enriched
     documents ('. ' planted at every ' the ' so the split/pack/hard-slice
@@ -2388,6 +2454,7 @@ def _extra_queries():
         "f9_blank_canon": _f9_blank_canon,
         "f2_font_classes": _f2_font_classes,
         "j8_delete_requery": _j8_delete_requery,
+        "ann_ivf_topk": _ann_ivf_topk,
         "f4b_overlap_anti": _f4b_overlap_anti,
         "w4_percent_rank": _w4_percent_rank,
         "a5_envelope": _a5_envelope,
@@ -2418,6 +2485,7 @@ def _extra_oracles():
         "f2_font_classes": _F2_SQL,
         "j8_delete_requery": _bm25_oracle_sql(
             docs_where="WHERE doc_id % 17 <> 0"),
+        "ann_ivf_topk": _ivf_oracle_sql(),
         "f4b_overlap_anti": _F4B_SQL,
         "w4_percent_rank": _W4_SQL,
         "a5_envelope": _A5_SQL,

@@ -398,7 +398,10 @@ def main() -> None:  # noqa: C901
         results["kernel_scaling_efficiency"] = round(
             (k_lo / k_hi) / ratio, 4)
         results["scale_windows"] = windows
-        env_sorted = sorted(w["envelope"] for w in windows)
+        # per-window envelopes clamped to 1.0: >1 means the CONTROL was
+        # noise-hit in that window (the machine cannot beat itself), and
+        # an unclamped median would report that artifact as merit
+        env_sorted = sorted(min(w["envelope"], 1.0) for w in windows)
         results["envelope_per_window_median"] = env_sorted[
             len(env_sorted) // 2]
         results["envelope_per_window_best"] = env_sorted[-1]

@@ -196,3 +196,83 @@ def lsh_topk(embeddings: DataFrame, query_ids: list[int], k: int = 10,
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("query_id", "rank", "vec_id", F.round("sim", 6).alias("sim")))
+
+
+def ivf_cells(embeddings: DataFrame, n_cells: int = 8, seed: int = 7,
+              id_col: str = "vec_id", vec_col: str = "embedding",
+              dim: int = 64) -> DataFrame:
+    """IVF coarse quantizer: cell = argmax over seeded gaussian centroids
+    of the inner product (ties → lowest cell index). Seeded-random
+    centroids keep the assignment deterministic and SQL-reproducible; at
+    real scale the centroids would come from a sampled k-means, which
+    changes only this table, not the operator shape."""
+    rng = np.random.default_rng(seed)
+    centroids = rng.standard_normal((n_cells, dim))
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            m = _as_matrix(pdf[vec_col])
+            dots = m @ centroids.T                     # (n, cells)
+            cells = np.argmax(dots, axis=1)            # first max = low cell
+            yield pd.DataFrame({
+                id_col: pdf[id_col].to_numpy(np.int64),
+                "cell": cells.astype(np.int64),
+            })
+
+    return embeddings.select(id_col, vec_col).mapInPandas(
+        kernel, schema=f"{id_col} long, cell long")
+
+
+def ivf_topk(embeddings: DataFrame, query_ids: list[int], k: int = 10,
+             n_cells: int = 8, n_probe: int = 2, seed: int = 7,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             dim: int = 64) -> DataFrame:
+    """IVF-style approximate top-k: exact cosine re-rank restricted to
+    vectors whose cell is among the query's ``n_probe`` nearest
+    centroids. The second ANN scale path next to :func:`lsh_topk` —
+    candidate lists shrink ~n_probe/n_cells, and at 10^12 vectors the
+    per-cell posting lists are the scan unit."""
+    rng = np.random.default_rng(seed)
+    centroids = rng.standard_normal((n_cells, dim))
+    cells = ivf_cells(embeddings, n_cells, seed, id_col, vec_col, dim)
+    with_c = embeddings.join(cells, id_col)
+    q_rows = (embeddings.filter(F.col(id_col).isin(query_ids))
+              .select(id_col, vec_col).collect())
+    qnorm = {}
+    probe_pairs = []
+    for r in q_rows:
+        qid = int(r[id_col])
+        v = np.asarray(r[vec_col], dtype=np.float64)
+        qnorm[qid] = v / np.linalg.norm(v)
+        order = np.lexsort((np.arange(n_cells), -(centroids @ v)))
+        probe_pairs += [(qid, int(c)) for c in order[:n_probe]]
+    qc = embeddings.sparkSession.createDataFrame(
+        probe_pairs, "query_id long, cell long")
+    cands = (with_c.join(F.broadcast(qc), "cell")
+             .filter(F.col(id_col) != F.col("query_id"))
+             .select("query_id", id_col, vec_col))
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            m = _as_matrix(pdf[vec_col])
+            m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True),
+                               1e-12)
+            qm = np.stack([qnorm[int(q)] for q in pdf["query_id"]])
+            yield pd.DataFrame({
+                "query_id": pdf["query_id"].to_numpy(np.int64),
+                "vec_id": pdf[id_col].to_numpy(np.int64),
+                "sim": (qm * m).sum(axis=1),
+            })
+
+    scored = cands.mapInPandas(
+        kernel, schema="query_id long, vec_id long, sim double")
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(),
+                                               F.col("vec_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", F.col("rank").cast("int").alias("rank"),
+                    "vec_id"))

@@ -295,3 +295,25 @@ def test_xxhash64_families_agree_on_planted_corpus(spark):
                                 hash_family=fam).toPandas()
         got = set(zip(sh["id_a"], sh["id_b"]))
         assert got == splanted, (fam, got)
+
+
+def test_ivf_topk_recall(spark):
+    # same clustered-corpus shape as the LSH recall test: cluster mates
+    # co-assign to a cell, so probing 2 of 8 cells recovers most of the
+    # true neighborhood
+    from pdf_to_opensearch_spark.ops.similarity import cosine_topk, ivf_topk
+
+    rng = np.random.default_rng(5)
+    centers = rng.standard_normal((10, 16)) * 4.0
+    vecs = np.repeat(centers, 20, axis=0) + rng.standard_normal((200, 16)) * 0.05
+    rows = [(i, vecs[i].tolist()) for i in range(200)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    exact = cosine_topk(emb, [0, 20], k=10).toPandas()
+    approx = ivf_topk(emb, [0, 20], k=10, n_cells=8, n_probe=2,
+                      dim=16).toPandas()
+    recalls = []
+    for q in (0, 20):
+        e = set(exact[exact["query_id"] == q]["vec_id"])
+        a = set(approx[approx["query_id"] == q]["vec_id"])
+        recalls.append(len(e & a) / len(e))
+    assert sum(recalls) / len(recalls) >= 0.8, recalls
