@@ -936,6 +936,21 @@ SELECT query_id, rank, vec_id FROM (
 """
 
 
+def _bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish token counts (the brief's token-counting op;
+    frozen lookahead-free GPT-2-style pre-tokenizer, ops/textstats.py)."""
+    from pdf_to_opensearch_spark.ops.textstats import token_counts
+
+    _ensure_pkg(spark)
+    return token_counts(_docs(spark, sf_dir))
+
+
+def _bpe_oracle() -> str:
+    from pdf_to_opensearch_spark.ops.textstats import token_counts_oracle_sql
+
+    return token_counts_oracle_sql()
+
+
 def _chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic chunker (C3-C5 packing rule) over sentence-enriched
     documents ('. ' planted at every ' the ' so the split/pack/hard-slice
@@ -2455,6 +2470,7 @@ def _extra_queries():
         "f2_font_classes": _f2_font_classes,
         "j8_delete_requery": _j8_delete_requery,
         "ann_ivf_topk": _ann_ivf_topk,
+        "bpe_token_counts": _bpe_token_counts,
         "f4b_overlap_anti": _f4b_overlap_anti,
         "w4_percent_rank": _w4_percent_rank,
         "a5_envelope": _a5_envelope,
@@ -2486,6 +2502,7 @@ def _extra_oracles():
         "j8_delete_requery": _bm25_oracle_sql(
             docs_where="WHERE doc_id % 17 <> 0"),
         "ann_ivf_topk": _ivf_oracle_sql(),
+        "bpe_token_counts": _bpe_oracle(),
         "f4b_overlap_anti": _F4B_SQL,
         "w4_percent_rank": _W4_SQL,
         "a5_envelope": _A5_SQL,

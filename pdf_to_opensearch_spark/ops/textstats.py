@@ -248,3 +248,40 @@ def font_classify(spans: DataFrame, doc_col: str = "doc_id",
                         F.when(F.col(size_col) == ps, "text")
                         .when(F.col(size_col) > ps, "title")
                         .otherwise("etc")))
+
+
+# GPT-2-style pre-tokenizer, lookahead-free so one frozen spec runs
+# identically under Java regex (Spark) and RE2 (DuckDB oracle):
+# optionally-space-prefixed letter runs, digit runs, punctuation runs,
+# plus whitespace runs. (The original GPT-2 pattern's (?!\S) lookahead
+# and contraction alternates are NOT RE2-expressible; this is the frozen
+# approximation — documented, not silent.)
+BPE_RE_SPARK = r" ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+BPE_RE_DUCKDB = r" ?\pL+| ?\pN+| ?[^\s\pL\pN]+|\s+"
+
+
+def token_counts(df: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """Whitespace and BPE-ish token counts per doc — the two cheap
+    length signals a pre-training pipeline budgets by (the analyzer's
+    linguistic token count lives in `analyzer.token_count_udf`)."""
+    ws = F.size(F.filter(F.split(F.col(text_col), r"\s+"),
+                         lambda t: t != ""))
+    bpe = F.size(F.regexp_extract_all(F.col(text_col),
+                                      F.lit(BPE_RE_SPARK), 0))
+    return df.select(F.col(id_col),
+                     ws.alias("n_ws_tokens"),
+                     bpe.alias("n_bpe_tokens"))
+
+
+def token_counts_oracle_sql(table: str = "documents",
+                            id_col: str = "doc_id",
+                            text_col: str = "text") -> str:
+    return f"""
+SELECT {id_col},
+       len(list_filter(regexp_split_to_array({text_col}, '\\s+'),
+                       t -> t <> ''))::INTEGER AS n_ws_tokens,
+       len(regexp_extract_all({text_col},
+           ' ?\\pL+| ?\\pN+| ?[^\\s\\pL\\pN]+|\\s+'))::INTEGER AS n_bpe_tokens
+FROM {table}
+"""
