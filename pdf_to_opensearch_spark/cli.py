@@ -61,6 +61,37 @@ def main(argv: list[str] | None = None) -> int:
     hy.add_argument("-k", type=int, default=10)
     hy.add_argument("--depth", type=int, default=20)
 
+    dd = sub.add_parser("dedup", help="near-duplicate pairs over a docs "
+                                      "parquet (doc_id, text)")
+    dd.add_argument("--docs", required=True)
+    dd.add_argument("--method", choices=["exact", "minhash", "simhash"],
+                    default="minhash")
+    dd.add_argument("--threshold", type=float, default=0.7)
+    dd.add_argument("--out", default=None,
+                    help="write pairs parquet here instead of printing")
+
+    an = sub.add_parser("ann", help="top-k nearest neighbours over an "
+                                    "embeddings parquet (vec_id, embedding)")
+    an.add_argument("--embeddings", required=True)
+    an.add_argument("--query-ids", required=True,
+                    help="comma-separated vec_ids to use as queries")
+    an.add_argument("--mode", choices=["exact", "lsh", "ivf"],
+                    default="exact")
+    an.add_argument("-k", type=int, default=10)
+    an.add_argument("--dim", type=int, default=64)
+
+    ap = sub.add_parser("append", help="append a doc batch to an existing "
+                                       "index (exactly-once by batch id)")
+    ap.add_argument("--index", required=True)
+    ap.add_argument("--docs", required=True)
+    ap.add_argument("--batch-id", type=int, default=None)
+
+    de = sub.add_parser("delete", help="snapshot the index minus the given "
+                                       "urls (affected ranges rebuilt)")
+    de.add_argument("--index", required=True)
+    de.add_argument("--out", required=True)
+    de.add_argument("--urls", nargs="+", required=True)
+
     args = p.parse_args(argv)
 
     from .session import get_spark
@@ -119,6 +150,54 @@ def main(argv: list[str] | None = None) -> int:
                 print(json.dumps({"rank": row["rank"],
                                   "doc_id": row["doc_id"],
                                   "rrf": round(row["rrf"], 6)}))
+        elif args.cmd == "dedup":
+            from .ops.dedup import (
+                exact_dedup,
+                minhash_near_duplicates,
+                simhash_near_pairs,
+            )
+
+            docs = spark.read.parquet(args.docs)
+            if args.method == "exact":
+                res = exact_dedup(docs)
+            elif args.method == "minhash":
+                res = minhash_near_duplicates(docs,
+                                              threshold=args.threshold)
+            else:
+                res = simhash_near_pairs(docs)
+            if args.out:
+                res.write.mode("overwrite").parquet(args.out)
+                print(json.dumps({"method": args.method,
+                                  "pairs": spark.read.parquet(
+                                      args.out).count(),
+                                  "out": args.out}))
+            else:
+                for row in res.limit(100).collect():
+                    print(json.dumps(row.asDict()))
+        elif args.cmd == "ann":
+            from .ops.similarity import cosine_topk, ivf_topk, lsh_topk
+
+            emb = spark.read.parquet(args.embeddings)
+            qids = [int(x) for x in args.query_ids.split(",")]
+            fn = {"exact": cosine_topk, "lsh": lsh_topk,
+                  "ivf": ivf_topk}[args.mode]
+            kw = {} if args.mode == "exact" else {"dim": args.dim}
+            for row in fn(emb, qids, k=args.k, **kw).collect():
+                print(json.dumps(row.asDict()))
+        elif args.cmd == "append":
+            from .streaming import append_batch
+
+            docs = spark.read.parquet(args.docs).select("url", "text",
+                                                        "lang")
+            n = append_batch(spark, docs, args.index,
+                             batch_id=args.batch_id)
+            print(json.dumps({"appended": n, "index": args.index}))
+        elif args.cmd == "delete":
+            from .maintenance import delete_from_index
+
+            delete_from_index(spark, args.index, args.out, args.urls)
+            n = spark.read.parquet(f"{args.out}/docs").count()
+            print(json.dumps({"snapshot": args.out, "docs": n}))
         return 0
     finally:
         spark.stop()
