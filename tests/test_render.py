@@ -100,3 +100,38 @@ def test_table_markdown_shape(spark):
                     .alias("m")).collect()[0]["m"]
     assert got == ("| a | n |\n| --- | --- |\n"
                    "| x | 1 |\n| longer | 22 |")
+
+
+def test_render_markdown_random_streams(spark):
+    # differential test on randomized element streams: every branch
+    # combination (kinds x blank content x caption presence x s3 key x
+    # page runs) against the reference-loop transcription
+    import numpy as np
+
+    rng = np.random.default_rng(77)
+    kinds = ["title", "text", "etc", "table", "image", "weird"]
+    all_rows, docs = [], {}
+    for doc in range(6):
+        n = int(rng.integers(2, 12))
+        items = []
+        page = 0
+        for i in range(n):
+            if rng.random() < 0.4:
+                page += int(rng.integers(0, 2))
+            kind = kinds[int(rng.integers(0, len(kinds)))]
+            content = "" if rng.random() < 0.25 else f"c{doc}_{i}"
+            caption = None if rng.random() < 0.5 else (
+                "" if rng.random() < 0.3 else f"cap{i}")
+            s3 = None if rng.random() < 0.5 else f"k/{doc}/{i}.png"
+            items.append({"type": kind, "page_index": page,
+                          "content": content, "caption": caption or "",
+                          "s3_key": s3})
+            all_rows.append((doc, i, page, kind, content, caption, s3))
+        docs[doc] = items
+    df = spark.createDataFrame(
+        all_rows, "doc_id int, seq int, page_index int, kind string, "
+                  "content string, caption string, s3_key string")
+    got = {r["doc_id"]: r["markdown"]
+           for r in render_markdown(df).collect()}
+    for doc, items in docs.items():
+        assert got[doc] == _reference_markdown(items), (doc, items)
