@@ -951,6 +951,29 @@ def _bpe_oracle() -> str:
     return token_counts_oracle_sql()
 
 
+def _stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 watermarked tumbling-window aggregation
+    (streaming.windowed_event_counts) run in its batch-equivalent form —
+    the SAME operator the streaming tests drive through a file-source
+    query; window starts emitted as epoch seconds so the oracle is
+    timezone-proof."""
+    from pdf_to_opensearch_spark.streaming import windowed_event_counts
+
+    _ensure_pkg(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = windowed_event_counts(ev, window="5 minutes",
+                                watermark="10 minutes")
+    return out.select(F.unix_timestamp("window_start").alias("win_start_s"),
+                      "event_type", "n")
+
+
+_STREAM_WIN_SQL = """
+SELECT (floor(epoch(ts) / 300) * 300)::BIGINT AS win_start_s,
+       event_type, count(*)::BIGINT AS n
+FROM events GROUP BY 1, 2
+"""
+
+
 def _chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic chunker (C3-C5 packing rule) over sentence-enriched
     documents ('. ' planted at every ' the ' so the split/pack/hard-slice
@@ -2471,6 +2494,7 @@ def _extra_queries():
         "j8_delete_requery": _j8_delete_requery,
         "ann_ivf_topk": _ann_ivf_topk,
         "bpe_token_counts": _bpe_token_counts,
+        "stream_windowed_counts": _stream_windowed_counts,
         "f4b_overlap_anti": _f4b_overlap_anti,
         "w4_percent_rank": _w4_percent_rank,
         "a5_envelope": _a5_envelope,
@@ -2503,6 +2527,7 @@ def _extra_oracles():
             docs_where="WHERE doc_id % 17 <> 0"),
         "ann_ivf_topk": _ivf_oracle_sql(),
         "bpe_token_counts": _bpe_oracle(),
+        "stream_windowed_counts": _STREAM_WIN_SQL,
         "f4b_overlap_anti": _F4B_SQL,
         "w4_percent_rank": _W4_SQL,
         "a5_envelope": _A5_SQL,

@@ -25,8 +25,10 @@ module adds a streaming path: ``readStream`` over a pages source →
   avgdl-build comparison is needed (the bound is valid at any avgdl).
 
 Event-time watermarking is not needed for index append (arrival order is
-irrelevant to BM25); the ``events`` streaming-aggregation pattern is
-covered separately in tests as an operator demo.
+irrelevant to BM25); the ``events`` streaming patterns live here as
+operators: :func:`windowed_event_counts` (watermarked tumbling-window
+aggregation) and :func:`running_user_totals` (custom stateful operator
+via ``applyInPandasWithState``).
 """
 
 from __future__ import annotations
@@ -336,3 +338,53 @@ def start_ingest_stream(spark: SparkSession, source_dir: str, schema,
             .trigger(processingTime=f"{trigger_seconds} seconds")
             .foreachBatch(handle)
             .start())
+
+
+def windowed_event_counts(events: DataFrame, window: str = "5 minutes",
+                          watermark: str = "10 minutes",
+                          ts_col: str = "ts",
+                          key_col: str = "event_type") -> DataFrame:
+    """Watermarked tumbling-window counts over an event stream (the
+    SURVEY §2.9 streaming-aggregation pattern): late rows beyond
+    ``watermark`` are dropped, state for closed windows is evicted.
+    Works identically on a batch DataFrame (watermark is a no-op there),
+    which is what the DuckDB-comparable test exploits."""
+    return (events
+            .withWatermark(ts_col, watermark)
+            .groupBy(F.window(F.col(ts_col), window).alias("w"),
+                     F.col(key_col))
+            .agg(F.count("*").alias("n"))
+            .select(F.col("w.start").alias("window_start"),
+                    key_col, "n"))
+
+
+def running_user_totals(events) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``
+    (the X-surface the reference has no analogue for — per-key state that
+    survives micro-batches): running per-user event totals and the number
+    of micro-batches that touched the key.
+
+    ``events`` is a STREAMING DataFrame with (user_id long, ...); output
+    mode must be ``update``.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        total, batches = state.get if state.exists else (0, 0)
+        n = 0
+        for pdf in pdfs:
+            n += len(pdf)
+        total += int(n)
+        batches += 1
+        state.update((total, batches))
+        yield pd.DataFrame({"user_id": [key[0]], "total": [total],
+                            "batches": [batches]})
+
+    return (events.groupBy("user_id")
+            .applyInPandasWithState(
+                update,
+                outputStructType="user_id long, total long, batches long",
+                stateStructType="total long, batches long",
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout))

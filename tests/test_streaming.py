@@ -204,3 +204,76 @@ def test_append_doc_stats_consistency(spark, tmp_path):
     joined = (spark.read.parquet(f"{root}/docs").select("doc_id", "dl")
               .join(stats.withColumnRenamed("dl", "dl2"), "doc_id"))
     assert joined.filter(F.col("dl") != F.col("dl2")).count() == 0
+
+
+def test_windowed_event_counts_stream_matches_batch(spark, tmp_path):
+    # streaming (file source, two micro-batches) and batch runs of the
+    # SAME operator must agree on finalized counts
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from pdf_to_opensearch_spark.streaming import windowed_event_counts
+
+    src = str(tmp_path / "ev_src")
+    ckpt = str(tmp_path / "ev_ckpt")
+    base = dt.datetime(2026, 1, 1, 12, 0, 0)
+    rows1 = [(i, base + dt.timedelta(minutes=i % 12), "a" if i % 3 else "b")
+             for i in range(60)]
+    rows2 = [(100 + i, base + dt.timedelta(minutes=30 + i % 7), "a")
+             for i in range(20)]
+    schema = "event_id long, ts timestamp, event_type string"
+    spark.createDataFrame(rows1, schema).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (windowed_event_counts(stream)
+         .writeStream.outputMode("update")
+         .format("memory").queryName("wincounts")
+         .option("checkpointLocation", ckpt).start())
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(rows2, schema).write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = (spark.table("wincounts")
+           .groupBy("window_start", "event_type")
+           .agg(F.max("n").alias("n")).toPandas())
+    want = (windowed_event_counts(
+                spark.createDataFrame(rows1 + rows2, schema)).toPandas())
+    g = {(r.window_start, r.event_type): r.n for r in got.itertuples()}
+    w = {(r.window_start, r.event_type): r.n for r in want.itertuples()}
+    assert g == w
+
+
+def test_running_user_totals_state_survives_batches(spark, tmp_path):
+    from pdf_to_opensearch_spark.streaming import running_user_totals
+
+    src = str(tmp_path / "st_src")
+    ckpt = str(tmp_path / "st_ckpt")
+    schema = "event_id long, user_id long"
+    spark.createDataFrame(
+        [(i, i % 3) for i in range(30)], schema).write.parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (running_user_totals(stream)
+         .writeStream.outputMode("update")
+         .format("memory").queryName("usertotals")
+         .option("checkpointLocation", ckpt).start())
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(
+            [(100 + i, i % 2) for i in range(10)], schema) \
+            .write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    from pyspark.sql import functions as F
+
+    final = (spark.table("usertotals")
+             .groupBy("user_id").agg(F.max("total").alias("total"),
+                                     F.max("batches").alias("batches"))
+             .toPandas().set_index("user_id"))
+    # batch 1: users 0,1,2 x10 each; batch 2: users 0,1 x5 each
+    assert final.loc[0, "total"] == 15 and final.loc[0, "batches"] == 2
+    assert final.loc[1, "total"] == 15 and final.loc[1, "batches"] == 2
+    assert final.loc[2, "total"] == 10 and final.loc[2, "batches"] == 1
