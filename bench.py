@@ -156,14 +156,18 @@ _POOL_SLICES = 32
 
 
 def _pool_work(args):
-    lo, hi = args
+    """One control task = one slice: parquet read → tokenize → sort →
+    encode → parquet write. The same I/O+compute profile as a Spark SPIMI
+    task (a compute-only control would measure a rosier envelope than the
+    job it is the reference for)."""
+    slice_path, out_path = args
     import numpy as np
     import pandas as pd  # noqa: F401
 
     from pdf_to_opensearch_spark.analyzer import tokenize_arrow_batch
     from pdf_to_opensearch_spark.codec import encode_postings_batch
 
-    pdf = _pool_work._pdf.iloc[lo:hi]
+    pdf = pd.read_parquet(slice_path, columns=["doc_id", "text"])
     tk = tokenize_arrow_batch(pdf["text"])
     did = pdf["doc_id"].to_numpy(np.int64)
     codes, doc_ids = tk["codes"], did[tk["doc_idx"]]
@@ -184,33 +188,56 @@ def _pool_work(args):
     enc = encode_postings_batch(doc_ids[run_starts],
                                 run_ends - run_starts, dls[run_starts],
                                 pos, run_starts, g_starts, g_ends)
+    out = pd.DataFrame({
+        "n": enc["n"].astype("int64"),
+        "doc_ids": pd.Series(list(enc["doc_ids"]), dtype=object),
+        "tfs": pd.Series(list(enc["tfs"]), dtype=object),
+    })
+    out.to_parquet(out_path, index=False)
     return int(enc["n"].sum())
 
 
-def _pool_init(corpus_path):
+def _pool_slices(corpus_path: str) -> list[str]:
+    """Split the corpus into one parquet file per control task (cached):
+    mirrors Spark's one-scan-partition-per-file input layout."""
     import pandas as pd
 
-    pdf = pd.read_parquet(corpus_path, columns=["text"]).reset_index(
-        drop=True)
-    pdf["doc_id"] = pdf.index.astype("int64")
-    _pool_work._pdf = pdf
+    slice_dir = corpus_path + ".slices"
+    marker = os.path.join(slice_dir, "_done")
+    paths = [os.path.join(slice_dir, f"slice_{i}.parquet")
+             for i in range(_POOL_SLICES)]
+    if not os.path.exists(marker):
+        os.makedirs(slice_dir, exist_ok=True)
+        pdf = pd.read_parquet(corpus_path, columns=["text"]).reset_index(
+            drop=True)
+        pdf["doc_id"] = pdf.index.astype("int64")
+        n = len(pdf)
+        for i, path in enumerate(paths):
+            lo, hi = i * n // _POOL_SLICES, (i + 1) * n // _POOL_SLICES
+            pdf.iloc[lo:hi].to_parquet(path, index=False)
+        open(marker, "w").close()
+    return paths
 
 
 def _pool_control(corpus_path: str, workers: int) -> float:
-    """Time the real SPIMI kernel over the corpus in a plain process pool
-    (no Spark): the machine-envelope control for the scaling criterion."""
+    """Time the real SPIMI job (parquet read → kernel → parquet write) in
+    a plain process pool (no Spark): the machine-envelope control for the
+    scaling criterion."""
     import multiprocessing as mp
 
-    n = SCALE_DOCS
-    bounds = [(i * n // _POOL_SLICES, (i + 1) * n // _POOL_SLICES)
-              for i in range(_POOL_SLICES)]
-    with mp.get_context("spawn").Pool(workers, initializer=_pool_init,
-                                      initargs=(corpus_path,)) as p:
-        p.map(_pool_work, bounds[:workers])  # warm every worker
-        _gate()
-        t0 = time.monotonic()
-        p.map(_pool_work, bounds)
-        return time.monotonic() - t0
+    slices = _pool_slices(corpus_path)
+    out_dir = tempfile.mkdtemp(prefix="bench_pool_out_")
+    tasks = [(s, os.path.join(out_dir, f"out_{i}.parquet"))
+             for i, s in enumerate(slices)]
+    try:
+        with mp.get_context("spawn").Pool(workers) as p:
+            p.map(_pool_work, tasks[:workers])  # warm every worker
+            _gate()
+            t0 = time.monotonic()
+            p.map(_pool_work, tasks)
+            return time.monotonic() - t0
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
 
 
 # ------------------------------------------------------- spark timed runs
