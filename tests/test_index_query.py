@@ -158,3 +158,21 @@ def test_batch_kernel_matches_per_query(spark, index_dir, corpus):
         assert list(sub["doc_id"]) == [d for d, _ in want], (qid, qtext)
         np.testing.assert_allclose(sub["score"].to_numpy(),
                                    [s for _, s in want], atol=1e-6)
+
+
+def test_k_edge_cases(spark, index_dir, corpus):
+    # k=0 → empty frame, not an error; k >> corpus → every matching doc,
+    # ranks dense from 1
+    pdf, oracle = corpus
+    assert search(spark, index_dir, [(1, "spark index")], k=0).count() == 0
+    big = (search(spark, index_dir, [(1, "spark index")], k=10_000_000)
+           .toPandas().sort_values("rank", ignore_index=True))
+    want = oracle.search("spark index", 10_000_000)
+    assert list(big["doc_id"]) == [d for d, _ in want]
+    assert list(big["rank"]) == list(range(1, len(want) + 1))
+
+
+def test_empty_and_punct_queries(spark, index_dir):
+    res = search(spark, index_dir, [(1, ""), (2, "!!! ..."), (3, "   ")],
+                 k=5)
+    assert res.count() == 0
