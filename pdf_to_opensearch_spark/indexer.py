@@ -245,6 +245,47 @@ def _empty_postings_frame() -> pd.DataFrame:
     })
 
 
+def _is_local_path(path: str) -> bool:
+    return "://" not in path or path.startswith("file://")
+
+
+def write_small_table(spark: SparkSession, pdf: pd.DataFrame,
+                      path: str) -> None:
+    """Overwrite a tiny driver-side table (stats, docs_meta — one to a
+    few rows). On a local FS this is a direct pyarrow write: a full
+    Spark job for a 1-row parquet is pure scheduling overhead (~0.3 s)
+    that shows up as SERIAL epilogue in the build's scaling profile. On
+    an object store it falls back to the Spark writer (at real scale
+    these writes are catalog commits anyway)."""
+    if _is_local_path(path):
+        import os
+        import shutil
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        p = path[7:] if path.startswith("file://") else path
+        staging = p + ".staging_small"
+        shutil.rmtree(staging, ignore_errors=True)
+        os.makedirs(staging)
+        pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False),
+                       os.path.join(staging, "part-00000.parquet"))
+        shutil.rmtree(p, ignore_errors=True)
+        os.rename(staging, p)
+    else:
+        (spark.createDataFrame(pdf).coalesce(1)
+         .write.mode("overwrite").parquet(path))
+
+
+def read_small_table(spark: SparkSession, path: str) -> pd.DataFrame:
+    """Driver-side read of a tiny table (pandas/pyarrow on a local FS —
+    no Spark job; Spark reader otherwise)."""
+    if _is_local_path(path):
+        p = path[7:] if path.startswith("file://") else path
+        return pd.read_parquet(p)
+    return spark.read.parquet(path).toPandas()
+
+
 class IndexPaths:
     def __init__(self, root: str):
         self.root = root
@@ -291,8 +332,7 @@ def prepare_docs(spark: SparkSession, docs_df: DataFrame, out_dir: str,
     sum_dl = int(g["sum_dl"] or 0)
     meta = pd.DataFrame([{"N": N, "sum_dl": sum_dl,
                           "avgdl": (sum_dl / N) if N else 0.0}])
-    spark.createDataFrame(meta).coalesce(1).write.mode("overwrite").parquet(
-        paths.docs_meta)
+    write_small_table(spark, meta, paths.docs_meta)
     return paths
 
 
@@ -332,7 +372,7 @@ def build_postings(spark: SparkSession, out_dir: str,
     try:
         docs_tbl = spark.read.parquet(paths.docs)
         try:
-            m = spark.read.parquet(paths.docs_meta).collect()[0]
+            m = read_small_table(spark, paths.docs_meta).iloc[0]
             N, avgdl = int(m["N"]), float(m["avgdl"])
         except Exception:  # pre-docs_meta layout: one aggregate over docs
             g = docs_tbl.agg(F.count("*").alias("N"),
@@ -412,23 +452,34 @@ def refresh_derived_tables(spark: SparkSession, paths: IndexPaths, *,
 
     from concurrent.futures import ThreadPoolExecutor
 
+    # ONE pass over the postings metadata computes BOTH derived tables:
+    # GROUPING SETS ((term), (range_id)) — the dictionary rows are the
+    # term set, the manifest rows the range set, split by grouping_id.
+    # The grouped result is tiny (|vocab| + |ranges| rows), so it is
+    # persisted and the two writes are cache reads. This epilogue is the
+    # serial Amdahl term of whole-job scaling at toy corpus sizes — one
+    # scan + one aggregation is the floor for it.
     meta_cols = spark.read.parquet(paths.postings).select(
         "term", "range_id", "n", "cf", "n_bytes", "wall_ms")
-    meta_cols = meta_cols.persist()
+    fused = (meta_cols
+             .groupingSets([["term"], ["range_id"]], "term", "range_id")
+             .agg(F.sum("n").alias("sum_n"), F.sum("cf").alias("sum_cf"),
+                  F.countDistinct("term").alias("n_terms"),
+                  F.sum("n_bytes").alias("bytes"),
+                  F.max("wall_ms").alias("wall_ms"),
+                  F.grouping_id().alias("gid"))
+             .persist())
 
     def _dictionary_job():
-        # tiny associative agg (map-side combine ⇒ Zipf-skew immune)
-        (meta_cols.groupBy("term")
-         .agg(F.sum("n").alias("df"), F.sum("cf").alias("cf"))
+        (fused.filter(F.col("term").isNotNull())
+         .select("term", F.col("sum_n").alias("df"),
+                 F.col("sum_cf").alias("cf"))
          .write.mode("overwrite").parquet(paths.dictionary))
 
     def _manifest_job():
-        # manifest/lineage per range (archive-sink analogue)
-        (meta_cols.groupBy("range_id")
-         .agg(F.sum("n").alias("n_postings"),
-              F.countDistinct("term").alias("n_terms"),
-              F.sum("n_bytes").alias("bytes"),
-              F.max("wall_ms").alias("wall_ms"))
+        (fused.filter(F.col("range_id").isNotNull())
+         .select("range_id", F.col("sum_n").alias("n_postings"),
+                 "n_terms", "bytes", "wall_ms")
          .withColumn("status", F.lit("committed"))
          .withColumn("analyzer_version", F.lit(ANALYZER_VERSION))
          .withColumn("committed_at", F.current_timestamp())
@@ -441,13 +492,8 @@ def refresh_derived_tables(spark: SparkSession, paths: IndexPaths, *,
             "n_buckets": n_buckets, "analyzer_version": ANALYZER_VERSION,
             "k1": BM25_K1, "b": BM25_B,
         }])
-        (spark.createDataFrame(stats_pdf).coalesce(1)
-         .write.mode("overwrite").parquet(paths.stats))
+        write_small_table(spark, stats_pdf, paths.stats)
 
-    # the epilogue's three jobs are independent small writes over a cached
-    # scan — run them as CONCURRENT Spark jobs so the fixed per-job
-    # overhead overlaps instead of serializing (this constant is the
-    # Amdahl term of whole-job scaling at small corpus sizes)
     jobs = [_dictionary_job, _manifest_job, _stats_job]
     if refresh_doc_stats:
         jobs.append(lambda: (spark.read.parquet(paths.docs)
@@ -459,7 +505,7 @@ def refresh_derived_tables(spark: SparkSession, paths: IndexPaths, *,
         for f in futures:
             f.result()
     tick("derived_tables")
-    meta_cols.unpersist()
+    fused.unpersist()
 
 
 def build_index(spark: SparkSession, docs_df: DataFrame, out_dir: str,

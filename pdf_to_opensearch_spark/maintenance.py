@@ -94,10 +94,11 @@ def delete_from_index(spark: SparkSession, index_dir: str, out_dir: str,
     g = surv_tbl.agg(F.count("*").alias("N"), F.sum("dl").alias("s")).collect()[0]
     N_s = int(g["N"])
     sum_dl = int(g["s"] or 0)
+    from .indexer import write_small_table
+
     meta = pd.DataFrame([{"N": N_s, "sum_dl": sum_dl,
                           "avgdl": (sum_dl / N_s) if N_s else 0.0}])
-    (spark.createDataFrame(meta).coalesce(1)
-     .write.mode("overwrite").parquet(dst.docs_meta))
+    write_small_table(spark, meta, dst.docs_meta)
     stats_pdf = pd.DataFrame([{
         "N": N_s, "avgdl": (sum_dl / N_s) if N_s else 0.0,
         "avgdl_build": stats.avgdl_build,
@@ -106,8 +107,7 @@ def delete_from_index(spark: SparkSession, index_dir: str, out_dir: str,
         "analyzer_version": ANALYZER_VERSION,
         "k1": stats.k1, "b": stats.b,
     }])
-    spark.createDataFrame(stats_pdf).coalesce(1).write.mode("overwrite").parquet(
-        dst.stats)
+    write_small_table(spark, stats_pdf, dst.stats)
     (built.groupBy("range_id")
      .agg(F.sum("n").alias("n_postings"),
           F.countDistinct("term").alias("n_terms"),

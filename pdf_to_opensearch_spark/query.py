@@ -88,7 +88,10 @@ class IndexStats:
 
 
 def load_stats(spark: SparkSession, index_dir: str) -> IndexStats:
-    return IndexStats(spark.read.parquet(IndexPaths(index_dir).stats).collect()[0])
+    from .indexer import read_small_table
+
+    return IndexStats(
+        read_small_table(spark, IndexPaths(index_dir).stats).iloc[0])
 
 
 def _score_kernel(qinfo: dict, k: int, stats: IndexStats, prune: bool,

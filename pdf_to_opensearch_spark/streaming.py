@@ -62,9 +62,10 @@ def _refresh_derived_full(spark: SparkSession, paths: IndexPaths,
     N = int(g["N"])
     sum_dl = int(g["s"] or 0)
     avgdl = (sum_dl / N) if N else 0.0
+    from .indexer import write_small_table
+
     meta = pd.DataFrame([{"N": N, "sum_dl": sum_dl, "avgdl": avgdl}])
-    (spark.createDataFrame(meta).coalesce(1)
-     .write.mode("overwrite").parquet(paths.docs_meta))
+    write_small_table(spark, meta, paths.docs_meta)
     refresh_derived_tables(spark, paths, N=N, avgdl=avgdl,
                            docs_per_range=docs_per_range,
                            num_ranges=num_ranges, n_buckets=n_buckets,
@@ -287,11 +288,12 @@ def _incremental_refresh(spark: SparkSession, paths: IndexPaths, st,
     N_old, avgdl_old = int(st["N"]), float(st["avgdl"])
     N_new = N_old + n_new
     avgdl_new = (N_old * avgdl_old + batch_dl_sum) / N_new if N_new else 0.0
+    from .indexer import write_small_table
+
     meta = pd.DataFrame([{"N": N_new,
                           "sum_dl": int(round(N_new * avgdl_new)),
                           "avgdl": avgdl_new}])
-    (spark.createDataFrame(meta).coalesce(1)
-     .write.mode("overwrite").parquet(paths.docs_meta))
+    write_small_table(spark, meta, paths.docs_meta)
     stats_pdf = pd.DataFrame([{
         "N": N_new, "avgdl": avgdl_new,
         "avgdl_build": float(st["avgdl_build"]),
@@ -301,8 +303,7 @@ def _incremental_refresh(spark: SparkSession, paths: IndexPaths, st,
         "analyzer_version": ANALYZER_VERSION,
         "k1": float(st["k1"]), "b": float(st["b"]),
     }])
-    stats_df = spark.createDataFrame(stats_pdf).coalesce(1)
-    _swap_rewrite(spark, paths.stats, stats_df)
+    write_small_table(spark, stats_pdf, paths.stats)
     (new_posts.groupBy("range_id")
      .agg(F.sum("n").alias("n_postings"),
           F.countDistinct("term").alias("n_terms"),
