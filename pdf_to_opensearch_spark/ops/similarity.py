@@ -245,7 +245,10 @@ def ivf_topk(embeddings: DataFrame, query_ids: list[int], k: int = 10,
     for r in q_rows:
         qid = int(r[id_col])
         v = np.asarray(r[vec_col], dtype=np.float64)
-        qnorm[qid] = v / np.linalg.norm(v)
+        nv = np.linalg.norm(v)
+        if nv == 0:
+            raise ValueError(f"zero-norm query vector (vec_id {qid})")
+        qnorm[qid] = v / nv
         order = np.lexsort((np.arange(n_cells), -(centroids @ v)))
         probe_pairs += [(qid, int(c)) for c in order[:n_probe]]
     qc = embeddings.sparkSession.createDataFrame(
