@@ -13,12 +13,25 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# tiny deterministic stopword lists per language (heuristic lang-ID)
+# deterministic function-word lists per language (heuristic lang-ID).
+# ASCII-only on purpose: the frozen token regex is [0-9a-z]+, so accented
+# forms would never match anyway. Cross-language collisions (de/la/e/…)
+# are fine — the vote is a count argmax with a deterministic tie order.
 STOPWORDS = {
-    "en": ["the", "a", "of", "and", "to", "in", "is"],
-    "de": ["der", "die", "das", "und", "ist", "von"],
-    "es": ["el", "la", "de", "que", "y", "es"],
-    "fr": ["le", "la", "de", "et", "est", "un"],
+    "en": ["the", "a", "of", "and", "to", "in", "is", "was", "for", "on",
+           "with", "as", "at", "it", "that"],
+    "de": ["der", "die", "das", "und", "ist", "von", "zu", "den", "nicht",
+           "mit", "sich", "auf", "ein", "eine", "auch"],
+    "es": ["el", "la", "de", "que", "y", "es", "en", "un", "los", "se",
+           "no", "por", "las", "para", "como"],
+    "fr": ["le", "la", "de", "et", "est", "un", "une", "dans", "les",
+           "des", "il", "ne", "pas", "pour", "qui"],
+    "it": ["di", "che", "il", "non", "e", "la", "per", "una", "in",
+           "sono", "mi", "ho", "lo", "ma", "della"],
+    "pt": ["de", "que", "o", "a", "e", "do", "da", "em", "um", "para",
+           "com", "nao", "uma", "os", "mais"],
+    "nl": ["de", "het", "een", "en", "van", "ik", "dat", "niet", "op",
+           "te", "zijn", "met", "als", "voor", "maar"],
 }
 
 _TOKEN_SQL_RE = "[0-9a-z]+"

@@ -317,3 +317,24 @@ def test_ivf_topk_recall(spark):
         a = set(approx[approx["query_id"] == q]["vec_id"])
         recalls.append(len(e & a) / len(e))
     assert sum(recalls) / len(recalls) >= 0.8, recalls
+
+
+def test_lang_id_on_real_sentences(spark):
+    from pdf_to_opensearch_spark.ops.textstats import lang_id
+
+    samples = [
+        (0, "the cat sat on the mat and it was happy with that", "en"),
+        (1, "der hund ist nicht mit der katze auf das sofa gegangen", "de"),
+        (2, "el perro corre por la calle y no se detiene para nada", "es"),
+        (3, "le chien est dans le jardin et il ne dort pas pour rien", "fr"),
+        (4, "il cane che corre non e mai stanco per una passeggiata", "it"),
+        (5, "o cachorro de estimacao que corre em um parque para brincar",
+         "pt"),
+        (6, "de hond is niet met de kat op de bank gaan zitten maar wel",
+         "nl"),
+    ]
+    df = spark.createDataFrame([(i, t) for i, t, _l in samples],
+                               "doc_id long, text string")
+    got = lang_id(df).toPandas().set_index("doc_id")["lang_guess"]
+    for i, _t, want in samples:
+        assert got[i] == want, (i, got[i], want)
