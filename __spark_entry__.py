@@ -112,10 +112,17 @@ def _brute_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "doc_id", "score"))
 
 
-def _bm25_oracle_sql(docs_where: str = "") -> str:
+def _bm25_oracle_sql(docs_where: str = "", cand_where: str = "") -> str:
     """Brute-force BM25 oracle; ``docs_where`` restricts the corpus (the
     J8 delete-requery twin scores only surviving docs — N/avgdl/df all
-    recompute over the filtered corpus, matching delete_from_index)."""
+    recompute over the filtered corpus, matching delete_from_index).
+    ``cand_where`` restricts only the CANDIDATE docs while N/avgdl/df stay
+    corpus-global — the bool/filter context of the reference search
+    (opensearch_loader.py:873-884): a filter narrows the result set, it
+    does not change the scoring statistics."""
+    cand_clause = (
+        f"WHERE tf.doc_id IN (SELECT doc_id FROM docs0 WHERE {cand_where})"
+        if cand_where else "")
     qvals = ", ".join(
         f"({qid}, '{t}')"
         for qid, t in sorted({(qid, t) for qid, q in BM25_QUERIES.items()
@@ -144,6 +151,7 @@ scores AS (
   FROM tf
   JOIN q USING (term) JOIN dfreq USING (term) JOIN dl USING (doc_id)
   CROSS JOIN stats s
+  {cand_clause}
   GROUP BY 1, 2
 )
 SELECT query_id, rank, doc_id, score FROM (
@@ -227,7 +235,13 @@ def _phrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "doc_id", F.round("score", 4).alias("score")))
 
 
-def _phrase_oracle_sql() -> str:
+def _phrase_oracle_sql(cand_where: str = "") -> str:
+    """match_phrase oracle; ``cand_where`` restricts candidate docs only —
+    phrase idf / avgdl stay corpus-global (filter-context semantics, same
+    contract as the ``cand_where`` of :func:`_bm25_oracle_sql`)."""
+    cand_clause = (
+        f"AND pf.doc_id IN (SELECT doc_id FROM documents WHERE {cand_where})"
+        if cand_where else "")
     parts = []
     for qid, phrase in sorted(PHRASE_QUERIES.items()):
         ts = phrase.split()
@@ -265,7 +279,7 @@ scores AS (
                / (pf.pf + 1.2 * (1.0 - 0.75 + 0.75 * pf.dl / s.avgdl)),
                4) AS score
   FROM pf JOIN idfs i USING (query_id) CROSS JOIN stats s
-  WHERE pf.pf >= 1
+  WHERE pf.pf >= 1 {cand_clause}
 )
 SELECT query_id, rank, doc_id, score FROM (
   SELECT query_id,
@@ -275,6 +289,48 @@ SELECT query_id, rank, doc_id, score FROM (
   FROM scores
 ) WHERE rank <= {BM25_K}
 """
+
+
+# ------------------------------------------------- filter-context queries
+
+# the bool/filter context the reference attaches to EVERY query type
+# (opensearch_loader.py:386-408 term filters; 873-884 wiring): candidates
+# restricted by a metadata predicate, BM25/phrase stats stay corpus-global
+FILTER_PRED = "lang IN ('en', 'de')"
+
+
+def _bm25_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine BM25 with the metadata filter context (cogrouped
+    allowed-ids kernel — no global id broadcast)."""
+    _ensure_pkg(spark)
+    from pdf_to_opensearch_spark.query import search
+
+    out = _ensure_engine_index(spark, sf_dir)
+    res = search(spark, out, list(BM25_QUERIES.items()), k=BM25_K,
+                 prune=True, doc_filter=FILTER_PRED)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_r").desc(), F.col("doc_id").asc())
+    return (res.withColumn("score_r", F.round("score", 4))
+            .withColumn("rank2", F.row_number().over(w))
+            .select("query_id", F.col("rank2").cast("int").alias("rank"),
+                    "doc_id", F.col("score_r").alias("score")))
+
+
+def _phrase_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """match_phrase + the same filter context (query.py phrase cogroup
+    path): 'this exact phrase, within lang∈{en,de}' — the routine
+    delete-preview / scoped-retrieval pattern."""
+    _ensure_pkg(spark)
+    from pdf_to_opensearch_spark.query import phrase_search
+
+    out = _ensure_engine_index(spark, sf_dir)
+    res = phrase_search(spark, out, list(PHRASE_QUERIES.items()), k=BM25_K,
+                        doc_filter=FILTER_PRED)
+    w = Window.partitionBy("query_id").orderBy(
+        F.round("score", 4).desc(), F.col("doc_id").asc())
+    return (res.withColumn("rank2", F.row_number().over(w))
+            .select("query_id", F.col("rank2").cast("int").alias("rank"),
+                    "doc_id", F.round("score", 4).alias("score")))
 
 
 # ------------------------------------------------------- corpus statistics
@@ -622,6 +678,28 @@ def _simhash_pairs_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     _ensure_pkg(spark)
     return simhash_near_pairs(_docs(spark, sf_dir), max_hamming=3,
                               hash_family="md5")
+
+
+# Expected simhash_pairs (xxhash64 family) pair set on the sf0.01 corpus —
+# the driver's correctness sf. Hamming balls over xxhash64 are not
+# SQL-computable, so this oracle is a literal of the expected OUTPUT,
+# independently derived by tools/derive_simhash_pairs.py: a pure-Python
+# spec transcription of XXH64 (self-checked against the official sanity
+# vectors) + the frozen analyzer regex + a longhand tf-weighted bit vote +
+# all-pairs Hamming — none of the engine's Spark pipeline is imported.
+# Re-derive with `python tools/derive_simhash_pairs.py /root/testdata/sf0.01`
+# if the driver corpus ever changes.
+_SIMHASH_XX_VALUES = """
+  (8, 245, 2), (45, 413, 3), (58, 293, 0), (61, 185, 0), (70, 447, 1),
+  (76, 102, 2), (98, 290, 2), (107, 387, 1), (120, 332, 3), (166, 323, 3),
+  (251, 473, 3), (267, 413, 2), (285, 301, 0), (326, 457, 2), (393, 420, 0),
+  (435, 486, 3), (458, 462, 2)
+"""
+
+_SIMHASH_XX_SQL = f"""
+SELECT id_a::BIGINT AS id_a, id_b::BIGINT AS id_b, hamming::INTEGER AS hamming
+FROM (VALUES {_SIMHASH_XX_VALUES}) AS t(id_a, id_b, hamming)
+"""
 
 
 _MD5_60 = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
@@ -1123,11 +1201,14 @@ def oracle_sql() -> dict[str, str]:
         "minhash_pairs_md5": _minhash_md5_oracle_sql(),
         "simhash_pairs_md5": _simhash_md5_oracle_sql(),
         "minhash_pairs": _jaccard_allpairs_oracle_sql(),
-        # simhash_pairs (xxhash64 production family): rows-only — the
-        # hamming-ball pair set depends on the hash family itself, which
-        # DuckDB cannot compute; the md5 twin oracle-checks the pipeline
-        # and tests/test_ops.py pins the xxhash64 family on a planted
-        # fixture where both families must agree.
+        # simhash_pairs (xxhash64 production family): hamming over
+        # xxhash64 isn't SQL-computable, so the oracle is a VALUES literal
+        # of the expected pair set, independently derived from the public
+        # XXH64 spec by tools/derive_simhash_pairs.py (see note at
+        # _SIMHASH_XX_VALUES); the md5 twin oracle-checks the full
+        # pipeline in SQL and tests/test_ops.py pins family agreement on a
+        # planted fixture.
+        "simhash_pairs": _SIMHASH_XX_SQL,
     }
 
 
@@ -2545,14 +2626,40 @@ def _extra_oracles():
 _base_queries = queries
 _base_oracles = oracle_sql
 
+# Least-recently-driver-verified entries FIRST: the driver samples the
+# registry in order under a time budget (CORRECTNESS_r03 ran 50 of 53 and
+# the three tail entries got no row). New/changed entries and the three
+# r3-skipped ones lead; the long-green bulk follows.
+_VERIFY_FIRST = [
+    "c_scalars", "j4_axis_merge", "j5_chart_merge",          # skipped in r3
+    "bm25_filtered_topk", "phrase_topk_filtered",            # new in r4
+    "simhash_pairs",                                          # oracle new in r4
+    "ann_lsh_topk", "ann_ivf_topk", "hybrid_topk",            # r4 plan change
+    "minhash_pairs", "minhash_pairs_md5", "simhash_pairs_md5",  # r4 persist
+]
+
+
+def _reorder(d: dict) -> dict:
+    head = {k: d[k] for k in _VERIFY_FIRST if k in d}
+    head.update({k: v for k, v in d.items() if k not in head})
+    return head
+
 
 def queries():  # noqa: F811 — extend the registry with the spatial/misc ops
     out = dict(_base_queries())
     out.update(_extra_queries())
-    return out
+    out.update({
+        "bm25_filtered_topk": _bm25_filtered_topk,
+        "phrase_topk_filtered": _phrase_topk_filtered,
+    })
+    return _reorder(out)
 
 
 def oracle_sql():  # noqa: F811
     out = dict(_base_oracles())
     out.update(_extra_oracles())
-    return out
+    out.update({
+        "bm25_filtered_topk": _bm25_oracle_sql(cand_where=FILTER_PRED),
+        "phrase_topk_filtered": _phrase_oracle_sql(cand_where=FILTER_PRED),
+    })
+    return _reorder(out)

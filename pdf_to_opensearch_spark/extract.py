@@ -59,8 +59,11 @@ def nfc_udf(text: pd.Series) -> pd.Series:
     """C1 standalone: Unicode NFC normalization of a string column
     (the normalization step every extract path applies; exposed on its
     own so downstream text that skipped extraction can be canonicalized).
-    Cython-vectorized pandas normalize — no per-row Python."""
-    return text.fillna("").astype(str).str.normalize("NFC")
+    Cython-vectorized pandas normalize — no per-row Python. NULL input
+    propagates as NULL (standard Spark string-function semantics), not
+    empty string."""
+    out = text.astype("string").str.normalize("NFC")
+    return out.where(text.notna(), None)
 
 
 def extract_docs(pages_df):

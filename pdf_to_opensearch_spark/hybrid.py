@@ -127,10 +127,13 @@ def knn_docs_topk_lsh(spark: SparkSession, index_dir: str,
     docs = (spark.read.parquet(paths.docs)
             .filter(F.col(vec_col).isNotNull())
             .select("doc_id", vec_col))
+    # bucket emitted inline with the vector (carry_vec) — no docs⋈buckets
+    # id-join, the only shuffle-free shape at 10^12-doc scale
     d_buckets = hyperplane_buckets(docs, n_planes=n_planes, seed=seed,
-                                   id_col="doc_id", vec_col=vec_col, dim=dim)
+                                   id_col="doc_id", vec_col=vec_col, dim=dim,
+                                   carry_vec=True)
     qb = spark.createDataFrame(bucket_rows, "query_id int, bucket long")
-    cands = (docs.join(d_buckets, "doc_id")
+    cands = (d_buckets
              .join(F.broadcast(qb), "bucket")
              .select("query_id", "doc_id", vec_col))
 

@@ -245,8 +245,22 @@ def _empty_postings_frame() -> pd.DataFrame:
     })
 
 
-def _is_local_path(path: str) -> bool:
-    return "://" not in path or path.startswith("file://")
+def _is_local_path(path: str, spark: SparkSession | None = None) -> bool:
+    """True iff the driver-local pyarrow fast path is safe for ``path``.
+
+    A scheme-less path is NOT inherently local: Spark executors resolve it
+    against ``fs.defaultFS`` (e.g. HDFS on a real cluster), so the fast
+    path would silently write the driver's disk while the cluster reads
+    elsewhere. Only take it when the cluster default FS is the local FS."""
+    if path.startswith("file://"):
+        return True
+    if "://" in path:
+        return False
+    if spark is not None:
+        default_fs = (spark.sparkContext._jsc.hadoopConfiguration()
+                      .get("fs.defaultFS", "file:///"))
+        return default_fs.startswith("file:")
+    return True
 
 
 def write_small_table(spark: SparkSession, pdf: pd.DataFrame,
@@ -257,7 +271,7 @@ def write_small_table(spark: SparkSession, pdf: pd.DataFrame,
     that shows up as SERIAL epilogue in the build's scaling profile. On
     an object store it falls back to the Spark writer (at real scale
     these writes are catalog commits anyway)."""
-    if _is_local_path(path):
+    if _is_local_path(path, spark):
         import os
         import shutil
 
@@ -280,7 +294,7 @@ def write_small_table(spark: SparkSession, pdf: pd.DataFrame,
 def read_small_table(spark: SparkSession, path: str) -> pd.DataFrame:
     """Driver-side read of a tiny table (pandas/pyarrow on a local FS —
     no Spark job; Spark reader otherwise)."""
-    if _is_local_path(path):
+    if _is_local_path(path, spark):
         p = path[7:] if path.startswith("file://") else path
         return pd.read_parquet(p)
     return spark.read.parquet(path).toPandas()
@@ -470,14 +484,19 @@ def refresh_derived_tables(spark: SparkSession, paths: IndexPaths, *,
                   F.grouping_id().alias("gid"))
              .persist())
 
+    # split the grouping-sets result by grouping_id, NOT column nullness:
+    # gid = grouping(term)·2 + grouping(range_id), so the (term) set is
+    # gid=1 and the (range_id) set gid=2 — a genuinely-NULL term or
+    # range_id value would survive here, where an isNotNull filter would
+    # silently drop it (indistinguishable from the placeholder NULL)
     def _dictionary_job():
-        (fused.filter(F.col("term").isNotNull())
+        (fused.filter(F.col("gid") == 1)
          .select("term", F.col("sum_n").alias("df"),
                  F.col("sum_cf").alias("cf"))
          .write.mode("overwrite").parquet(paths.dictionary))
 
     def _manifest_job():
-        (fused.filter(F.col("range_id").isNotNull())
+        (fused.filter(F.col("gid") == 2)
          .select("range_id", F.col("sum_n").alias("n_postings"),
                  "n_terms", "bytes", "wall_ms")
          .withColumn("status", F.lit("committed"))

@@ -119,11 +119,19 @@ def minhash_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
                             bands: int = 8, shingle_n: int = 3,
                             max_bucket: int = 1000,
                             shingle_df: DataFrame | None = None,
-                            hash_family: str = "xxhash64") -> DataFrame:
+                            hash_family: str = "xxhash64",
+                            materialize: bool = True) -> DataFrame:
     """LSH candidate pairs: same band-bucket in any band → candidate.
 
     Returns distinct (id_a, id_b) with id_a < id_b. Buckets larger than
     ``max_bucket`` are dropped (degenerate boilerplate guard).
+
+    With ``materialize=True`` (default) the candidate set — tiny by
+    construction: it is bounded by the near-duplicate pair count — is
+    persisted and counted inside, after which the intermediate ``banded``
+    cache is released deterministically. ``materialize=False`` returns the
+    lazy plan (both intermediate frames stay persisted until the session's
+    LRU evicts them) — for plan inspection/tests only.
     """
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n,
                               shingle_df=shingle_df, hash_family=hash_family)
@@ -168,8 +176,10 @@ def minhash_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
            .filter(F.col("id_a") < F.col("id_b"))
            .select("id_a", "id_b")
            .distinct())
-    # callers that materialize `out` should unpersist this afterwards
-    out._persisted_banded = banded
+    if materialize:
+        out = out.persist(StorageLevel.MEMORY_AND_DISK)
+        out.count()
+        banded.unpersist()
     return out
 
 
@@ -235,17 +245,22 @@ def minhash_near_duplicates(df: DataFrame, id_col: str = "doc_id",
 
     sh = distinct_shingles(df, id_col, text_col, shingle_n).persist(
         StorageLevel.MEMORY_AND_DISK)
+    # minhash_candidate_pairs materializes the (tiny) candidate set and
+    # releases its own intermediate cache; the verification stage joins the
+    # candidates twice, so the persisted frame is reused, not recomputed
     cands = minhash_candidate_pairs(df, id_col, text_col, num_hashes, bands,
                                     shingle_n, max_bucket, shingle_df=sh,
                                     hash_family=hash_family)
-    # materialize the (tiny) candidate set: the verification stage joins
-    # it twice, and an unpersisted candidate DAG would re-run the whole
-    # signature+banding pipeline per join
-    cands = cands.persist(StorageLevel.MEMORY_AND_DISK)
-    cands.count()
-    cands._persisted_banded.unpersist()
-    return jaccard_pairs(df, id_col, text_col, shingle_n, threshold,
-                         candidates=cands, shingle_df=sh)
+    out = jaccard_pairs(df, id_col, text_col, shingle_n, threshold,
+                        candidates=cands, shingle_df=sh)
+    # materialize the (tiny) verified-pair result, then deterministically
+    # release the big shingle cache and the candidate cache — no frame
+    # outlives this call except the persisted result itself
+    out = out.persist(StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    sh.unpersist()
+    cands.unpersist()
+    return out
 
 
 def simhash(df: DataFrame, id_col: str = "doc_id",
@@ -302,7 +317,8 @@ def simhash(df: DataFrame, id_col: str = "doc_id",
 def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text",
                        max_hamming: int = 3,
-                       hash_family: str = "xxhash64") -> DataFrame:
+                       hash_family: str = "xxhash64",
+                       materialize: bool = True) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
 
     Candidate generation: split the signature into 4 chunks (16 bits for
@@ -310,13 +326,24 @@ def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id",
     pair within Hamming ≤3 shares at least one exact chunk → equi-join per
     chunk, then exact popcount filter (JVM-side bit_count). EXACT under
     max_hamming ≤ 3 (4 chunks, 3 flips can't touch all chunks).
+
+    ``s`` (the signature table) feeds BOTH sides of all 4 chunk joins —
+    Spark has no cross-branch common-subexpression elimination, so without
+    a persist the tokenize→explode→groupBy→applyInPandas simhash pipeline
+    would re-run up to 8×. ``materialize=True`` (default) persists ``s``,
+    materializes the (tiny) pair result, and releases the signature cache
+    deterministically; ``materialize=False`` returns the lazy plan with
+    ``s`` persisted (plan inspection/tests only).
     """
+    from pyspark import StorageLevel
+
     sigs = simhash(df, id_col, text_col, hash_family=hash_family)
     cw = 15 if hash_family == "md5" else 16
     mask = (1 << cw) - 1
     chunks = [F.shiftrightunsigned(F.col("simhash"), cw * c)
               .bitwiseAND(F.lit(mask)).alias(f"c{c}") for c in range(4)]
-    s = sigs.select(F.col(id_col).alias("id"), "simhash", *chunks)
+    s = (sigs.select(F.col(id_col).alias("id"), "simhash", *chunks)
+         .persist(StorageLevel.MEMORY_AND_DISK))
     pairs = None
     for c in range(4):
         a = s.select(F.col("id").alias("id_a"),
@@ -326,8 +353,13 @@ def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id",
         p = (a.join(b, "ck").filter(F.col("id_a") < F.col("id_b"))
              .select("id_a", "id_b", "sig_a", "sig_b"))
         pairs = p if pairs is None else pairs.unionByName(p)
-    return (pairs.distinct()
-            .withColumn("hamming", F.bit_count(
-                F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
-            .filter(F.col("hamming") <= max_hamming)
-            .select("id_a", "id_b", "hamming"))
+    out = (pairs.distinct()
+           .withColumn("hamming", F.bit_count(
+               F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
+           .filter(F.col("hamming") <= max_hamming)
+           .select("id_a", "id_b", "hamming"))
+    if materialize:
+        out = out.persist(StorageLevel.MEMORY_AND_DISK)
+        out.count()
+        s.unpersist()
+    return out

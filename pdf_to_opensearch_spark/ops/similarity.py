@@ -105,19 +105,25 @@ def cosine_near_duplicates(embeddings: DataFrame, threshold: float = 0.9,
             col, F.lit(0.0),
             lambda acc, x: acc + x.cast("double") * x.cast("double")))
 
-    e = embeddings.select(F.col(id_col), F.col(vec_col)) \
-        .withColumn("_n", dnorm(F.col(vec_col)))
-    a = e.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"),
-                 F.col("_n").alias("_na"))
-    b = e.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"),
-                 F.col("_n").alias("_nb"))
     if method == "lsh":
-        bk = hyperplane_buckets(embeddings, n_planes, seed, id_col, vec_col,
-                                dim)
-        a = a.join(bk.select(F.col(id_col).alias("id_a"), "bucket"), "id_a")
-        b = b.join(bk.select(F.col(id_col).alias("id_b"), "bucket"), "id_b")
+        # bucket emitted inline with the vector — the norm is then a JVM
+        # column over the same frame; no id-join back to the embeddings
+        # table (two full-table shuffles saved per call)
+        e = (hyperplane_buckets(embeddings, n_planes, seed, id_col, vec_col,
+                                dim, carry_vec=True)
+             .withColumn("_n", dnorm(F.col(vec_col))))
+        a = e.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"),
+                     F.col("_n").alias("_na"), "bucket")
+        b = e.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"),
+                     F.col("_n").alias("_nb"), "bucket")
         joined = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
     elif method == "exact":
+        e = embeddings.select(F.col(id_col), F.col(vec_col)) \
+            .withColumn("_n", dnorm(F.col(vec_col)))
+        a = e.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"),
+                     F.col("_n").alias("_na"))
+        b = e.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"),
+                     F.col("_n").alias("_nb"))
         joined = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
     else:
         raise ValueError(f"unknown method: {method}")
@@ -133,8 +139,16 @@ def cosine_near_duplicates(embeddings: DataFrame, threshold: float = 0.9,
 
 def hyperplane_buckets(embeddings: DataFrame, n_planes: int = 8,
                        seed: int = 42, id_col: str = "vec_id",
-                       vec_col: str = "embedding", dim: int = 64) -> DataFrame:
-    """Sign-of-projection LSH bucket per vector (seeded, deterministic)."""
+                       vec_col: str = "embedding", dim: int = 64,
+                       carry_vec: bool = False) -> DataFrame:
+    """Sign-of-projection LSH bucket per vector (seeded, deterministic).
+
+    ``carry_vec=True`` emits (id, vec, bucket) from the SAME kernel pass —
+    callers that need the vector next to its bucket (every ANN search)
+    must use this instead of joining the bucket table back against the
+    embeddings table on id: that join is a full-table shuffle bought for
+    re-attaching a column the kernel already held.
+    """
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((n_planes, dim))
 
@@ -146,13 +160,18 @@ def hyperplane_buckets(embeddings: DataFrame, n_planes: int = 8,
             signs = (m @ planes.T) > 0  # (n, planes)
             buckets = (signs.astype(np.int64) <<
                        np.arange(n_planes, dtype=np.int64)).sum(axis=1)
-            yield pd.DataFrame({
-                id_col: pdf[id_col].to_numpy(np.int64),
-                "bucket": buckets,
-            })
+            out = {id_col: pdf[id_col].to_numpy(np.int64)}
+            if carry_vec:
+                out[vec_col] = pdf[vec_col]
+            out["bucket"] = buckets
+            yield pd.DataFrame(out)
 
-    return embeddings.select(id_col, vec_col).mapInPandas(
-        kernel, schema=f"{id_col} long, bucket long")
+    if carry_vec:
+        vec_type = embeddings.schema[vec_col].dataType.simpleString()
+        schema = f"{id_col} long, {vec_col} {vec_type}, bucket long"
+    else:
+        schema = f"{id_col} long, bucket long"
+    return embeddings.select(id_col, vec_col).mapInPandas(kernel, schema=schema)
 
 
 def lsh_topk(embeddings: DataFrame, query_ids: list[int], k: int = 10,
@@ -161,8 +180,11 @@ def lsh_topk(embeddings: DataFrame, query_ids: list[int], k: int = 10,
     """Approximate top-k: exact cosine re-rank restricted to vectors sharing
     the query's LSH bucket. Trades recall for a candidate set that shrinks
     ~2^-n_planes — the IVF-style scale path for 10^12 vectors."""
-    buckets = hyperplane_buckets(embeddings, n_planes, seed, id_col, vec_col, dim)
-    with_b = embeddings.join(buckets, id_col)
+    # bucket emitted inline next to the vector (carry_vec) — NOT computed
+    # into a side table and joined back on id, which would shuffle the full
+    # embeddings table once per query batch at scale
+    with_b = hyperplane_buckets(embeddings, n_planes, seed, id_col, vec_col,
+                                dim, carry_vec=True)
     q_buckets = with_b.filter(F.col(id_col).isin(query_ids)) \
         .select(F.col(id_col).alias("query_id"), "bucket")
     # candidates co-bucketed with any query (broadcast tiny query side)
@@ -200,12 +222,15 @@ def lsh_topk(embeddings: DataFrame, query_ids: list[int], k: int = 10,
 
 def ivf_cells(embeddings: DataFrame, n_cells: int = 8, seed: int = 7,
               id_col: str = "vec_id", vec_col: str = "embedding",
-              dim: int = 64) -> DataFrame:
+              dim: int = 64, carry_vec: bool = False) -> DataFrame:
     """IVF coarse quantizer: cell = argmax over seeded gaussian centroids
     of the inner product (ties → lowest cell index). Seeded-random
     centroids keep the assignment deterministic and SQL-reproducible; at
     real scale the centroids would come from a sampled k-means, which
-    changes only this table, not the operator shape."""
+    changes only this table, not the operator shape.
+
+    ``carry_vec=True`` emits (id, vec, cell) inline — see
+    :func:`hyperplane_buckets`; the same shuffle-avoidance applies."""
     rng = np.random.default_rng(seed)
     centroids = rng.standard_normal((n_cells, dim))
 
@@ -216,13 +241,18 @@ def ivf_cells(embeddings: DataFrame, n_cells: int = 8, seed: int = 7,
             m = _as_matrix(pdf[vec_col])
             dots = m @ centroids.T                     # (n, cells)
             cells = np.argmax(dots, axis=1)            # first max = low cell
-            yield pd.DataFrame({
-                id_col: pdf[id_col].to_numpy(np.int64),
-                "cell": cells.astype(np.int64),
-            })
+            out = {id_col: pdf[id_col].to_numpy(np.int64)}
+            if carry_vec:
+                out[vec_col] = pdf[vec_col]
+            out["cell"] = cells.astype(np.int64)
+            yield pd.DataFrame(out)
 
-    return embeddings.select(id_col, vec_col).mapInPandas(
-        kernel, schema=f"{id_col} long, cell long")
+    if carry_vec:
+        vec_type = embeddings.schema[vec_col].dataType.simpleString()
+        schema = f"{id_col} long, {vec_col} {vec_type}, cell long"
+    else:
+        schema = f"{id_col} long, cell long"
+    return embeddings.select(id_col, vec_col).mapInPandas(kernel, schema=schema)
 
 
 def ivf_topk(embeddings: DataFrame, query_ids: list[int], k: int = 10,
@@ -236,8 +266,9 @@ def ivf_topk(embeddings: DataFrame, query_ids: list[int], k: int = 10,
     per-cell posting lists are the scan unit."""
     rng = np.random.default_rng(seed)
     centroids = rng.standard_normal((n_cells, dim))
-    cells = ivf_cells(embeddings, n_cells, seed, id_col, vec_col, dim)
-    with_c = embeddings.join(cells, id_col)
+    # cell emitted inline next to the vector — no embeddings⋈cells shuffle
+    with_c = ivf_cells(embeddings, n_cells, seed, id_col, vec_col, dim,
+                       carry_vec=True)
     q_rows = (embeddings.filter(F.col(id_col).isin(query_ids))
               .select(id_col, vec_col).collect())
     qnorm = {}

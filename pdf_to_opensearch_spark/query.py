@@ -252,6 +252,27 @@ def _block_prune_masks(hits: list, contribs: dict, k: int,
     return masks
 
 
+def _allowed_docs(spark: SparkSession, paths: IndexPaths,
+                  doc_filter: str) -> DataFrame:
+    """(doc_id, range_id) of docs passing a SQL predicate over the docs
+    table — the bool/filter context shared by every query type
+    (opensearch_loader.py:386-408 builds term filters; 873-884 attaches
+    them to ANY search, match and match_phrase alike). Grouped by range_id
+    for the cogroup with the postings scan: each doc-range kernel sees only
+    its own allowed ids, never a global id broadcast."""
+    docs_scan = spark.read.parquet(paths.docs)
+    if "range_id" in docs_scan.columns:
+        # prepare-assigned ranges ride on the docs table
+        return docs_scan.filter(doc_filter).select("doc_id", "range_id")
+    # legacy fixed-width ranges
+    st_row = spark.read.parquet(paths.stats).collect()[0]
+    dpr = int(st_row["docs_per_range"])
+    return (docs_scan.filter(doc_filter)
+            .select("doc_id",
+                    (F.col("doc_id") / F.lit(dpr)).cast("int")
+                    .alias("range_id")))
+
+
 def search(spark: SparkSession, index_dir: str, queries: list[tuple[int, str]],
            k: int = 10, prune: bool = True,
            doc_filter: str | None = None) -> DataFrame:
@@ -287,18 +308,7 @@ def search(spark: SparkSession, index_dir: str, queries: list[tuple[int, str]],
         .filter(F.col("bucket").isin(buckets)),               # partition pruning
         "term", live_terms)
     if doc_filter is not None:
-        docs_scan = spark.read.parquet(paths.docs)
-        if "range_id" in docs_scan.columns:
-            # prepare-assigned ranges ride on the docs table
-            allowed = (docs_scan.filter(doc_filter)
-                       .select("doc_id", "range_id"))
-        else:  # legacy fixed-width ranges
-            st_row = spark.read.parquet(paths.stats).collect()[0]
-            dpr = int(st_row["docs_per_range"])
-            allowed = (docs_scan.filter(doc_filter)
-                       .select("doc_id",
-                               (F.col("doc_id") / F.lit(dpr)).cast("int")
-                               .alias("range_id")))
+        allowed = _allowed_docs(spark, paths, doc_filter)
         per_range = (postings.groupBy("range_id")
                      .cogroup(allowed.groupBy("range_id"))
                      .applyInPandas(
@@ -323,17 +333,29 @@ _POS_SHIFT = np.uint64(24)  # doc_id<<24 | position keys: dl < 2^24 tokens,
 #                             doc_id < 2^39 — both safe at 10^12-doc scale
 
 
-def _phrase_kernel(qinfo: dict, k: int, stats: IndexStats):
+def _phrase_kernel(qinfo: dict, k: int, stats: IndexStats,
+                   filtered: bool = False):
     """Per-doc-range phrase scorer (match_phrase semantics,
     opensearch_loader.py:386-408 / Lucene PhraseQuery):
     tf = exact-phrase frequency, idf = Σ per-term idfs,
     score = idf · tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)).
 
     qinfo: {query_id: {"terms": [t0, t1, ...], "idf": float}}.
+
+    With ``filtered=True`` the kernel cogroups with the allowed-doc frame
+    (same contract as :func:`_score_kernel`): the metadata filter only
+    restricts the candidate set, phrase statistics stay corpus-global. The
+    restriction is applied to the matched docs AFTER position intersection
+    — phrase candidates are already tiny, so a per-term pre-filter buys
+    nothing and would complicate the position-key bookkeeping.
     """
     k1, b, avgdl = stats.k1, stats.b, stats.avgdl
 
-    def score_range(pdf: pd.DataFrame) -> pd.DataFrame:
+    def score_cogroup(pdf: pd.DataFrame, allowed: pd.DataFrame) -> pd.DataFrame:
+        return score_range(pdf, allowed["doc_id"].to_numpy(np.int64))
+
+    def score_range(pdf: pd.DataFrame,
+                    allowed_ids: np.ndarray | None = None) -> pd.DataFrame:
         by_term: dict[str, dict] = {}
         for rec in pdf.to_dict("records"):
             by_term[rec["term"]] = rec
@@ -364,6 +386,11 @@ def _phrase_kernel(qinfo: dict, k: int, stats: IndexStats):
                 continue
             cand_docs = (cand >> _POS_SHIFT).astype(np.int64)
             uniq, pf = np.unique(cand_docs, return_counts=True)
+            if allowed_ids is not None:
+                keep = np.isin(uniq, allowed_ids)
+                uniq, pf = uniq[keep], pf[keep]
+                if uniq.size == 0:
+                    continue
             # dl lookup from the anchor term's posting run
             dl_map = dl0[np.searchsorted(d0, uniq)]
             sc = info["idf"] * tf_norm(pf, dl_map, avgdl, k1, b)
@@ -378,16 +405,25 @@ def _phrase_kernel(qinfo: dict, k: int, stats: IndexStats):
             "score": pd.Series(out_s, dtype="float64"),
         })
 
-    return score_range
+    def score_plain(pdf: pd.DataFrame) -> pd.DataFrame:
+        return score_range(pdf)
+
+    return score_cogroup if filtered else score_plain
 
 
 def phrase_search(spark: SparkSession, index_dir: str,
-                  queries: list[tuple[int, str]], k: int = 10) -> DataFrame:
+                  queries: list[tuple[int, str]], k: int = 10,
+                  doc_filter: str | None = None) -> DataFrame:
     """Exact-phrase top-k (the match_phrase surface of the reference).
 
     Same physical shape as :func:`search`: dictionary point-lookup →
     bucket/term-pruned postings scan → per-range vectorized kernel →
     global top-k window.
+
+    ``doc_filter``: optional SQL predicate over the docs table — the
+    reference attaches the same bool/filter context to every query type
+    including match_phrase (opensearch_loader.py:386-408, 873-884); the
+    filter restricts candidates without changing corpus-global stats.
     """
     paths = IndexPaths(index_dir)
     stats = load_stats(spark, index_dir)
@@ -413,9 +449,17 @@ def phrase_search(spark: SparkSession, index_dir: str,
         spark.read.parquet(paths.postings)
         .filter(F.col("bucket").isin(buckets)),
         "term", live_terms)
-    per_range = (postings.groupBy("range_id")
-                 .applyInPandas(_phrase_kernel(qinfo, k, stats),
-                                schema=RESULT_SCHEMA))
+    if doc_filter is not None:
+        allowed = _allowed_docs(spark, paths, doc_filter)
+        per_range = (postings.groupBy("range_id")
+                     .cogroup(allowed.groupBy("range_id"))
+                     .applyInPandas(
+                         _phrase_kernel(qinfo, k, stats, filtered=True),
+                         schema=RESULT_SCHEMA))
+    else:
+        per_range = (postings.groupBy("range_id")
+                     .applyInPandas(_phrase_kernel(qinfo, k, stats),
+                                    schema=RESULT_SCHEMA))
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("doc_id").asc())
     return (per_range

@@ -101,8 +101,48 @@ def test_minhash_candidates_have_no_window_exchange(spark):
         [(i, f"alpha beta gamma delta epsilon token{i} zeta eta theta")
          for i in range(30)],
         "doc_id long, text string")
-    cands = minhash_candidate_pairs(docs, num_hashes=8, bands=4)
+    cands = minhash_candidate_pairs(docs, num_hashes=8, bands=4,
+                                    materialize=False)
     plan = _plan(cands)
     assert "Window" not in plan, f"window survived in candidate plan:\n{plan}"
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan
-    cands._persisted_banded.unpersist()
+    spark.catalog.clearCache()
+
+
+def test_simhash_near_pairs_reads_cached_signatures(spark):
+    """The 4 chunk equi-joins read BOTH sides of the signature table; a
+    persist must sit between the simhash pipeline and the joins, or the
+    tokenize→explode→groupBy→applyInPandas DAG re-runs up to 8× (Spark has
+    no cross-branch CSE). Assert every join branch scans the in-memory
+    relation instead of re-deriving the pipeline."""
+    from pdf_to_opensearch_spark.ops.dedup import simhash_near_pairs
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon token{i} zeta eta theta")
+         for i in range(20)],
+        "doc_id long, text string")
+    pairs = simhash_near_pairs(docs, max_hamming=3, materialize=False)
+    plan = _plan(pairs)
+    # 4 chunk joins × 2 sides = 8 scans of the cached signature table
+    assert plan.count("InMemoryTableScan") >= 8, \
+        f"chunk joins not reading cached signatures:\n{plan}"
+    spark.catalog.clearCache()
+
+
+def test_ann_lsh_has_no_bucket_rejoin_shuffle(spark):
+    """lsh_topk / ivf_topk must emit the bucket/cell INLINE from the
+    mapInPandas kernel (carry_vec) — not compute a side table and join it
+    back on id, which shuffles the full embeddings table per query batch.
+    Allowed joins: the broadcast of the tiny query-bucket side only."""
+    from pdf_to_opensearch_spark.ops.similarity import ivf_topk, lsh_topk
+
+    import numpy as np
+    rng = np.random.default_rng(0)
+    rows = [(int(i), rng.standard_normal(8).astype("float32").tolist())
+            for i in range(50)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    for df in (lsh_topk(emb, [1, 2], k=3, n_planes=4, dim=8),
+               ivf_topk(emb, [1, 2], k=3, n_cells=4, dim=8)):
+        plan = _plan(df)
+        assert "SortMergeJoin" not in plan, plan
+        assert "ShuffledHashJoin" not in plan, plan
