@@ -64,30 +64,69 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id",
             .filter(F.col("n_docs") >= 2))
 
 
+def _shingle_udf(n: int):
+    """Arrow-batch shingle kernel: text → array<string> of word n-grams
+    (space-joined analyzer tokens). Tokenization runs in Arrow C++
+    (analyzer.tokenize_arrow_batch — no per-token Python strings during
+    split); only the ~|shingles| join step touches Python objects. ~3×
+    faster than tokenize_udf + JVM slice/concat at bench scale, and
+    byte-identical output (space-joined tokens of the frozen analyzer)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from ..analyzer import tokenize_arrow_batch
+
+    # no type hints: `from __future__ import annotations` makes them
+    # strings that pandas_udf can't resolve against the local pd import
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def kernel(texts):
+        tk = tokenize_arrow_batch(texts)
+        toks = tk["uniq"][tk["codes"]]                  # object[ntok]
+        dl, doc_idx = tk["dl"], tk["doc_idx"]
+        nsh = np.maximum(dl - (n - 1), 0)               # shingles per doc
+        if toks.size == 0 or int(nsh.sum()) == 0:
+            return pd.Series([[] for _ in range(len(texts))])
+        # a flat position is a shingle START iff its n-1 successors are in
+        # the same doc: position-within-doc < dl - (n-1)
+        starts_ok = tk["pos"] < (dl[doc_idx] - (n - 1))
+        idx = np.flatnonzero(starts_ok)
+        sh = toks[idx]
+        for j in range(1, n):
+            sh = sh + " " + toks[idx + j]               # object concat, C loop
+        counts = np.bincount(doc_idx[idx], minlength=len(texts))
+        offsets = np.cumsum(counts) - counts
+        return pd.Series([sh[offsets[i]:offsets[i] + counts[i]].tolist()
+                          for i in range(len(texts))])
+
+    return kernel
+
+
 def shingles(df: DataFrame, text_col: str = "text", n: int = 3,
              out_col: str = "shingle") -> DataFrame:
     """Explode word n-gram shingles (analyzer-tokenized, space-joined)."""
-    # materialize the UDF output first: Spark disallows a Python UDF inside
-    # a higher-order lambda, so the transform references the plain column
-    with_toks = _spread(df).withColumn("_toks", tokenize_udf(F.col(text_col)))
-    toks = F.col("_toks")
-    grams = F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - n),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    return with_toks.withColumn(out_col, F.explode(grams)).drop("_toks")
+    sh = _shingle_udf(n)
+    return (_spread(df)
+            .withColumn(out_col, F.explode(sh(F.col(text_col)))))
+
+
+def raw_shingles(df: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text", shingle_n: int = 3) -> DataFrame:
+    """(id, shingle) pairs WITH duplicates — the shared input of MinHash
+    signature generation (min is idempotent under duplicates, so the
+    full-corpus distinct shuffle is unnecessary there) AND Jaccard
+    verification (which needs distinct SETS, but only over candidate
+    docs — dedupe after the candidate semi-join, never corpus-wide)."""
+    return (shingles(df.select(id_col, text_col), text_col, n=shingle_n)
+            .select(F.col(id_col).alias("id"), "shingle"))
 
 
 def distinct_shingles(df: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", shingle_n: int = 3) -> DataFrame:
-    """(id, shingle) distinct pairs — the shared input of MinHash signature
-    generation AND Jaccard verification (compute once, persist, reuse:
-    min-hash is idempotent under duplicates so distinct sets serve both)."""
-    return (shingles(df.select(id_col, text_col), text_col, n=shingle_n)
-            .select(F.col(id_col).alias("id"), "shingle").distinct())
+    """(id, shingle) distinct pairs. Prefer :func:`raw_shingles` in fused
+    pipelines — corpus-wide distinct is a full shuffle whose only consumer
+    (Jaccard verification) needs distinct sets for candidate docs only."""
+    return raw_shingles(df, id_col, text_col, shingle_n).distinct()
 
 
 def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
@@ -99,12 +138,13 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
 
     Entirely built-in expressions → map-side combined min aggregation.
     Output: (id, sig_0..sig_{h-1}). ``shingle_df``: optional precomputed
-    (id, shingle) table (from :func:`distinct_shingles`). ``hash_family``:
-    'xxhash64' (production default) or 'md5' (:func:`md5_60`, exactly
-    reproducible in the DuckDB oracle).
+    (id, shingle) table — distinct or raw (min is idempotent under
+    duplicate shingles, so :func:`raw_shingles` works and skips a full
+    shuffle). ``hash_family``: 'xxhash64' (production default) or 'md5'
+    (:func:`md5_60`, exactly reproducible in the DuckDB oracle).
     """
     sh = (shingle_df if shingle_df is not None
-          else distinct_shingles(df, id_col, text_col, shingle_n))
+          else raw_shingles(df, id_col, text_col, shingle_n))
     if hash_family == "md5":
         aggs = [F.min(md5_60(F.col("shingle"), seed=i)).alias(f"sig_{i}")
                 for i in range(num_hashes)]
@@ -187,7 +227,8 @@ def jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text", shingle_n: int = 3,
                   threshold: float = 0.7,
                   candidates: DataFrame | None = None,
-                  shingle_df: DataFrame | None = None) -> DataFrame:
+                  shingle_df: DataFrame | None = None,
+                  shingles_distinct: bool = True) -> DataFrame:
     """Exact n-gram Jaccard over candidate pairs.
 
     WARNING — scale foot-gun: with ``candidates=None`` this degenerates to
@@ -197,10 +238,19 @@ def jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     :func:`minhash_near_duplicates`, which wires the two together over one
     shared shingle table.
 
-    Jaccard = |A∩B| / |A∪B| over distinct shingle sets.
+    Jaccard = |A∩B| / |A∪B| over distinct shingle sets. With
+    ``shingles_distinct=False`` the given/derived ``shingle_df`` carries
+    duplicates (:func:`raw_shingles`) and the distinct is applied AFTER
+    the candidate restriction — candidate docs are a vanishing fraction
+    of the corpus, so this replaces a corpus-wide dedup shuffle with one
+    over the candidate subset.
     """
-    sh = (shingle_df if shingle_df is not None
-          else distinct_shingles(df, id_col, text_col, shingle_n))
+    if shingle_df is not None:
+        sh = shingle_df
+    elif shingles_distinct:
+        sh = distinct_shingles(df, id_col, text_col, shingle_n)
+    else:
+        sh = raw_shingles(df, id_col, text_col, shingle_n)
     if candidates is not None:
         # shrink the shingle table to candidate docs BEFORE the heavy
         # self-join — avoids the all-pairs blowup at scale
@@ -208,6 +258,10 @@ def jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
                     .unionByName(candidates.select(F.col("id_b").alias("id")))
                     .distinct())
         sh = sh.join(F.broadcast(cand_ids), "id", "left_semi")
+        if not shingles_distinct:
+            sh = sh.distinct()
+    elif not shingles_distinct:
+        sh = sh.distinct()
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     a = sh.select(F.col("id").alias("id_a"), "shingle")
     b = sh.select(F.col("id").alias("id_b"), "shingle")
@@ -236,14 +290,16 @@ def minhash_near_duplicates(df: DataFrame, id_col: str = "doc_id",
                             max_bucket: int = 1000,
                             hash_family: str = "xxhash64") -> DataFrame:
     """MinHash-LSH near-duplicate pairs, Jaccard-verified — the fused
-    pipeline: ONE shingle table (tokenize+explode runs once, persisted)
-    feeds both the signature/banding stage and the verification join.
+    pipeline: ONE raw shingle table (tokenize+explode runs once,
+    persisted, NO corpus-wide distinct — min-hash is idempotent under
+    duplicates and verification dedupes only the candidate subset) feeds
+    both the signature/banding stage and the verification join.
 
     Returns (id_a, id_b, jaccard) with jaccard ≥ threshold.
     """
     from pyspark import StorageLevel
 
-    sh = distinct_shingles(df, id_col, text_col, shingle_n).persist(
+    sh = raw_shingles(df, id_col, text_col, shingle_n).persist(
         StorageLevel.MEMORY_AND_DISK)
     # minhash_candidate_pairs materializes the (tiny) candidate set and
     # releases its own intermediate cache; the verification stage joins the
@@ -252,7 +308,8 @@ def minhash_near_duplicates(df: DataFrame, id_col: str = "doc_id",
                                     shingle_n, max_bucket, shingle_df=sh,
                                     hash_family=hash_family)
     out = jaccard_pairs(df, id_col, text_col, shingle_n, threshold,
-                        candidates=cands, shingle_df=sh)
+                        candidates=cands, shingle_df=sh,
+                        shingles_distinct=False)
     # materialize the (tiny) verified-pair result, then deterministically
     # release the big shingle cache and the candidate cache — no frame
     # outlives this call except the persisted result itself
