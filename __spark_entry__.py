@@ -112,14 +112,17 @@ def _brute_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "doc_id", "score"))
 
 
-def _bm25_oracle_sql(docs_where: str = "", cand_where: str = "") -> str:
+def _bm25_oracle_sql(docs_where: str = "", cand_where: str = "",
+                     docs_src: str | None = None) -> str:
     """Brute-force BM25 oracle; ``docs_where`` restricts the corpus (the
     J8 delete-requery twin scores only surviving docs — N/avgdl/df all
     recompute over the filtered corpus, matching delete_from_index).
     ``cand_where`` restricts only the CANDIDATE docs while N/avgdl/df stay
     corpus-global — the bool/filter context of the reference search
     (opensearch_loader.py:873-884): a filter narrows the result set, it
-    does not change the scoring statistics."""
+    does not change the scoring statistics. ``docs_src`` replaces the
+    corpus SELECT entirely (the per-field entry scores a DERIVED text
+    column with that field's own N/avgdl/df — Lucene per-field norms)."""
     cand_clause = (
         f"WHERE tf.doc_id IN (SELECT doc_id FROM docs0 WHERE {cand_where})"
         if cand_where else "")
@@ -127,9 +130,10 @@ def _bm25_oracle_sql(docs_where: str = "", cand_where: str = "") -> str:
         f"({qid}, '{t}')"
         for qid, t in sorted({(qid, t) for qid, q in BM25_QUERIES.items()
                               for t in q.split()}))
+    docs_body = docs_src or f"SELECT * FROM documents {docs_where}"
     return f"""
 WITH docs0 AS (
-  SELECT * FROM documents {docs_where}
+  {docs_body}
 ),
 toks AS (
   SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM docs0
@@ -174,7 +178,12 @@ def _ensure_engine_index(spark: SparkSession, sf_dir: str) -> str:
     The indexed unit carries the embedding column (LEFT join — docs
     without a vector still serve BM25, mirroring the reference mapping's
     optional knn_vector field, opensearch_loader.py:226-230), so the SAME
-    index serves the lexical entries AND hybrid_topk: no second build."""
+    index serves the lexical entries AND hybrid_topk: no second build.
+    It also carries ``text_prev`` (the previous doc's text in doc_id
+    order — the chunk_text_previous analogue of the reference's
+    three-field unit, opensearch_loader.py:210-237) for the per-field
+    BM25 entry; the global lag window is fixture-only (at scale prev/next
+    come from the per-url chunk sequence, chunking.py)."""
     from pdf_to_opensearch_spark.indexer import build_index
 
     out = os.path.join(tempfile.gettempdir(),
@@ -182,11 +191,14 @@ def _ensure_engine_index(spark: SparkSession, sf_dir: str) -> str:
     if out not in _BUILT_INDEXES:
         docs = _docs(spark, sf_dir)
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        w_prev = Window.orderBy(docs.doc_id)
         unit = (docs.join(emb, docs.doc_id == emb.vec_id, "left")
                 .select(F.concat(F.lit("doc://"),
                                  F.lpad(docs.doc_id.cast("string"), 10, "0")
                                  ).alias("url"),
-                        "text", "lang", "embedding"))
+                        "text", "lang", "embedding",
+                        F.coalesce(F.lag(docs.text).over(w_prev), F.lit(""))
+                        .alias("text_prev")))
         build_index(spark, unit, out, num_ranges=8, n_buckets=8,
                     id_partitions=8)
         _BUILT_INDEXES.add(out)
@@ -331,6 +343,39 @@ def _phrase_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (res.withColumn("rank2", F.row_number().over(w))
             .select("query_id", F.col("rank2").cast("int").alias("rank"),
                     "doc_id", F.round("score", 4).alias("score")))
+
+
+_FIELD_INDEXES: set[str] = set()
+
+
+def _bm25_field_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``match`` on the NON-current analyzed field ``text_prev`` — the
+    reference's indexed unit declares three independently scorable text
+    fields (chunk_text_current/previous/next, opensearch_loader.py:
+    210-237); Lucene keeps per-field postings + norms. The engine builds
+    the field's own posting space (fields.build_field_index: same doc_ids
+    and ranges, zero-shuffle) with per-field df/avgdl, and the oracle
+    recomputes BM25 from scratch over the derived lag(text) column."""
+    _ensure_pkg(spark)
+    from pdf_to_opensearch_spark.fields import build_field_index, search_field
+
+    out = _ensure_engine_index(spark, sf_dir)
+    if out not in _FIELD_INDEXES:
+        build_field_index(spark, out, "text_prev")
+        _FIELD_INDEXES.add(out)
+    res = search_field(spark, out, "text_prev",
+                       list(BM25_QUERIES.items()), k=BM25_K, prune=True)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_r").desc(), F.col("doc_id").asc())
+    return (res.withColumn("score_r", F.round("score", 4))
+            .withColumn("rank2", F.row_number().over(w))
+            .select("query_id", F.col("rank2").cast("int").alias("rank"),
+                    "doc_id", F.col("score_r").alias("score")))
+
+
+_FIELD_DOCS_SRC = """SELECT doc_id,
+         coalesce(lag(text) OVER (ORDER BY doc_id), '') AS text
+  FROM documents"""
 
 
 # ------------------------------------------------------- corpus statistics
@@ -2633,6 +2678,7 @@ _base_oracles = oracle_sql
 _VERIFY_FIRST = [
     "c_scalars", "j4_axis_merge", "j5_chart_merge",          # skipped in r3
     "bm25_filtered_topk", "phrase_topk_filtered",            # new in r4
+    "bm25_field_topk",                                        # new in r4
     "simhash_pairs",                                          # oracle new in r4
     "ann_lsh_topk", "ann_ivf_topk", "hybrid_topk",            # r4 plan change
     "minhash_pairs", "minhash_pairs_md5", "simhash_pairs_md5",  # r4 persist
@@ -2651,6 +2697,7 @@ def queries():  # noqa: F811 — extend the registry with the spatial/misc ops
     out.update({
         "bm25_filtered_topk": _bm25_filtered_topk,
         "phrase_topk_filtered": _phrase_topk_filtered,
+        "bm25_field_topk": _bm25_field_topk,
     })
     return _reorder(out)
 
@@ -2661,5 +2708,6 @@ def oracle_sql():  # noqa: F811
     out.update({
         "bm25_filtered_topk": _bm25_oracle_sql(cand_where=FILTER_PRED),
         "phrase_topk_filtered": _phrase_oracle_sql(cand_where=FILTER_PRED),
+        "bm25_field_topk": _bm25_oracle_sql(docs_src=_FIELD_DOCS_SRC),
     })
     return _reorder(out)

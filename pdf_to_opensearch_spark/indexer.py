@@ -55,6 +55,11 @@ POSTINGS_SCHEMA = (
 
 DEFAULT_BUCKETS = 16
 
+# derived-tables epilogue fast path: fused dictionary+manifest rows at or
+# below this collect to the driver (one job) instead of two distributed
+# writes; above it (web-scale vocabularies) the Spark writers run
+SMALL_DERIVED_MAX = 2_000_000
+
 
 def term_bucket_col(term_col, n_buckets: int = DEFAULT_BUCKETS):
     """Deterministic term → bucket (crc32 mod n). Matches _bucket_of."""
@@ -489,6 +494,10 @@ def refresh_derived_tables(spark: SparkSession, paths: IndexPaths, *,
     # gid=1 and the (range_id) set gid=2 — a genuinely-NULL term or
     # range_id value would survive here, where an isNotNull filter would
     # silently drop it (indistinguishable from the placeholder NULL)
+    # single probe job: LIMIT(max+1) collect answers "is it small?" AND,
+    # when yes, already holds every row — no separate count round-trip
+    probe = fused.limit(SMALL_DERIVED_MAX + 1).toPandas()
+
     def _dictionary_job():
         (fused.filter(F.col("gid") == 1)
          .select("term", F.col("sum_n").alias("df"),
@@ -504,6 +513,37 @@ def refresh_derived_tables(spark: SparkSession, paths: IndexPaths, *,
          .withColumn("committed_at", F.current_timestamp())
          .write.mode("overwrite").parquet(paths.manifest))
 
+    def _small_derived_job():
+        # small-corpus fast path: the fused frame fits on the driver, so
+        # ONE collect replaces the two parquet-write Spark jobs — this
+        # epilogue is the serial Amdahl term of whole-job scaling at
+        # small corpus sizes, and every Spark job scheduling round-trip
+        # in it shows up directly in the measured scaling efficiency.
+        # The row-count guard keeps web-scale vocabularies (billions of
+        # dictionary rows) on the distributed writers.
+        pdf = probe
+        d = pdf[pdf["gid"] == 1]
+        dict_pdf = pd.DataFrame({
+            "term": d["term"].astype(object),
+            "df": d["sum_n"].astype("int64"),
+            "cf": d["sum_cf"].astype("int64"),
+        })
+        write_small_table(spark, dict_pdf, paths.dictionary)
+        m = pdf[pdf["gid"] == 2]
+        man_pdf = pd.DataFrame({
+            "range_id": m["range_id"].astype("int32"),
+            "n_postings": m["sum_n"].astype("int64"),
+            "n_terms": m["n_terms"].astype("int64"),
+            "bytes": m["bytes"].astype("int64"),
+            "wall_ms": m["wall_ms"].astype("int64"),
+            "status": "committed",
+            "analyzer_version": ANALYZER_VERSION,
+            "committed_at": pd.Timestamp.now().floor("us"),
+        })
+        man_pdf["committed_at"] = man_pdf["committed_at"].astype(
+            "datetime64[us]")  # Spark's parquet reader rejects NANOS
+        write_small_table(spark, man_pdf, paths.manifest)
+
     def _stats_job():
         stats_pdf = pd.DataFrame([{
             "N": N, "avgdl": avgdl, "avgdl_build": avgdl,
@@ -513,7 +553,10 @@ def refresh_derived_tables(spark: SparkSession, paths: IndexPaths, *,
         }])
         write_small_table(spark, stats_pdf, paths.stats)
 
-    jobs = [_dictionary_job, _manifest_job, _stats_job]
+    if len(probe) <= SMALL_DERIVED_MAX:
+        jobs = [_small_derived_job, _stats_job]
+    else:
+        jobs = [_dictionary_job, _manifest_job, _stats_job]
     if refresh_doc_stats:
         jobs.append(lambda: (spark.read.parquet(paths.docs)
                              .select("doc_id", "dl")
