@@ -123,6 +123,9 @@ def _prepare_scaling_docs(corpus_path: str, out_dir: str) -> int:
 
 _CALIB_BEST = [float("inf")]
 _GATE_LOG: list[float] = []
+# count of gates that TIMED OUT still above tolerance: the calibration
+# instrument's own evidence that a timed region started machine-degraded
+_GATE_TIMEOUTS = [0]
 
 
 def _calibrate() -> float:
@@ -147,7 +150,10 @@ def _gate(max_wait: float = GATE_MAX_WAIT) -> float:
         c = _calibrate()
         _GATE_LOG.append(round(c, 3))
         _CALIB_BEST[0] = min(_CALIB_BEST[0], c)
-        if c <= _CALIB_BEST[0] * GATE_TOL or time.monotonic() > deadline:
+        if c <= _CALIB_BEST[0] * GATE_TOL:
+            return c
+        if time.monotonic() > deadline:
+            _GATE_TIMEOUTS[0] += 1
             return c
         time.sleep(8)
 
@@ -421,6 +427,7 @@ def main() -> None:  # noqa: C901
         max_pairs = SCALE_REPS + 2
         while pair < SCALE_REPS or (time.monotonic() - t_start < idx_budget
                                     and pair < max_pairs):
+            gt0 = _GATE_TIMEOUTS[0]
             # alternate which level runs first so slow machine-state drift
             # within a window doesn't systematically penalize one level
             if pair % 2 == 0:
@@ -449,6 +456,10 @@ def main() -> None:  # noqa: C901
                 "ctrl_eff": round(w_ctrl, 4),
                 "envelope": round(w_eff / max(w_ctrl, 1e-9), 4),
                 "kernel_eff": round((k_lo / k_hi) / ratio, 4),
+                # >0 ⇒ at least one timed region in this window started
+                # with the calibration gate still failing at its deadline
+                # (machine-degraded by the instrument's own evidence)
+                "gate_timeouts": _GATE_TIMEOUTS[0] - gt0,
             })
             print(f"[bench] window {pair}: {windows[-1]}", file=sys.stderr,
                   flush=True)
@@ -492,7 +503,8 @@ def main() -> None:  # noqa: C901
         # corrupt (ctrl_eff outside CTRL_BAND), then recompute the
         # min-based efficiency and per-window envelopes over the survivors
         screened = [w for w in windows
-                    if CTRL_BAND[0] <= w["ctrl_eff"] <= CTRL_BAND[1]]
+                    if CTRL_BAND[0] <= w["ctrl_eff"] <= CTRL_BAND[1]
+                    and w["gate_timeouts"] == 0]
         results["n_windows"] = len(windows)
         results["n_windows_screened"] = len(screened)
         if screened:
@@ -518,6 +530,7 @@ def main() -> None:  # noqa: C901
         results["query_scaling_efficiency"] = round(qeff, 4)
         detail["gate_samples"] = _GATE_LOG[-80:]
         results["gate_best"] = round(_CALIB_BEST[0], 3)
+        results["gate_timeouts_total"] = _GATE_TIMEOUTS[0]
         shutil.rmtree(idx, ignore_errors=True)
 
     if ONLY == "scaling":

@@ -45,11 +45,24 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("-k", type=int, default=10)
     s.add_argument("--filter", default=None,
                    help="SQL predicate over docs columns (bool/filter)")
+    s.add_argument("--field", default=None,
+                   help="score this analyzed field's posting space "
+                        "(built with build-field) instead of the root")
 
     ph = sub.add_parser("phrase", help="match_phrase top-k")
     ph.add_argument("--index", required=True)
     ph.add_argument("-q", "--query", action="append", required=True)
     ph.add_argument("-k", type=int, default=10)
+    ph.add_argument("--filter", default=None,
+                    help="SQL predicate over docs columns (bool/filter)")
+
+    bf = sub.add_parser("build-field", help="build the posting space for "
+                                            "one analyzed field of the "
+                                            "indexed unit (per-field "
+                                            "df/avgdl, Lucene-style)")
+    bf.add_argument("--index", required=True)
+    bf.add_argument("--field", required=True,
+                    help="string column of the docs table")
 
     hy = sub.add_parser("hybrid", help="BM25 ∪ kNN top-k (RRF fusion; the "
                                        "docs table must carry an embedding "
@@ -120,10 +133,14 @@ def main(argv: list[str] | None = None) -> int:
                               "resumed_ranges": sorted(done),
                               "seconds": round(time.monotonic() - t0, 2)}))
         elif args.cmd == "search":
+            from .fields import field_root
             from .query import search
 
             qs = list(enumerate(args.query, 1))
-            res = search(spark, args.index, qs, k=args.k,
+            root = (field_root(args.index, args.field)
+                    if args.field not in (None, "current", "text")
+                    else args.index)
+            res = search(spark, root, qs, k=args.k,
                          doc_filter=args.filter)
             for row in res.collect():
                 print(json.dumps({"query_id": row["query_id"],
@@ -134,11 +151,20 @@ def main(argv: list[str] | None = None) -> int:
             from .query import phrase_search
 
             qs = list(enumerate(args.query, 1))
-            for row in phrase_search(spark, args.index, qs, k=args.k).collect():
+            res = phrase_search(spark, args.index, qs, k=args.k,
+                                doc_filter=args.filter)
+            for row in res.collect():
                 print(json.dumps({"query_id": row["query_id"],
                                   "rank": row["rank"],
                                   "doc_id": row["doc_id"],
                                   "score": round(row["score"], 6)}))
+        elif args.cmd == "build-field":
+            from .fields import build_field_index
+
+            t0 = time.monotonic()
+            froot = build_field_index(spark, args.index, args.field)
+            print(json.dumps({"built": froot, "field": args.field,
+                              "seconds": round(time.monotonic() - t0, 2)}))
         elif args.cmd == "hybrid":
             from .hybrid import search_hybrid
 

@@ -55,10 +55,13 @@ POSTINGS_SCHEMA = (
 
 DEFAULT_BUCKETS = 16
 
-# derived-tables epilogue fast path: fused dictionary+manifest rows at or
-# below this collect to the driver (one job) instead of two distributed
-# writes; above it (web-scale vocabularies) the Spark writers run
-SMALL_DERIVED_MAX = 2_000_000
+# derived-tables epilogue fast path: at or below this many DOCS the fused
+# dictionary+manifest result collects to the driver (one parallel job)
+# instead of two distributed writes; above it (web-scale vocabularies) the
+# Spark writers run. Doc count is the guard because it is known BEFORE the
+# aggregation — a row-count probe would need its own job, and a LIMIT
+# probe funnels through a single-task CollectLimit exchange.
+SMALL_DERIVED_DOCS_MAX = 200_000
 
 
 def term_bucket_col(term_col, n_buckets: int = DEFAULT_BUCKETS):
@@ -478,6 +481,7 @@ def refresh_derived_tables(spark: SparkSession, paths: IndexPaths, *,
     # persisted and the two writes are cache reads. This epilogue is the
     # serial Amdahl term of whole-job scaling at toy corpus sizes — one
     # scan + one aggregation is the floor for it.
+    use_small = N <= SMALL_DERIVED_DOCS_MAX
     meta_cols = spark.read.parquet(paths.postings).select(
         "term", "range_id", "n", "cf", "n_bytes", "wall_ms")
     fused = (meta_cols
@@ -486,18 +490,20 @@ def refresh_derived_tables(spark: SparkSession, paths: IndexPaths, *,
                   F.countDistinct("term").alias("n_terms"),
                   F.sum("n_bytes").alias("bytes"),
                   F.max("wall_ms").alias("wall_ms"),
-                  F.grouping_id().alias("gid"))
-             .persist())
+                  F.grouping_id().alias("gid")))
+    if not use_small:
+        # two write jobs read the aggregate → materialize it once
+        fused = fused.persist()
+    # small path: ONE parallel collect of the aggregate (scan+agg tasks
+    # still run at full parallelism; only the tiny result crosses to the
+    # driver) — no persist, no second job, no CollectLimit funnel
+    probe = fused.toPandas() if use_small else None
 
     # split the grouping-sets result by grouping_id, NOT column nullness:
     # gid = grouping(term)·2 + grouping(range_id), so the (term) set is
     # gid=1 and the (range_id) set gid=2 — a genuinely-NULL term or
     # range_id value would survive here, where an isNotNull filter would
     # silently drop it (indistinguishable from the placeholder NULL)
-    # single probe job: LIMIT(max+1) collect answers "is it small?" AND,
-    # when yes, already holds every row — no separate count round-trip
-    probe = fused.limit(SMALL_DERIVED_MAX + 1).toPandas()
-
     def _dictionary_job():
         (fused.filter(F.col("gid") == 1)
          .select("term", F.col("sum_n").alias("df"),
@@ -553,7 +559,7 @@ def refresh_derived_tables(spark: SparkSession, paths: IndexPaths, *,
         }])
         write_small_table(spark, stats_pdf, paths.stats)
 
-    if len(probe) <= SMALL_DERIVED_MAX:
+    if use_small:
         jobs = [_small_derived_job, _stats_job]
     else:
         jobs = [_dictionary_job, _manifest_job, _stats_job]
@@ -567,7 +573,8 @@ def refresh_derived_tables(spark: SparkSession, paths: IndexPaths, *,
         for f in futures:
             f.result()
     tick("derived_tables")
-    fused.unpersist()
+    if not use_small:
+        fused.unpersist()
 
 
 def build_index(spark: SparkSession, docs_df: DataFrame, out_dir: str,
