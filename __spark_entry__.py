@@ -2522,7 +2522,30 @@ def _hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                          k0=HYBRID_K0)
 
 
-def _hybrid_oracle_sql() -> str:
+def _hybrid_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid RRF with the metadata filter context applied to BOTH the
+    lexical and the vector side (the reference's bool/filter attaches to
+    any query type, opensearch_loader.py:873-884)."""
+    _ensure_pkg(spark)
+    from pdf_to_opensearch_spark.hybrid import search_hybrid
+
+    out = _ensure_engine_index(spark, sf_dir)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = {int(r["vec_id"]): list(r["embedding"]) for r in
+            emb.filter(emb.vec_id.isin(list(HYBRID_QVECS.values()))).collect()}
+    queries = [(qid, text, qvec[HYBRID_QVECS[qid]])
+               for qid, text in BM25_QUERIES.items()]
+    return search_hybrid(spark, out, queries, k=BM25_K, depth=HYBRID_DEPTH,
+                         k0=HYBRID_K0, doc_filter=FILTER_PRED)
+
+
+def _hybrid_oracle_sql(cand_where: str = "") -> str:
+    """RRF oracle; ``cand_where`` restricts candidate docs on BOTH lists
+    (bm scores and knn scan) while BM25 stats stay corpus-global."""
+    bm_cand = (f"WHERE tf.doc_id IN (SELECT doc_id FROM documents "
+               f"WHERE {cand_where})" if cand_where else "")
+    knn_cand = (f"WHERE e.vec_id IN (SELECT doc_id FROM documents "
+                f"WHERE {cand_where})" if cand_where else "")
     qvals = ", ".join(
         f"({qid}, '{t}')"
         for qid, t in sorted({(qid, t) for qid, q in BM25_QUERIES.items()
@@ -2549,6 +2572,7 @@ scores AS (
   FROM tf
   JOIN q USING (term) JOIN dfreq USING (term) JOIN dl USING (doc_id)
   CROSS JOIN stats s
+  {bm_cand}
   GROUP BY 1, 2
 ),
 bm AS (
@@ -2570,6 +2594,7 @@ knn AS (
     FROM qv
     JOIN embeddings qe ON qe.vec_id = qv.qvec_id
     CROSS JOIN embeddings e
+    {knn_cand}
   ) WHERE rank <= {HYBRID_DEPTH}
 ),
 contrib AS (
@@ -2678,7 +2703,7 @@ _base_oracles = oracle_sql
 _VERIFY_FIRST = [
     "c_scalars", "j4_axis_merge", "j5_chart_merge",          # skipped in r3
     "bm25_filtered_topk", "phrase_topk_filtered",            # new in r4
-    "bm25_field_topk",                                        # new in r4
+    "bm25_field_topk", "hybrid_topk_filtered",                # new in r4
     "simhash_pairs",                                          # oracle new in r4
     "ann_lsh_topk", "ann_ivf_topk", "hybrid_topk",            # r4 plan change
     "minhash_pairs", "minhash_pairs_md5", "simhash_pairs_md5",  # r4 persist
@@ -2698,6 +2723,7 @@ def queries():  # noqa: F811 — extend the registry with the spatial/misc ops
         "bm25_filtered_topk": _bm25_filtered_topk,
         "phrase_topk_filtered": _phrase_topk_filtered,
         "bm25_field_topk": _bm25_field_topk,
+        "hybrid_topk_filtered": _hybrid_topk_filtered,
     })
     return _reorder(out)
 
@@ -2709,5 +2735,6 @@ def oracle_sql():  # noqa: F811
         "bm25_filtered_topk": _bm25_oracle_sql(cand_where=FILTER_PRED),
         "phrase_topk_filtered": _phrase_oracle_sql(cand_where=FILTER_PRED),
         "bm25_field_topk": _bm25_oracle_sql(docs_src=_FIELD_DOCS_SRC),
+        "hybrid_topk_filtered": _hybrid_oracle_sql(cand_where=FILTER_PRED),
     })
     return _reorder(out)

@@ -417,14 +417,14 @@ def main() -> None:  # noqa: C901
         # the two landed in different machine states.
         ratio = SCALE_HI / SCALE_LO
         idx_budget = float(os.environ.get("SPARK_GRAFT_SCALE_BUDGET",
-                                          "420"))
+                                          "600"))
         times: dict[int, list[float]] = {SCALE_LO: [], SCALE_HI: []}
         ktimes: dict[int, list[float]] = {SCALE_LO: [], SCALE_HI: []}
         ctrl: dict[int, list[float]] = {SCALE_LO: [], SCALE_HI: []}
         windows: list[dict[str, float]] = []
         t_start = time.monotonic()
         pair = 0
-        max_pairs = SCALE_REPS + 2
+        max_pairs = SCALE_REPS + 3
         while pair < SCALE_REPS or (time.monotonic() - t_start < idx_budget
                                     and pair < max_pairs):
             gt0 = _GATE_TIMEOUTS[0]

@@ -37,10 +37,13 @@ RRF_K0 = 60
 
 def knn_docs_topk(spark: SparkSession, index_dir: str,
                   query_vecs: list[tuple[int, list[float]]], k: int = 10,
-                  vec_col: str = "embedding") -> DataFrame:
+                  vec_col: str = "embedding",
+                  doc_filter: str | None = None) -> DataFrame:
     """Exact cosine top-k per query vector over the index's docs table.
 
     Returns (query_id, rank, doc_id, sim); rank by sim desc, doc_id asc.
+    ``doc_filter``: optional SQL predicate over docs columns — restricts
+    the candidate vectors (filter context), pushed into the docs scan.
     """
     from collections.abc import Iterator
 
@@ -80,8 +83,10 @@ def knn_docs_topk(spark: SparkSession, index_dir: str,
 
     paths = IndexPaths(index_dir)
     docs = (spark.read.parquet(paths.docs)
-            .filter(F.col(vec_col).isNotNull())
-            .select("doc_id", vec_col))
+            .filter(F.col(vec_col).isNotNull()))
+    if doc_filter is not None:
+        docs = docs.filter(doc_filter)
+    docs = docs.select("doc_id", vec_col)
     per_part = docs.mapInPandas(
         kernel, schema="query_id int, doc_id long, sim double")
     w = Window.partitionBy("query_id").orderBy(
@@ -95,7 +100,8 @@ def knn_docs_topk(spark: SparkSession, index_dir: str,
 def knn_docs_topk_lsh(spark: SparkSession, index_dir: str,
                       query_vecs: list[tuple[int, list[float]]], k: int = 10,
                       vec_col: str = "embedding", n_planes: int = 8,
-                      seed: int = 42) -> DataFrame:
+                      seed: int = 42,
+                      doc_filter: str | None = None) -> DataFrame:
     """Approximate cosine top-k: exact re-rank restricted to docs sharing
     the query's hyperplane-LSH bucket (ops/similarity.lsh_topk pattern,
     external query vectors). The 100-TB vector side: candidate set shrinks
@@ -125,8 +131,10 @@ def knn_docs_topk_lsh(spark: SparkSession, index_dir: str,
 
     paths = IndexPaths(index_dir)
     docs = (spark.read.parquet(paths.docs)
-            .filter(F.col(vec_col).isNotNull())
-            .select("doc_id", vec_col))
+            .filter(F.col(vec_col).isNotNull()))
+    if doc_filter is not None:
+        docs = docs.filter(doc_filter)
+    docs = docs.select("doc_id", vec_col)
     # bucket emitted inline with the vector (carry_vec) — no docs⋈buckets
     # id-join, the only shuffle-free shape at 10^12-doc scale
     d_buckets = hyperplane_buckets(docs, n_planes=n_planes, seed=seed,
@@ -188,7 +196,8 @@ def search_hybrid(spark: SparkSession, index_dir: str,
                   queries: list[tuple[int, str, list[float]]], k: int = 10,
                   depth: int = 20, k0: int = RRF_K0,
                   prune: bool = True,
-                  vector_mode: str = "exact") -> DataFrame:
+                  vector_mode: str = "exact",
+                  doc_filter: str | None = None) -> DataFrame:
     """Hybrid top-k: (query_id, text, vector) → RRF(BM25 top-depth, kNN
     top-depth) → (query_id, rank, doc_id, rrf).
 
@@ -198,6 +207,10 @@ def search_hybrid(spark: SparkSession, index_dir: str,
     ``k``-per-subquery analogue). ``vector_mode='exact'`` is the full-scan
     GEMM baseline (oracle-checkable); ``'lsh'`` restricts the scan to the
     query's hyperplane bucket — the 10^12-doc scale path (approximate).
+    ``doc_filter`` applies the same bool/filter context to BOTH sides
+    (the reference attaches filters to every query type, hybrid included,
+    opensearch_loader.py:873-884): candidates restricted, BM25 statistics
+    stay corpus-global, fusion ranks computed over the filtered lists.
     """
     if vector_mode not in ("exact", "lsh"):
         raise ValueError(f"vector_mode must be exact|lsh, got {vector_mode!r}")
@@ -206,7 +219,7 @@ def search_hybrid(spark: SparkSession, index_dir: str,
     # reproducible against an external oracle even when full-precision
     # and rounded orderings disagree at the depth boundary
     bm = search(spark, index_dir, [(q, t) for q, t, _v in queries],
-                k=depth + 5, prune=prune)
+                k=depth + 5, prune=prune, doc_filter=doc_filter)
     wb = Window.partitionBy("query_id").orderBy(
         F.round("score", 4).desc(), F.col("doc_id").asc())
     bm = (bm.withColumn("rank", F.row_number().over(wb))
@@ -214,5 +227,6 @@ def search_hybrid(spark: SparkSession, index_dir: str,
           .select("query_id", "rank", "doc_id"))
     knn_fn = knn_docs_topk if vector_mode == "exact" else knn_docs_topk_lsh
     knn = knn_fn(spark, index_dir,
-                 [(q, v) for q, _t, v in queries], k=depth)
+                 [(q, v) for q, _t, v in queries], k=depth,
+                 doc_filter=doc_filter)
     return rrf_fuse(bm, knn.select("query_id", "rank", "doc_id"), k=k, k0=k0)
