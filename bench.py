@@ -323,7 +323,13 @@ def query_batch_once(cores: int, index_dir: str) -> float:
         searcher.search(queries[:8], k=10).collect()  # warm-up
         _gate()
         t0 = time.monotonic()
-        searcher.search(queries, k=10).collect()
+        # prune=False for the BATCH workload: the synthetic 800-term vocab
+        # makes every posting list dense, so block-max upper bounds almost
+        # never skip a block and the per-query bound math is pure overhead
+        # (~30% measured). The p50/p95 latency section keeps prune=True —
+        # pruning is a per-workload switch, not a correctness knob
+        # (differential-tested either way).
+        searcher.search(queries, k=10, prune=False).collect()
         return time.monotonic() - t0
     finally:
         spark.stop()

@@ -175,15 +175,36 @@ def _score_kernel(qinfo: dict, k: int, stats: IndexStats, prune: bool,
                 parts_sc.append(sc_t)
             ids = np.concatenate(parts_ids)
             sc = np.concatenate(parts_sc)
-            # vectorized TAAT combine: groupby doc_id → sum
-            uniq, inv = np.unique(ids, return_inverse=True)
-            acc = np.zeros(uniq.size, dtype=np.float64)
-            np.add.at(acc, inv, sc)
+            if ids.size == 0:
+                continue
+            # vectorized TAAT combine: stable sort by doc → segmented sum.
+            # reduceat's left-to-right per-segment sum adds contributions
+            # in the SAME order as the former unique+add.at (stable sort
+            # keeps term order within a doc; IEEE: 0+c1 == c1), so scores
+            # are bit-identical — ~2× less work than unique(return_inverse)
+            order0 = np.argsort(ids, kind="stable")
+            ids_s, sc_s = ids[order0], sc[order0]
+            chg = np.empty(ids_s.size, dtype=bool)
+            chg[0] = True
+            chg[1:] = ids_s[1:] != ids_s[:-1]
+            starts = np.flatnonzero(chg)
+            acc = np.add.reduceat(sc_s, starts)
+            uniq = ids_s[starts]
             top = min(k, uniq.size)
-            order = np.lexsort((uniq, -acc))[:top]
+            if uniq.size > top:
+                # tie-safe selection: keep every doc scoring >= the k-th
+                # value (boundary ties included), then rank only those —
+                # argpartition alone would break boundary ties arbitrarily
+                # instead of by ascending doc_id (rank-identity contract)
+                kth = np.partition(acc, acc.size - top)[acc.size - top]
+                m = acc >= kth
+                cand_u, cand_a = uniq[m], acc[m]
+            else:
+                cand_u, cand_a = uniq, acc
+            order = np.lexsort((cand_u, -cand_a))[:top]
             out_q.extend([query_id] * top)
-            out_d.extend(uniq[order].tolist())
-            out_s.extend(acc[order].tolist())
+            out_d.extend(cand_u[order].tolist())
+            out_s.extend(cand_a[order].tolist())
         return pd.DataFrame({
             "query_id": pd.Series(out_q, dtype="int32"),
             "doc_id": pd.Series(out_d, dtype="int64"),
