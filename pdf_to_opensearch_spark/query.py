@@ -520,7 +520,8 @@ class Searcher:
         return {r["term"]: int(r["df"]) for r in rows}
 
     def search(self, queries: list[tuple[int, str]], k: int = 10,
-               prune: bool = True) -> DataFrame:
+               prune: bool = True,
+               doc_filter: str | None = None) -> DataFrame:
         stats = self.stats
         q_terms = {qid: tokenize_text(text) for qid, text in queries}
         terms = sorted({t for toks in q_terms.values() for t in toks})
@@ -539,9 +540,62 @@ class Searcher:
             self.spark.read.parquet(self.paths.postings)
             .filter(F.col("bucket").isin(buckets)),
             "term", live_terms)
-        per_range = (postings.groupBy("range_id")
-                     .applyInPandas(_score_kernel(qinfo, k, stats, prune),
-                                    schema=RESULT_SCHEMA))
+        if doc_filter is not None:
+            allowed = _allowed_docs(self.spark, self.paths, doc_filter)
+            per_range = (postings.groupBy("range_id")
+                         .cogroup(allowed.groupBy("range_id"))
+                         .applyInPandas(
+                             _score_kernel(qinfo, k, stats, prune,
+                                           filtered=True),
+                             schema=RESULT_SCHEMA))
+        else:
+            per_range = (postings.groupBy("range_id")
+                         .applyInPandas(_score_kernel(qinfo, k, stats, prune),
+                                        schema=RESULT_SCHEMA))
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("score").desc(), F.col("doc_id").asc())
+        return (per_range
+                .withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= k)
+                .select("query_id", "rank", "doc_id", "score"))
+
+    def phrase_search(self, queries: list[tuple[int, str]], k: int = 10,
+                      doc_filter: str | None = None) -> DataFrame:
+        """match_phrase through the resident-stats handle (same engine as
+        module-level :func:`phrase_search`, minus the per-call stats read;
+        the dictionary lookup reuses the preloaded df map when present)."""
+        stats = self.stats
+        q_terms = {qid: tokenize_text(text) for qid, text in queries}
+        terms = sorted({t for toks in q_terms.values() for t in toks})
+        empty = "query_id int, rank int, doc_id long, score double"
+        if not terms:
+            return self.spark.createDataFrame([], empty)
+        dfs = self._lookup_dfs(terms)
+        qinfo = {}
+        for qid, toks in q_terms.items():
+            if toks and all(t in dfs for t in toks):
+                s_idf = float(sum(
+                    idf_fn(stats.N, np.array([dfs[t]]))[0] for t in toks))
+                qinfo[int(qid)] = {"terms": toks, "idf": s_idf}
+        if not qinfo:
+            return self.spark.createDataFrame([], empty)
+        live_terms = sorted({t for i in qinfo.values() for t in i["terms"]})
+        buckets = sorted({bucket_of(t, stats.n_buckets) for t in live_terms})
+        postings = _filter_in(
+            self.spark.read.parquet(self.paths.postings)
+            .filter(F.col("bucket").isin(buckets)),
+            "term", live_terms)
+        if doc_filter is not None:
+            allowed = _allowed_docs(self.spark, self.paths, doc_filter)
+            per_range = (postings.groupBy("range_id")
+                         .cogroup(allowed.groupBy("range_id"))
+                         .applyInPandas(
+                             _phrase_kernel(qinfo, k, stats, filtered=True),
+                             schema=RESULT_SCHEMA))
+        else:
+            per_range = (postings.groupBy("range_id")
+                         .applyInPandas(_phrase_kernel(qinfo, k, stats),
+                                        schema=RESULT_SCHEMA))
         w = Window.partitionBy("query_id").orderBy(
             F.col("score").desc(), F.col("doc_id").asc())
         return (per_range

@@ -72,3 +72,51 @@ def test_phrase_with_repeated_term(spark, phrase_setup):
     got = phrase_search(spark, root, [(9, "spark spark")], k=5).toPandas()
     want = oracle.phrase_search("spark spark", 5)
     assert list(got["doc_id"]) == [d for d, _ in want]
+
+
+def test_filtered_phrase_restricts_candidates_only(spark, phrase_setup):
+    """doc_filter is the bool/filter context: scores of surviving docs are
+    UNCHANGED (corpus-global stats), non-matching docs just disappear."""
+    from pdf_to_opensearch_spark.query import phrase_search
+
+    root, _oracle = phrase_setup
+    # k > corpus size: both lists are complete, so the filtered result
+    # must be exactly the unfiltered one restricted to surviving docs
+    full = phrase_search(spark, root, PHRASES, k=500).toPandas()
+    filt = phrase_search(spark, root, PHRASES, k=500,
+                         doc_filter="doc_id % 2 = 0").toPandas()
+    assert (filt["doc_id"] % 2 == 0).all()
+    merged = filt.merge(full, on=["query_id", "doc_id"],
+                        suffixes=("_f", "_u"))
+    assert len(merged) == len(filt)  # every filtered hit exists unfiltered
+    np.testing.assert_allclose(merged["score_f"], merged["score_u"],
+                               atol=1e-12)
+
+
+def test_searcher_parity_with_module_functions(spark, phrase_setup):
+    """Searcher.search/phrase_search (resident stats/dictionary) must be
+    row-identical to the module-level functions, filters included."""
+    from pdf_to_opensearch_spark.query import (
+        Searcher,
+        phrase_search,
+        search,
+    )
+
+    root, _oracle = phrase_setup
+    s = Searcher(spark, root, preload_dictionary=True)
+    queries = [(1, "spark index"), (2, "the content")]
+    for flt in (None, "doc_id % 3 = 0"):
+        a = (search(spark, root, queries, k=10, doc_filter=flt)
+             .toPandas().sort_values(["query_id", "rank"],
+                                     ignore_index=True))
+        b = (s.search(queries, k=10, doc_filter=flt)
+             .toPandas().sort_values(["query_id", "rank"],
+                                     ignore_index=True))
+        assert a.equals(b), f"search mismatch (filter={flt})"
+        ap = (phrase_search(spark, root, PHRASES, k=10, doc_filter=flt)
+              .toPandas().sort_values(["query_id", "rank"],
+                                      ignore_index=True))
+        bp = (s.phrase_search(PHRASES, k=10, doc_filter=flt)
+              .toPandas().sort_values(["query_id", "rank"],
+                                      ignore_index=True))
+        assert ap.equals(bp), f"phrase mismatch (filter={flt})"
