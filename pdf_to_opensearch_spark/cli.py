@@ -25,7 +25,9 @@ import sys
 import time
 
 
-def main(argv: list[str] | None = None) -> int:
+def main(argv: list[str] | None = None, keep_session: bool = False) -> int:
+    """``keep_session=True`` leaves the SparkSession running — for tests
+    that drive several commands through one shared session."""
     p = argparse.ArgumentParser(prog="pdf_to_opensearch_spark")
     p.add_argument("--cores", type=int, default=None)
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -226,7 +228,8 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps({"snapshot": args.out, "docs": n}))
         return 0
     finally:
-        spark.stop()
+        if not keep_session:
+            spark.stop()
 
 
 if __name__ == "__main__":
