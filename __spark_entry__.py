@@ -701,6 +701,47 @@ def _simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_pairs(_docs(spark, sf_dir), max_hamming=3)
 
 
+def _dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → duplicate CLUSTERS (connected components, min-label
+    propagation): the post-pair step a real dedup pipeline needs —
+    transitive chains (A~B, B~C, A!~C) become one keep-group. Runs the
+    md5-family pipeline so the oracle reproduces EVERYTHING in SQL:
+    shingles → signatures → banding → verification → a recursive-CTE
+    closure over the verified pairs."""
+    from pdf_to_opensearch_spark.ops.dedup import (
+        duplicate_clusters,
+        minhash_near_duplicates,
+    )
+
+    _ensure_pkg(spark)
+    pairs = minhash_near_duplicates(_docs(spark, sf_dir), threshold=0.7,
+                                    hash_family="md5")
+    return duplicate_clusters(pairs).select(
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        F.col("doc_id").cast("long").alias("doc_id"))
+
+
+def _dedup_clusters_oracle_sql() -> str:
+    inner = _minhash_md5_oracle_sql()
+    return f"""
+WITH RECURSIVE pairs AS MATERIALIZED (
+  {inner}
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+cnodes AS (SELECT DISTINCT src AS id FROM edges),
+cc(id, label) AS (
+  SELECT id, id FROM cnodes
+  UNION
+  SELECT e.dst, c.label FROM cc c JOIN edges e ON e.src = c.id
+)
+SELECT min(label)::BIGINT AS cluster_id, id::BIGINT AS doc_id
+FROM cc GROUP BY id
+"""
+
+
 def _minhash_pairs_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SAME LSH banding + Jaccard-verification pipeline as
     ``minhash_pairs`` but on the md5 shared hash family — every stage
@@ -2704,6 +2745,7 @@ _VERIFY_FIRST = [
     "c_scalars", "j4_axis_merge", "j5_chart_merge",          # skipped in r3
     "bm25_filtered_topk", "phrase_topk_filtered",            # new in r4
     "bm25_field_topk", "hybrid_topk_filtered",                # new in r4
+    "dedup_clusters",                                         # new in r4
     "simhash_pairs",                                          # oracle new in r4
     "ann_lsh_topk", "ann_ivf_topk", "hybrid_topk",            # r4 plan change
     "minhash_pairs", "minhash_pairs_md5", "simhash_pairs_md5",  # r4 persist
@@ -2724,6 +2766,7 @@ def queries():  # noqa: F811 — extend the registry with the spatial/misc ops
         "phrase_topk_filtered": _phrase_topk_filtered,
         "bm25_field_topk": _bm25_field_topk,
         "hybrid_topk_filtered": _hybrid_topk_filtered,
+        "dedup_clusters": _dedup_clusters,
     })
     return _reorder(out)
 
@@ -2736,5 +2779,6 @@ def oracle_sql():  # noqa: F811
         "phrase_topk_filtered": _phrase_oracle_sql(cand_where=FILTER_PRED),
         "bm25_field_topk": _bm25_oracle_sql(docs_src=_FIELD_DOCS_SRC),
         "hybrid_topk_filtered": _hybrid_oracle_sql(cand_where=FILTER_PRED),
+        "dedup_clusters": _dedup_clusters_oracle_sql(),
     })
     return _reorder(out)

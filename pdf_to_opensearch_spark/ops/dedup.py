@@ -420,3 +420,54 @@ def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id",
         out.count()
         s.unpersist()
     return out
+
+
+def duplicate_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+    """Near-duplicate pair set → duplicate CLUSTERS (connected components):
+    the step a real dedup pipeline needs after pair generation — transitive
+    closure turns chains (A~B, B~C, A!~C) into one keep-group.
+
+    Iterative min-label propagation over the symmetrized edge list:
+    every node starts labeled with its own id; each round replaces a
+    node's label with the min of its own and its neighbors' labels;
+    fixpoint = components labeled by their minimum member id.
+    Deterministic. Rounds needed = graph diameter — near-dup components
+    are short chains in practice; at web scale swap this loop for the
+    large-star/small-star alternation (O(log n) rounds, same contract).
+
+    Returns (cluster_id, doc_id): one row per member of a ≥2-doc cluster;
+    cluster_id = min doc_id of the component (the deterministic keeper).
+    """
+    from pyspark import StorageLevel
+
+    sym = (pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+           .unionByName(pairs.select(F.col("id_b").alias("src"),
+                                     F.col("id_a").alias("dst")))
+           .distinct()
+           .persist(StorageLevel.MEMORY_AND_DISK))
+    # localCheckpoint, not persist: an iterative join/union loop grows the
+    # LOGICAL plan exponentially even when every step is cached (caching
+    # cuts execution, not analysis), and Catalyst analysis time explodes
+    # after ~10 rounds — lineage truncation per round keeps plans O(1)
+    labels = (sym.select(F.col("src").alias("id")).distinct()
+              .withColumn("label", F.col("id"))
+              .localCheckpoint(eager=True))
+    try:
+        for _ in range(max_iters):
+            # neighbor labels → min with own label; the changed-count and
+            # the next round both read the SAME checkpointed frame
+            nbr = (sym.join(labels, sym.src == labels.id)
+                   .select(F.col("dst").alias("id"), "label"))
+            new_labels = (labels.unionByName(nbr)
+                          .groupBy("id").agg(F.min("label").alias("label"))
+                          .localCheckpoint(eager=True))
+            changed = (new_labels.join(
+                labels.withColumnRenamed("label", "old"), "id")
+                .filter(F.col("label") != F.col("old")).count())
+            labels = new_labels
+            if changed == 0:
+                break
+        return labels.select(F.col("label").alias("cluster_id"),
+                             F.col("id").alias("doc_id"))
+    finally:
+        sym.unpersist()

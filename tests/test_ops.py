@@ -338,3 +338,18 @@ def test_lang_id_on_real_sentences(spark):
     got = lang_id(df).toPandas().set_index("doc_id")["lang_guess"]
     for i, _t, want in samples:
         assert got[i] == want, (i, got[i], want)
+
+
+def test_duplicate_clusters_transitive_closure(spark):
+    """Chains must close transitively: A~B, B~C ⇒ {A,B,C} one cluster
+    labeled by its min id, regardless of pair order or direction."""
+    from pdf_to_opensearch_spark.ops.dedup import duplicate_clusters
+
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (10, 11), (21, 20), (21, 22), (22, 23)],
+        "id_a long, id_b long")
+    got = {(r["cluster_id"], r["doc_id"])
+           for r in duplicate_clusters(pairs).collect()}
+    want = {(1, 1), (1, 2), (1, 3), (10, 10), (10, 11),
+            (20, 20), (20, 21), (20, 22), (20, 23)}
+    assert got == want
