@@ -422,7 +422,8 @@ def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id",
     return out
 
 
-def duplicate_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+def duplicate_clusters(pairs: DataFrame, max_iters: int = 20,
+                       small_max: int = 5_000_000) -> DataFrame:
     """Near-duplicate pair set → duplicate CLUSTERS (connected components):
     the step a real dedup pipeline needs after pair generation — transitive
     closure turns chains (A~B, B~C, A!~C) into one keep-group.
@@ -437,8 +438,38 @@ def duplicate_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
 
     Returns (cluster_id, doc_id): one row per member of a ≥2-doc cluster;
     cluster_id = min doc_id of the component (the deterministic keeper).
+
+    Pair sets are tiny relative to the corpus (they are the near-dup
+    graph, not the doc set), so at or below ``small_max`` pairs the
+    closure runs as driver-side union-find — one collect, zero iterative
+    Spark jobs. Above it, the distributed propagation loop runs.
     """
     from pyspark import StorageLevel
+
+    n_pairs = pairs.count()
+    if n_pairs <= small_max:
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for row in pairs.select("id_a", "id_b").collect():
+            a, b = int(row["id_a"]), int(row["id_b"])
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by min: the smaller root stays the representative
+                if ra < rb:
+                    parent[rb] = ra
+                else:
+                    parent[ra] = rb
+        rows = sorted((find(n), n) for n in parent)
+        return pairs.sparkSession.createDataFrame(
+            rows, "cluster_id long, doc_id long")
 
     sym = (pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
            .unionByName(pairs.select(F.col("id_b").alias("src"),

@@ -348,8 +348,12 @@ def test_duplicate_clusters_transitive_closure(spark):
     pairs = spark.createDataFrame(
         [(2, 1), (2, 3), (10, 11), (21, 20), (21, 22), (22, 23)],
         "id_a long, id_b long")
-    got = {(r["cluster_id"], r["doc_id"])
-           for r in duplicate_clusters(pairs).collect()}
     want = {(1, 1), (1, 2), (1, 3), (10, 10), (10, 11),
             (20, 20), (20, 21), (20, 22), (20, 23)}
-    assert got == want
+    # driver union-find fast path AND the distributed propagation loop
+    # (small_max=0 forces the latter) must agree exactly
+    for small_max in (5_000_000, 0):
+        got = {(r["cluster_id"], r["doc_id"])
+               for r in duplicate_clusters(pairs,
+                                           small_max=small_max).collect()}
+        assert got == want, f"small_max={small_max}"
