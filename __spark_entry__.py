@@ -742,6 +742,84 @@ FROM cc GROUP BY id
 """
 
 
+def _clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed corpus-cleaning pass (ops/pipeline.clean_corpus):
+    quality gates → exact-dup keeper → near-dup cluster keeper, one fate
+    per doc. Input plants exact duplicates (the _dedup_exact pattern) so
+    all four fates are non-trivially populated; md5 family so the oracle
+    reproduces every stage in SQL."""
+    from pdf_to_opensearch_spark.ops.pipeline import clean_corpus
+
+    _ensure_pkg(spark)
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    planted = (docs.filter(F.col("doc_id") % 50 == 0)
+               .select((F.col("doc_id") + 1000000).alias("doc_id"), "text"))
+    return clean_corpus(docs.unionByName(planted), min_tokens=20,
+                        min_alpha_ratio=0.4, near_threshold=0.7,
+                        hash_family="md5")
+
+
+def _clean_corpus_oracle_sql(min_tokens: int = 20,
+                             min_alpha: float = 0.4) -> str:
+    pairs_inner = _minhash_md5_oracle_sql(table="survivors")
+    return f"""
+WITH RECURSIVE all_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 50 = 0
+),
+qfeat AS (
+  SELECT doc_id,
+         len(list_filter(regexp_split_to_array(lower(text), '[^0-9a-z]+'),
+                         t -> t <> '')) AS n_tokens,
+         length(regexp_replace(lower(text), '[^a-z]', '', 'g'))::DOUBLE
+           / greatest(length(text), 1) AS alpha
+  FROM all_docs
+),
+qok AS (
+  SELECT doc_id,
+         (n_tokens >= {min_tokens} AND alpha >= {min_alpha}) AS q_ok
+  FROM qfeat
+),
+passers AS (
+  SELECT d.doc_id, d.text FROM all_docs d JOIN qok USING (doc_id)
+  WHERE q_ok
+),
+keepers AS (
+  SELECT md5(text) AS h, min(doc_id) AS keeper FROM passers GROUP BY 1
+),
+exact_dup AS (
+  SELECT p.doc_id FROM passers p JOIN keepers k ON md5(p.text) = k.h
+  WHERE p.doc_id <> k.keeper
+),
+survivors AS MATERIALIZED (
+  SELECT * FROM passers
+  WHERE doc_id NOT IN (SELECT doc_id FROM exact_dup)
+),
+pairs AS MATERIALIZED (
+  {pairs_inner}
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+cnodes AS (SELECT DISTINCT src AS id FROM edges),
+cc(id, label) AS (
+  SELECT id, id FROM cnodes
+  UNION
+  SELECT e.dst, c.label FROM cc c JOIN edges e ON e.src = c.id
+),
+comp AS (SELECT id AS doc_id, min(label) AS cluster_id FROM cc GROUP BY 1),
+near_dup AS (SELECT doc_id FROM comp WHERE doc_id <> cluster_id)
+SELECT q.doc_id,
+       CASE WHEN NOT q.q_ok THEN 'quality'
+            WHEN q.doc_id IN (SELECT doc_id FROM exact_dup) THEN 'exact_dup'
+            WHEN q.doc_id IN (SELECT doc_id FROM near_dup) THEN 'near_dup'
+            ELSE 'kept' END AS fate
+FROM qok q
+"""
+
+
 def _minhash_pairs_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SAME LSH banding + Jaccard-verification pipeline as
     ``minhash_pairs`` but on the md5 shared hash family — every stage
@@ -795,7 +873,8 @@ _MINHASH_H, _MINHASH_BANDS = 32, 8
 def _minhash_md5_oracle_sql(num_hashes: int = _MINHASH_H,
                             bands: int = _MINHASH_BANDS,
                             threshold: float = 0.7,
-                            max_bucket: int = 1000) -> str:
+                            max_bucket: int = 1000,
+                            table: str = "documents") -> str:
     rows = num_hashes // bands
     seeded = [_MD5_60.format(x=f"shingle || ':{i}'")
               for i in range(num_hashes)]
@@ -808,7 +887,7 @@ def _minhash_md5_oracle_sql(num_hashes: int = _MINHASH_H,
         for b in range(bands))
     return f"""
 WITH toks AS (
-  SELECT doc_id AS id, {_TOKS_SQL} AS t FROM documents
+  SELECT doc_id AS id, {_TOKS_SQL} AS t FROM {table}
 ),
 sh AS (
   SELECT DISTINCT id,
@@ -2745,7 +2824,7 @@ _VERIFY_FIRST = [
     "c_scalars", "j4_axis_merge", "j5_chart_merge",          # skipped in r3
     "bm25_filtered_topk", "phrase_topk_filtered",            # new in r4
     "bm25_field_topk", "hybrid_topk_filtered",                # new in r4
-    "dedup_clusters",                                         # new in r4
+    "dedup_clusters", "clean_corpus",                         # new in r4
     "simhash_pairs",                                          # oracle new in r4
     "ann_lsh_topk", "ann_ivf_topk", "hybrid_topk",            # r4 plan change
     "minhash_pairs", "minhash_pairs_md5", "simhash_pairs_md5",  # r4 persist
@@ -2767,6 +2846,7 @@ def queries():  # noqa: F811 — extend the registry with the spatial/misc ops
         "bm25_field_topk": _bm25_field_topk,
         "hybrid_topk_filtered": _hybrid_topk_filtered,
         "dedup_clusters": _dedup_clusters,
+        "clean_corpus": _clean_corpus,
     })
     return _reorder(out)
 
@@ -2780,5 +2860,6 @@ def oracle_sql():  # noqa: F811
         "bm25_field_topk": _bm25_oracle_sql(docs_src=_FIELD_DOCS_SRC),
         "hybrid_topk_filtered": _hybrid_oracle_sql(cand_where=FILTER_PRED),
         "dedup_clusters": _dedup_clusters_oracle_sql(),
+        "clean_corpus": _clean_corpus_oracle_sql(),
     })
     return _reorder(out)

@@ -357,3 +357,31 @@ def test_duplicate_clusters_transitive_closure(spark):
                for r in duplicate_clusters(pairs,
                                            small_max=small_max).collect()}
         assert got == want, f"small_max={small_max}"
+
+
+def test_clean_corpus_fates(spark):
+    """Composed cleaning pass: every stage's fate is populated and the
+    stage ORDER holds (a doc failing quality is 'quality' even if it is
+    also an exact duplicate; exact beats near)."""
+    from pdf_to_opensearch_spark.ops.pipeline import clean_corpus
+
+    long = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon ") * 3
+    rows = [
+        (1, long + "unique one ending"),
+        (2, long + "unique one ending"),        # exact dup of 1
+        (3, long + "unique one finale"),        # near dup of 1
+        (4, "too short"),                        # quality fail
+        (5, "too short"),                        # quality fail AND exact dup
+        (6, long + "completely different tail words here appended now"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["fate"]
+           for r in clean_corpus(docs, min_tokens=20,
+                                 near_threshold=0.9).collect()}
+    assert out[1] == "kept"
+    assert out[2] == "exact_dup"
+    assert out[3] == "near_dup"
+    assert out[4] == "quality"
+    assert out[5] == "quality"      # quality beats exact (stage order)
+    assert out[6] == "kept"
