@@ -20,6 +20,12 @@ Scale note (100 TB): per-field spaces multiply index size by the number
 of analyzed fields, exactly as Lucene does; each field's build is an
 independent zero-shuffle job over the shared docs table, so fields can
 be built serially (bounded peak resources) or concurrently.
+
+Maintenance interplay: ``maintenance.delete_from_index`` writes a NEW
+index root (snapshot isolation); field spaces are derived tables and are
+NOT copied into the snapshot — rebuild them there with
+:func:`build_field_index` (they derive deterministically from the new
+docs table, same as the root's own postings).
 """
 
 from __future__ import annotations
