@@ -12,6 +12,7 @@ order-insensitive value-hash cannot be broken by summation-order noise.
 
 from __future__ import annotations
 
+import json
 import os
 import tempfile
 from collections.abc import Callable
@@ -2816,25 +2817,45 @@ def _extra_oracles():
 _base_queries = queries
 _base_oracles = oracle_sql
 
-# Least-recently-driver-verified entries FIRST: the driver samples the
-# registry in order under a time budget (CORRECTNESS_r03 ran 50 of 53 and
-# the three tail entries got no row). New/changed entries and the three
-# r3-skipped ones lead; the long-green bulk follows.
-_VERIFY_FIRST = [
-    "c_scalars", "j4_axis_merge", "j5_chart_merge",          # skipped in r3
-    "bm25_filtered_topk", "phrase_topk_filtered",            # new in r4
-    "bm25_field_topk", "hybrid_topk_filtered",                # new in r4
-    "dedup_clusters", "clean_corpus",                         # new in r4
-    "simhash_pairs",                                          # oracle new in r4
-    "ann_lsh_topk", "ann_ivf_topk", "hybrid_topk",            # r4 plan change
-    "minhash_pairs", "minhash_pairs_md5", "simhash_pairs_md5",  # r4 persist
-]
+def _last_verified_round() -> dict[str, int]:
+    """Per-entry most recent driver round that SAMPLED it (has a row in
+    that round's CORRECTNESS_r*.json), derived mechanically from the
+    records in the repo root. Entries with no row anywhere are new →
+    round -1. A hand-kept priority list goes stale every round (the r4
+    list encoded r4 priorities and was exactly wrong for r5); this
+    derivation cannot."""
+    import glob
+    import re
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    last: dict[str, int] = {}
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        m = re.search(r"_r(\d+)\.json$", os.path.basename(path))
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as f:
+                rec = json.load(f)
+        except (OSError, ValueError):
+            continue
+        for name, row in rec.items():
+            if isinstance(row, dict):
+                last[name] = max(last.get(name, -10), rnd)
+    return last
 
 
 def _reorder(d: dict) -> dict:
-    head = {k: d[k] for k in _VERIFY_FIRST if k in d}
-    head.update({k: v for k, v in d.items() if k not in head})
-    return head
+    """Least-recently-driver-verified entries FIRST: the driver samples
+    the registry in order under a time budget (r3 and r4 each ran 50 of
+    the board, so the tail rotates out). Stalest-first ordering keyed on
+    the CORRECTNESS_r*.json records guarantees every entry cycles back
+    into the sample; never-sampled (new) entries lead outright."""
+    last = _last_verified_round()
+    names = list(d)
+    order = sorted(range(len(names)),
+                   key=lambda i: (last.get(names[i], -1), i))
+    return {names[i]: d[names[i]] for i in order}
 
 
 def queries():  # noqa: F811 — extend the registry with the spatial/misc ops
