@@ -63,6 +63,11 @@ def clean_corpus(docs: DataFrame, id_col: str = "doc_id",
                                     threshold=near_threshold,
                                     hash_family=hash_family)
     clusters = duplicate_clusters(pairs)
+    # duplicate_clusters consumes pairs EAGERLY (driver union-find collect
+    # on the small path, localCheckpointed label rounds on the distributed
+    # path), so the persisted pair cache can be released here — without
+    # this it outlived the whole pass
+    pairs.unpersist()
     near_dups = (clusters.filter(F.col("doc_id") != F.col("cluster_id"))
                  .select(F.col("doc_id").alias(id_col))
                  .withColumn("_near", F.lit(True)))
