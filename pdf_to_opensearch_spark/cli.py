@@ -57,6 +57,10 @@ def main(argv: list[str] | None = None, keep_session: bool = False) -> int:
     ph.add_argument("-k", type=int, default=10)
     ph.add_argument("--filter", default=None,
                     help="SQL predicate over docs columns (bool/filter)")
+    ph.add_argument("--field", default=None,
+                    help="phrase-match this analyzed field's posting "
+                         "space (built with build-field) instead of the "
+                         "root")
 
     bf = sub.add_parser("build-field", help="build the posting space for "
                                             "one analyzed field of the "
@@ -135,26 +139,26 @@ def main(argv: list[str] | None = None, keep_session: bool = False) -> int:
                               "resumed_ranges": sorted(done),
                               "seconds": round(time.monotonic() - t0, 2)}))
         elif args.cmd == "search":
-            from .fields import field_root
-            from .query import search
+            # --field + --filter resolves the predicate against the ROOT
+            # docs table (field docs carry no metadata columns; the
+            # previous behavior raised on metadata predicates and
+            # silently matched field text for predicates on `text`)
+            from .fields import search_field
 
             qs = list(enumerate(args.query, 1))
-            root = (field_root(args.index, args.field)
-                    if args.field not in (None, "current", "text")
-                    else args.index)
-            res = search(spark, root, qs, k=args.k,
-                         doc_filter=args.filter)
+            res = search_field(spark, args.index, args.field, qs, k=args.k,
+                               doc_filter=args.filter)
             for row in res.collect():
                 print(json.dumps({"query_id": row["query_id"],
                                   "rank": row["rank"],
                                   "doc_id": row["doc_id"],
                                   "score": round(row["score"], 6)}))
         elif args.cmd == "phrase":
-            from .query import phrase_search
+            from .fields import search_field
 
             qs = list(enumerate(args.query, 1))
-            res = phrase_search(spark, args.index, qs, k=args.k,
-                                doc_filter=args.filter)
+            res = search_field(spark, args.index, args.field, qs, k=args.k,
+                               mode="phrase", doc_filter=args.filter)
             for row in res.collect():
                 print(json.dumps({"query_id": row["query_id"],
                                   "rank": row["rank"],

@@ -45,6 +45,75 @@ def field_root(index_dir: str, field: str) -> str:
     return f"{index_dir}/fields/{field}"
 
 
+def list_field_roots(spark: SparkSession, index_dir: str) -> list[str]:
+    """Names of the field posting spaces present under ``<root>/fields/``
+    (empty when the index has no extra analyzed fields). Used by
+    maintenance to carry field spaces through snapshots."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(f"{index_dir}/fields")
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(p):
+        return []
+    return sorted(st.getPath().getName() for st in fs.listStatus(p)
+                  if st.isDirectory())
+
+
+def _list_parquet_files(spark: SparkSession, path: str) -> list[str]:
+    """Data files of one parquet directory via the Hadoop FileSystem API
+    (scheme-agnostic: local, HDFS, object stores)."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = []
+    for st in fs.listStatus(p):
+        name = st.getPath().getName()
+        if st.isFile() and not name.startswith(("_", ".")):
+            out.append(st.getPath().toString())
+    return sorted(out)
+
+
+def _project_field_files(field: str):
+    """mapInPandas kernel over a file-list frame: each task reads its
+    docs parquet file(s) directly (pyarrow) and emits the projected field
+    docs — one output file per source file, so the docs-file ↔ doc-range
+    alignment that makes the posting build shuffle-free is preserved by
+    construction, with NO session-conf involvement (the previous
+    implementation toggled the global no-split read conf, which raced
+    with any concurrent read in the same session)."""
+    import pandas as pd
+
+    def project(it):
+        import pyarrow.parquet as pq
+
+        from .analyzer import tokenize_arrow_batch
+
+        for pdf in it:
+            for uri in pdf["path"]:
+                if uri.startswith("file:"):
+                    tbl = pq.read_table(
+                        uri[5:], columns=["doc_id", field, "range_id"])
+                else:
+                    import pyarrow.fs as pafs
+
+                    fsys, rel = pafs.FileSystem.from_uri(uri)
+                    tbl = pq.read_table(
+                        rel, filesystem=fsys,
+                        columns=["doc_id", field, "range_id"])
+                sub = tbl.to_pandas()
+                # NULL field values analyze as empty documents (dl 0),
+                # matching an absent optional field
+                text = sub[field].fillna("").astype(str)
+                dl = tokenize_arrow_batch(text)["dl"].astype("int32")
+                yield pd.DataFrame({
+                    "doc_id": sub["doc_id"].astype("int64"),
+                    "text": text,
+                    "range_id": sub["range_id"].astype("int32"),
+                    "dl": dl,
+                })
+
+    return project
+
+
 def build_field_index(spark: SparkSession, index_dir: str, field: str,
                       num_ranges: int | None = None,
                       n_buckets: int | None = None) -> str:
@@ -58,8 +127,6 @@ def build_field_index(spark: SparkSession, index_dir: str, field: str,
     """
     import pandas as pd
 
-    from .analyzer import token_count_udf
-
     paths = IndexPaths(index_dir)
     froot = field_root(index_dir, field)
     fpaths = IndexPaths(froot)
@@ -69,34 +136,24 @@ def build_field_index(spark: SparkSession, index_dir: str, field: str,
     if n_buckets is None:
         n_buckets = int(st["n_buckets"])
 
-    # zero-shuffle field projection: read the root docs table one file
-    # per range (no file splitting/packing) and write the projected field
-    # docs in the same partition layout — range alignment is preserved,
-    # so build_postings over the field space needs no repartition either
-    conf = spark.conf
-    old_mpb = conf.get("spark.sql.files.maxPartitionBytes", None)
-    old_ocb = conf.get("spark.sql.files.openCostInBytes", None)
-    conf.set("spark.sql.files.maxPartitionBytes", str(1 << 40))
-    conf.set("spark.sql.files.openCostInBytes", str(1 << 40))
-    try:
-        docs = spark.read.parquet(paths.docs)
-        if field not in docs.columns:
-            raise ValueError(
-                f"field {field!r} is not a column of the docs table "
-                f"(have: {docs.columns})")
-        sub = (docs.select(
-            "doc_id",
-            F.coalesce(F.col(field), F.lit("")).alias("text"),
-            "range_id")
-            .withColumn("dl", token_count_udf(F.col("text"))))
-        sub.write.mode("overwrite").parquet(fpaths.docs)
-    finally:
-        for key, old in (("spark.sql.files.maxPartitionBytes", old_mpb),
-                         ("spark.sql.files.openCostInBytes", old_ocb)):
-            if old is None:
-                conf.unset(key)
-            else:
-                conf.set(key, old)
+    # zero-shuffle field projection via an EXPLICIT per-file read (the
+    # round-5 fix for the session-global no-split conf toggle, which
+    # raced with concurrent reads in the same session): one task per
+    # docs file reads it directly and writes the projected field docs in
+    # the same layout — range alignment is preserved by construction, so
+    # build_postings over the field space needs no repartition either
+    if field not in spark.read.parquet(paths.docs).schema.names:
+        raise ValueError(
+            f"field {field!r} is not a column of the docs table "
+            f"(have: {spark.read.parquet(paths.docs).schema.names})")
+    files = _list_parquet_files(spark, paths.docs)
+    file_rows = spark.sparkContext.parallelize(
+        [(p,) for p in files], max(len(files), 1))
+    fl = spark.createDataFrame(file_rows, "path string")
+    sub = fl.mapInPandas(
+        _project_field_files(field),
+        schema="doc_id long, text string, range_id int, dl int")
+    sub.write.mode("overwrite").parquet(fpaths.docs)
 
     # per-field corpus statistics: same N, field-specific avgdl (Lucene
     # norms are per field — a short 'previous' context must not be scored
@@ -115,12 +172,29 @@ def build_field_index(spark: SparkSession, index_dir: str, field: str,
 
 def search_field(spark: SparkSession, index_dir: str, field: str,
                  queries: list[tuple[int, str]], k: int = 10,
-                 prune: bool = True) -> DataFrame:
-    """``match`` on one analyzed field: the unchanged BM25 engine pointed
-    at the field's posting space. ``field`` in (None, 'current', 'text')
-    scores the root index itself."""
-    from .query import search
+                 prune: bool = True, mode: str = "match",
+                 doc_filter: str | None = None) -> DataFrame:
+    """``match`` / ``match_phrase`` on one analyzed field: the unchanged
+    BM25 / phrase engine pointed at the field's posting space — the
+    reference's schema-typed per-field query surface
+    (opensearch_loader.py:386-408 builds both kinds against any analyzed
+    field). ``field`` in (None, 'current', 'text') scores the root index
+    itself.
 
-    root = (index_dir if field in (None, "current", "text")
-            else field_root(index_dir, field))
-    return search(spark, root, queries, k=k, prune=prune)
+    ``doc_filter`` resolves against the ROOT index's docs table (field
+    docs are projected down to doc_id/text/range_id/dl and carry no
+    metadata; doc_ids and ranges are shared, so the allowed set maps 1:1
+    onto the field space's ranges).
+    """
+    from .query import phrase_search, search
+
+    is_root = field in (None, "current", "text")
+    root = index_dir if is_root else field_root(index_dir, field)
+    froot = None if is_root else index_dir
+    if mode == "match":
+        return search(spark, root, queries, k=k, prune=prune,
+                      doc_filter=doc_filter, filter_root=froot)
+    if mode == "phrase":
+        return phrase_search(spark, root, queries, k=k,
+                             doc_filter=doc_filter, filter_root=froot)
+    raise ValueError(f"mode must be 'match' or 'phrase', got {mode!r}")

@@ -33,35 +33,19 @@ from .indexer import (
 from .query import load_stats
 
 
-def delete_from_index(spark: SparkSession, index_dir: str, out_dir: str,
-                      urls: list[str]) -> IndexPaths:
-    """Snapshot ``index_dir`` minus documents with the given urls into
-    ``out_dir``, rebuilding only the affected doc ranges."""
-    src = IndexPaths(index_dir)
-    dst = IndexPaths(out_dir)
-    stats = load_stats(spark, index_dir)
+def _snapshot_space(spark: SparkSession, src: IndexPaths, dst: IndexPaths,
+                    survivors, affected: set[int]) -> None:
+    """Copy-on-write snapshot of ONE posting space (the root index or a
+    per-field space): write the surviving docs, rebuild postings of the
+    affected ranges only (unaffected ranges' parquet rows carry over
+    unchanged), and recompute the space's derived tables (dictionary,
+    doc_stats, docs_meta, stats, manifest). ``survivors`` must carry
+    (doc_id, text, range_id, dl)."""
+    stats = load_stats(spark, src.root)
     st_row = spark.read.parquet(src.stats).collect()[0]
     docs_per_range = int(st_row["docs_per_range"])
     n_buckets = int(st_row["n_buckets"])
 
-    docs = spark.read.parquet(src.docs)
-    if "range_id" not in docs.columns:  # legacy fixed-width ranges
-        docs = docs.withColumn(
-            "range_id", (F.col("doc_id") / F.lit(docs_per_range)).cast("int"))
-    from .query import IN_LIST_MAX
-
-    if len(urls) <= IN_LIST_MAX:
-        doom_pred = F.col("url").isin(urls)
-        doomed = docs.filter(doom_pred)
-        survivors = docs.filter(~doom_pred)
-    else:
-        # thousands of urls: literal IN-lists bloat the plan — broadcast
-        # semi/anti joins instead
-        udf_ = spark.createDataFrame([(u,) for u in urls], "url string")
-        doomed = docs.join(F.broadcast(udf_), "url", "left_semi")
-        survivors = docs.join(F.broadcast(udf_), "url", "left_anti")
-    affected = {int(r["range_id"]) for r in
-                doomed.select("range_id").distinct().collect()}
     # keep range_id in the snapshot: the ranges remain the SPIMI unit
     survivors.write.mode("overwrite").parquet(dst.docs)
 
@@ -69,7 +53,7 @@ def delete_from_index(spark: SparkSession, index_dir: str, out_dir: str,
     untouched = old_postings.filter(~F.col("range_id").isin(*affected)) \
         if affected else old_postings
     if affected:
-        rebuild_in = (survivors
+        rebuild_in = (spark.read.parquet(dst.docs)
                       .filter(F.col("range_id").isin(*affected))
                       .select("doc_id", "text", "range_id")
                       .repartitionByRange(max(len(affected), 1), "range_id"))
@@ -118,6 +102,59 @@ def delete_from_index(spark: SparkSession, index_dir: str, out_dir: str,
      .withColumn("committed_at", F.current_timestamp())
      .write.mode("overwrite").parquet(dst.manifest))
     built.unpersist()
+
+
+def delete_from_index(spark: SparkSession, index_dir: str, out_dir: str,
+                      urls: list[str]) -> IndexPaths:
+    """Snapshot ``index_dir`` minus documents with the given urls into
+    ``out_dir``, rebuilding only the affected doc ranges.
+
+    Field posting spaces under ``<root>/fields/*`` are carried through
+    the snapshot the same way (affected ranges rebuilt from the field's
+    surviving docs, untouched ranges copied) — matching the reference's
+    all-fields-consistent delete (opensearch_loader.py:410-451): a
+    snapshot on which ``search_field`` silently served stale docs would
+    be corrupt, not merely incomplete."""
+    from .fields import field_root, list_field_roots
+
+    src = IndexPaths(index_dir)
+    dst = IndexPaths(out_dir)
+    st_row = spark.read.parquet(src.stats).collect()[0]
+    docs_per_range = int(st_row["docs_per_range"])
+
+    docs = spark.read.parquet(src.docs)
+    if "range_id" not in docs.columns:  # legacy fixed-width ranges
+        docs = docs.withColumn(
+            "range_id", (F.col("doc_id") / F.lit(docs_per_range)).cast("int"))
+    from .query import IN_LIST_MAX
+
+    if len(urls) <= IN_LIST_MAX:
+        doom_pred = F.col("url").isin(urls)
+        doomed = docs.filter(doom_pred)
+        survivors = docs.filter(~doom_pred)
+    else:
+        # thousands of urls: literal IN-lists bloat the plan — broadcast
+        # semi/anti joins instead
+        udf_ = spark.createDataFrame([(u,) for u in urls], "url string")
+        doomed = docs.join(F.broadcast(udf_), "url", "left_semi")
+        survivors = docs.join(F.broadcast(udf_), "url", "left_anti")
+    affected = {int(r["range_id"]) for r in
+                doomed.select("range_id").distinct().collect()}
+    _snapshot_space(spark, src, dst, survivors, affected)
+
+    # field spaces: same doc_ids, same ranges → same affected set. The
+    # deleted doc_id set is the doomed subset (small — one source's docs
+    # in the reference's delete-then-reinsert flow), broadcast against
+    # each field's own docs table.
+    fnames = list_field_roots(spark, index_dir)
+    if fnames:
+        doomed_ids = doomed.select("doc_id")
+        for fname in fnames:
+            fsrc = IndexPaths(field_root(index_dir, fname))
+            fdst = IndexPaths(field_root(out_dir, fname))
+            f_surv = (spark.read.parquet(fsrc.docs)
+                      .join(F.broadcast(doomed_ids), "doc_id", "left_anti"))
+            _snapshot_space(spark, fsrc, fdst, f_surv, affected)
     return dst
 
 

@@ -296,7 +296,8 @@ def _allowed_docs(spark: SparkSession, paths: IndexPaths,
 
 def search(spark: SparkSession, index_dir: str, queries: list[tuple[int, str]],
            k: int = 10, prune: bool = True,
-           doc_filter: str | None = None) -> DataFrame:
+           doc_filter: str | None = None,
+           filter_root: str | None = None) -> DataFrame:
     """queries: [(query_id, text)] → DataFrame(query_id, rank, doc_id, score).
 
     ``doc_filter``: optional SQL predicate over the ``docs`` table columns
@@ -304,7 +305,12 @@ def search(spark: SparkSession, index_dir: str, queries: list[tuple[int, str]],
     (opensearch_loader.py:873-884): restricts the candidate set without
     changing corpus-global BM25 statistics. Implemented as a cogrouped
     kernel so each doc-range only sees its own allowed doc_ids (no
-    broadcast of a global id set — scale-safe)."""
+    broadcast of a global id set — scale-safe).
+
+    ``filter_root``: index root whose DOCS table resolves ``doc_filter``
+    (default ``index_dir``). Field posting spaces project their docs down
+    to (doc_id, text, range_id, dl), so metadata predicates must resolve
+    against the ROOT index's docs — doc_ids and ranges are shared."""
     paths = IndexPaths(index_dir)
     stats = load_stats(spark, index_dir)
 
@@ -329,7 +335,8 @@ def search(spark: SparkSession, index_dir: str, queries: list[tuple[int, str]],
         .filter(F.col("bucket").isin(buckets)),               # partition pruning
         "term", live_terms)
     if doc_filter is not None:
-        allowed = _allowed_docs(spark, paths, doc_filter)
+        fpaths = IndexPaths(filter_root) if filter_root else paths
+        allowed = _allowed_docs(spark, fpaths, doc_filter)
         per_range = (postings.groupBy("range_id")
                      .cogroup(allowed.groupBy("range_id"))
                      .applyInPandas(
@@ -434,7 +441,8 @@ def _phrase_kernel(qinfo: dict, k: int, stats: IndexStats,
 
 def phrase_search(spark: SparkSession, index_dir: str,
                   queries: list[tuple[int, str]], k: int = 10,
-                  doc_filter: str | None = None) -> DataFrame:
+                  doc_filter: str | None = None,
+                  filter_root: str | None = None) -> DataFrame:
     """Exact-phrase top-k (the match_phrase surface of the reference).
 
     Same physical shape as :func:`search`: dictionary point-lookup →
@@ -471,7 +479,8 @@ def phrase_search(spark: SparkSession, index_dir: str,
         .filter(F.col("bucket").isin(buckets)),
         "term", live_terms)
     if doc_filter is not None:
-        allowed = _allowed_docs(spark, paths, doc_filter)
+        fpaths = IndexPaths(filter_root) if filter_root else paths
+        allowed = _allowed_docs(spark, fpaths, doc_filter)
         per_range = (postings.groupBy("range_id")
                      .cogroup(allowed.groupBy("range_id"))
                      .applyInPandas(

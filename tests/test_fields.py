@@ -97,3 +97,100 @@ def test_field_build_is_shuffle_free(spark, field_index):
         F.col("range_id") != F.col("f_range")).count()
     assert n_mismatch == 0
     assert joined.count() == root_docs.count()
+
+
+def test_search_field_phrase_mode(spark, field_index):
+    """mode='phrase' on a field space == the reference's schema-typed
+    per-field match_phrase (opensearch_loader.py:386-408): rank+score
+    identity vs the brute-force phrase oracle over the FIELD text with
+    the field's own statistics."""
+    from pdf_to_opensearch_spark.analyzer import tokenize_text
+    from pdf_to_opensearch_spark.fields import field_root
+
+    rows = (spark.read.parquet(
+        IndexPaths(field_root(field_index, "text_prev")).docs)
+        .select("doc_id", "text").orderBy("doc_id").collect())
+    oracle = BruteForceBM25([r["doc_id"] for r in rows],
+                            [r["text"] for r in rows])
+    toks = next(t for t in (tokenize_text(r["text"]) for r in rows)
+                if len(t) >= 6)
+    queries = [(1, " ".join(toks[2:4])), (2, toks[0]),
+               (3, "zzzz absent phrase")]
+    got = (search_field(spark, field_index, "text_prev", queries, k=10,
+                        mode="phrase").orderBy("query_id", "rank").collect())
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append((r["doc_id"], r["score"]))
+    for qid, qtext in queries:
+        want = oracle.phrase_search(qtext, k=10)
+        have = by_q.get(qid, [])
+        assert [d for d, _ in want] == [d for d, _ in have], (qid, want, have)
+        for (_, ws), (_, hs) in zip(want, have):
+            assert abs(ws - hs) <= 1e-6
+
+
+def test_search_field_filter_resolves_root_metadata(spark, field_index):
+    """--field + --filter: the predicate references a ROOT-docs-only
+    column (url) — it must resolve against the root docs table (field
+    docs carry no metadata) and restrict candidates without changing the
+    field space's global stats."""
+    from pdf_to_opensearch_spark.fields import field_root
+
+    root_rows = (spark.read.parquet(IndexPaths(field_index).docs)
+                 .select("doc_id", "url").collect())
+    pred = "substring(url, -1, 1) IN ('0', '2', '4', '6', '8')"
+    allowed = {int(r["doc_id"]) for r in root_rows
+               if r["url"][-1] in "02468"}
+    frows = (spark.read.parquet(
+        IndexPaths(field_root(field_index, "text_prev")).docs)
+        .select("doc_id", "text").orderBy("doc_id").collect())
+    oracle = BruteForceBM25([r["doc_id"] for r in frows],
+                            [r["text"] for r in frows])
+    got = (search_field(spark, field_index, "text_prev",
+                        [(1, "spark index posting")], k=10,
+                        doc_filter=pred).orderBy("rank").collect())
+    want = oracle.search("spark index posting", k=10, allowed=allowed)
+    assert [r["doc_id"] for r in got] == [d for d, _ in want]
+    for r, (_, ws) in zip(got, want):
+        assert abs(r["score"] - ws) <= 1e-6
+
+
+def test_delete_snapshot_carries_field_spaces(spark, field_index,
+                                              tmp_path_factory):
+    """delete_from_index must rebuild field posting spaces into the
+    snapshot (reference: all-fields-consistent delete,
+    opensearch_loader.py:410-451): search_field on the snapshot must
+    rank-match the brute-force oracle over the SURVIVING field docs."""
+    from pdf_to_opensearch_spark.fields import field_root
+    from pdf_to_opensearch_spark.maintenance import delete_from_index
+
+    out = str(tmp_path_factory.mktemp("fieldsnap")) + "/snap"
+    doomed_urls = [r["url"] for r in
+                   (spark.read.parquet(IndexPaths(field_index).docs)
+                    .filter("doc_id % 7 = 0").select("url").collect())]
+    delete_from_index(spark, field_index, out, doomed_urls)
+
+    srows = (spark.read.parquet(
+        IndexPaths(field_root(out, "text_prev")).docs)
+        .select("doc_id", "text").orderBy("doc_id").collect())
+    # the snapshot field docs are exactly the surviving doc_ids
+    root_surv = {int(r["doc_id"]) for r in
+                 spark.read.parquet(IndexPaths(out).docs)
+                 .select("doc_id").collect()}
+    assert {int(r["doc_id"]) for r in srows} == root_surv
+    assert all(int(r["doc_id"]) % 7 != 0 for r in srows)
+
+    oracle = BruteForceBM25([r["doc_id"] for r in srows],
+                            [r["text"] for r in srows])
+    queries = [(1, "spark index posting"), (2, "the merge join")]
+    got = (search_field(spark, out, "text_prev", queries, k=10)
+           .orderBy("query_id", "rank").collect())
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append((r["doc_id"], r["score"]))
+    for qid, qtext in queries:
+        want = oracle.search(qtext, k=10)
+        have = by_q.get(qid, [])
+        assert [d for d, _ in want] == [d for d, _ in have], (qid, want, have)
+        for (_, ws), (_, hs) in zip(want, have):
+            assert abs(ws - hs) <= 1e-6
