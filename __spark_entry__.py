@@ -248,13 +248,18 @@ def _phrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "doc_id", F.round("score", 4).alias("score")))
 
 
-def _phrase_oracle_sql(cand_where: str = "") -> str:
+def _phrase_oracle_sql(cand_where: str = "",
+                       docs_src: str | None = None) -> str:
     """match_phrase oracle; ``cand_where`` restricts candidate docs only —
     phrase idf / avgdl stay corpus-global (filter-context semantics, same
-    contract as the ``cand_where`` of :func:`_bm25_oracle_sql`)."""
+    contract as the ``cand_where`` of :func:`_bm25_oracle_sql`).
+    ``docs_src`` replaces the corpus SELECT (the per-field phrase entry
+    matches against a DERIVED text column with that field's own stats —
+    Lucene per-field norms, same contract as _bm25_oracle_sql)."""
     cand_clause = (
         f"AND pf.doc_id IN (SELECT doc_id FROM documents WHERE {cand_where})"
         if cand_where else "")
+    corpus = f"({docs_src})" if docs_src else "documents"
     parts = []
     for qid, phrase in sorted(PHRASE_QUERIES.items()):
         ts = phrase.split()
@@ -269,7 +274,7 @@ def _phrase_oracle_sql(cand_where: str = "") -> str:
     body = "\n  UNION ALL\n".join(parts)
     return f"""
 WITH toks AS (
-  SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+  SELECT doc_id, {_TOKS_SQL} AS t FROM {corpus}
 ),
 stats AS (
   SELECT count(*)::DOUBLE AS n, avg(len(t))::DOUBLE AS avgdl FROM toks
@@ -372,6 +377,32 @@ def _bm25_field_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("rank2", F.row_number().over(w))
             .select("query_id", F.col("rank2").cast("int").alias("rank"),
                     "doc_id", F.col("score_r").alias("score")))
+
+
+def _phrase_field_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``match_phrase`` on the NON-current analyzed field ``text_prev`` —
+    the reference's schema types every chunk_text_* field as analyzed
+    text, so match_phrase applies to any of them
+    (opensearch_loader.py:210-237, 386-408). Engine: the positional
+    phrase kernel pointed at the field's posting space
+    (fields.search_field mode='phrase'); oracle: the phrase SQL
+    recomputed from scratch over the derived lag(text) column with the
+    field's own N/avgdl/df."""
+    _ensure_pkg(spark)
+    from pdf_to_opensearch_spark.fields import build_field_index, search_field
+
+    out = _ensure_engine_index(spark, sf_dir)
+    if out not in _FIELD_INDEXES:
+        build_field_index(spark, out, "text_prev")
+        _FIELD_INDEXES.add(out)
+    res = search_field(spark, out, "text_prev",
+                       list(PHRASE_QUERIES.items()), k=BM25_K,
+                       mode="phrase")
+    w = Window.partitionBy("query_id").orderBy(
+        F.round("score", 4).desc(), F.col("doc_id").asc())
+    return (res.withColumn("rank2", F.row_number().over(w))
+            .select("query_id", F.col("rank2").cast("int").alias("rank"),
+                    "doc_id", F.round("score", 4).alias("score")))
 
 
 _FIELD_DOCS_SRC = """SELECT doc_id,
@@ -2865,6 +2896,7 @@ def queries():  # noqa: F811 — extend the registry with the spatial/misc ops
         "bm25_filtered_topk": _bm25_filtered_topk,
         "phrase_topk_filtered": _phrase_topk_filtered,
         "bm25_field_topk": _bm25_field_topk,
+        "phrase_field_topk": _phrase_field_topk,
         "hybrid_topk_filtered": _hybrid_topk_filtered,
         "dedup_clusters": _dedup_clusters,
         "clean_corpus": _clean_corpus,
@@ -2879,6 +2911,7 @@ def oracle_sql():  # noqa: F811
         "bm25_filtered_topk": _bm25_oracle_sql(cand_where=FILTER_PRED),
         "phrase_topk_filtered": _phrase_oracle_sql(cand_where=FILTER_PRED),
         "bm25_field_topk": _bm25_oracle_sql(docs_src=_FIELD_DOCS_SRC),
+        "phrase_field_topk": _phrase_oracle_sql(docs_src=_FIELD_DOCS_SRC),
         "hybrid_topk_filtered": _hybrid_oracle_sql(cand_where=FILTER_PRED),
         "dedup_clusters": _dedup_clusters_oracle_sql(),
         "clean_corpus": _clean_corpus_oracle_sql(),
