@@ -33,6 +33,16 @@ Scaling protocol (north rule: ≥0.8 efficiency from N to 4N):
   that scales worse than half-linear was hit mid-run) and is excluded
   from the screened figures. Raw (all-windows) numbers are reported
   alongside — nothing is hidden, the screen is declared.
+- EXTENSION RULE (round 5): after the base windows, while fewer than 2
+  windows survive the screen, keep adding windows until the extension
+  budget (SPARK_GRAFT_SCALE_EXT_BUDGET, default 700 s) or the 12-window
+  cap is exhausted; each EXTRA window first waits for the calibration
+  gate to pass so a degraded storm is waited out, not measured into.
+  The round-4 driver record ran exactly 5 windows into a storm, screened
+  all 5 out, and could only fall back to the raw number.
+- The QUERY-batch section runs the same windowed protocol (its own pool
+  control per window, same screen, same extension rule) and reports
+  query_scaling_efficiency_screened / query_n_windows_screened.
 
 EMISSION CONTRACT (round 4): the ONE headline JSON line is compact,
 scalars-only, and printed LAST — the driver captures the final ~2000
@@ -72,6 +82,11 @@ NUM_RANGES = 32     # fixed across parallelism levels → identical work
 N_BUCKETS = 8
 GATE_TOL = 1.5
 GATE_MAX_WAIT = float(os.environ.get("SPARK_GRAFT_GATE_WAIT", "45"))
+# global wall-clock backstop: extension windows stop claiming time once
+# the whole bench run has consumed this much (the driver's patience is
+# finite and an absent record is worse than a noisy one)
+WALL_CAP = float(os.environ.get("SPARK_GRAFT_BENCH_WALL", "2300"))
+_T0 = [0.0]
 
 BM25_QUERIES = [(1, "spark join filter"), (2, "vector stream window batch"),
                 (3, "customer the slow")]
@@ -335,31 +350,6 @@ def query_batch_once(cores: int, index_dir: str) -> float:
         spark.stop()
 
 
-def _interleaved(run_fn, reps: int,
-                 budget_s: float | None = None) -> dict[int, list[float]]:
-    """HI, LO, HI, LO, … with a cooldown-gate before every run (inside
-    run_fn) — adjacent pairs see comparable machine states.
-
-    With ``budget_s``, keeps sampling extra pairs beyond ``reps`` while
-    wall-clock budget remains (min-over-samples beats the neighbor noise
-    documented in BENCH.md §1; each extra pair is another chance to catch
-    a clean window at BOTH levels)."""
-    times: dict[int, list[float]] = {SCALE_LO: [], SCALE_HI: []}
-    t0 = time.monotonic()
-    pair = 0
-    max_pairs = reps + 2  # bounded: driver wall-clock stays predictable
-    while pair < reps or (budget_s is not None
-                          and time.monotonic() - t0 < budget_s
-                          and pair < max_pairs):
-        for cores in (SCALE_HI, SCALE_LO):
-            t = run_fn(cores)
-            times[cores].append(t)
-            print(f"[bench] run local[{cores}]: {t:.2f}s", file=sys.stderr,
-                  flush=True)
-        pair += 1
-    return times
-
-
 def _efficiency(times: dict[int, list[float]]
                 ) -> tuple[float, float, float]:
     # min per level over all interleaved samples: each min is that level's
@@ -368,6 +358,106 @@ def _efficiency(times: dict[int, list[float]]
     t_lo, t_hi = min(times[SCALE_LO]), min(times[SCALE_HI])
     eff = (t_lo / t_hi) / (SCALE_HI / SCALE_LO)
     return t_lo, t_hi, eff
+
+
+def _wait_calm(deadline: float) -> bool:
+    """Sample the calibration workload until one passes tolerance or the
+    deadline hits; True = machine calm. Used between EXTENSION windows so
+    a degraded-storm period waits out the storm instead of burning a full
+    (and self-evidently corrupt) measurement window — the round-4 driver
+    record spent its whole budget on 5 windows with 0 survivors."""
+    while True:
+        c = _calibrate()
+        _GATE_LOG.append(round(c, 3))
+        _CALIB_BEST[0] = min(_CALIB_BEST[0], c)
+        if c <= _CALIB_BEST[0] * GATE_TOL:
+            return True
+        if time.monotonic() >= deadline:
+            return False
+        time.sleep(12)
+
+
+def _window_clean(w: dict) -> bool:
+    """A window is machine-clean by its own instrument evidence: its
+    Spark-free pool control scaled inside the sane band AND no timed
+    region in it started with the calibration gate failing at deadline."""
+    return (CTRL_BAND[0] <= w["ctrl_eff"] <= CTRL_BAND[1]
+            and w["gate_timeouts"] == 0)
+
+
+def _windowed_scaling(run_fn, corpus: str, base_reps: int,
+                      ext_budget_s: float, clean_target: int = 2,
+                      max_pairs: int = 12, tag: str = "index") -> dict:
+    """FULLY INTERLEAVED scaling windows with the round-5 extension rule.
+
+    Each window runs spark_hi → control_hi → spark_lo → control_lo (order
+    alternates per window) so the Spark job and its Spark-free machine
+    -envelope control land in the same noise window. ``base_reps`` windows
+    always run (the declared ≥5-window protocol); then, while fewer than
+    ``clean_target`` windows survive the noise screen, EXTRA windows keep
+    being added until ``ext_budget_s`` extension wall-clock or
+    ``max_pairs`` is exhausted — and each extra window first WAITS for
+    the calibration gate to pass (machine calm) instead of measuring
+    straight into a degraded storm. ``run_fn(cores) -> (total, kernel)``.
+    """
+    ratio = SCALE_HI / SCALE_LO
+    times: dict[int, list[float]] = {SCALE_LO: [], SCALE_HI: []}
+    ktimes: dict[int, list[float]] = {SCALE_LO: [], SCALE_HI: []}
+    ctrl: dict[int, list[float]] = {SCALE_LO: [], SCALE_HI: []}
+    windows: list[dict[str, float]] = []
+    base_end = [None]  # monotonic time when the base windows finished
+    pair = 0
+    while pair < max_pairs:
+        if pair >= base_reps:
+            if sum(1 for w in windows if _window_clean(w)) >= clean_target:
+                break
+            if base_end[0] is None:
+                base_end[0] = time.monotonic()
+            deadline = min(base_end[0] + ext_budget_s,
+                           _T0[0] + WALL_CAP)
+            if time.monotonic() >= deadline:
+                break
+            if not _wait_calm(deadline):
+                break  # storm outlasted the budget: raw evidence stands
+        gt0 = _GATE_TIMEOUTS[0]
+        # alternate which level runs first so slow machine-state drift
+        # within a window doesn't systematically penalize one level
+        if pair % 2 == 0:
+            s_hi, k_hi = run_fn(SCALE_HI)
+            c_hi = _pool_control(corpus, SCALE_HI)
+            s_lo, k_lo = run_fn(SCALE_LO)
+            c_lo = _pool_control(corpus, SCALE_LO)
+        else:
+            s_lo, k_lo = run_fn(SCALE_LO)
+            c_lo = _pool_control(corpus, SCALE_LO)
+            s_hi, k_hi = run_fn(SCALE_HI)
+            c_hi = _pool_control(corpus, SCALE_HI)
+        times[SCALE_HI].append(s_hi)
+        times[SCALE_LO].append(s_lo)
+        ktimes[SCALE_HI].append(k_hi)
+        ktimes[SCALE_LO].append(k_lo)
+        ctrl[SCALE_HI].append(c_hi)
+        ctrl[SCALE_LO].append(c_lo)
+        w_eff = (s_lo / s_hi) / ratio
+        w_ctrl = (c_lo / c_hi) / ratio
+        windows.append({
+            "spark_hi": round(s_hi, 2), "ctrl_hi": round(c_hi, 2),
+            "spark_lo": round(s_lo, 2), "ctrl_lo": round(c_lo, 2),
+            "kernel_hi": round(k_hi, 2), "kernel_lo": round(k_lo, 2),
+            "spark_eff": round(w_eff, 4),
+            "ctrl_eff": round(w_ctrl, 4),
+            "envelope": round(w_eff / max(w_ctrl, 1e-9), 4),
+            "kernel_eff": round((k_lo / k_hi) / ratio, 4),
+            # >0 ⇒ at least one timed region in this window started with
+            # the calibration gate still failing at its deadline
+            # (machine-degraded by the instrument's own evidence)
+            "gate_timeouts": _GATE_TIMEOUTS[0] - gt0,
+        })
+        print(f"[bench] {tag} window {pair}: {windows[-1]}",
+              file=sys.stderr, flush=True)
+        pair += 1
+    return {"times": times, "ktimes": ktimes, "ctrl": ctrl,
+            "windows": windows}
 
 
 def _emit(results: dict, detail: dict, n_docs: int) -> None:
@@ -393,8 +483,9 @@ def _emit(results: dict, detail: dict, n_docs: int) -> None:
         "n_docs": n_docs,
     }, separators=(",", ":"))
     if len(line) > 1900:  # hard cap: never outgrow the driver's capture
-        for drop in ("screened_envelopes", "envelope_per_window_best",
-                     "gate_best"):
+        for drop in ("envelope_per_window_best", "gate_best",
+                     "screened_envelope_median",
+                     "query_screened_envelope_min"):
             results.pop(drop, None)
         line = json.dumps({
             "metric": "pdf_to_opensearch_spark_headline_sec",
@@ -406,6 +497,7 @@ def _emit(results: dict, detail: dict, n_docs: int) -> None:
 
 
 def main() -> None:  # noqa: C901
+    _T0[0] = time.monotonic()
     results: dict[str, object] = {}
     detail: dict[str, object] = {}
 
@@ -415,61 +507,20 @@ def main() -> None:  # noqa: C901
         idx = os.path.join(tempfile.gettempdir(), "bench_index_scale")
         n_scale = _prepare_scaling_docs(corpus, idx)
 
-        # FULLY INTERLEAVED windows: each window runs spark_hi → ctrl_hi →
-        # spark_lo → ctrl_lo back-to-back, so the Spark job and its
-        # machine-envelope control (the same SPIMI kernel in a plain
-        # process pool) are measured in the SAME noise window — the
-        # round-2 record ran all control pairs before the Spark runs and
-        # the two landed in different machine states.
+        # FULLY INTERLEAVED windows (see _windowed_scaling): the round-5
+        # extension rule keeps adding windows — each behind a wait-for-calm
+        # gate — until ≥2 survive the noise screen or the extension budget
+        # is gone. The round-4 driver record ran exactly 5 windows into a
+        # degraded storm, screened all 5 out, and fell back to the raw
+        # number; extension + wait-for-calm is the fix.
         ratio = SCALE_HI / SCALE_LO
-        idx_budget = float(os.environ.get("SPARK_GRAFT_SCALE_BUDGET",
-                                          "600"))
-        times: dict[int, list[float]] = {SCALE_LO: [], SCALE_HI: []}
-        ktimes: dict[int, list[float]] = {SCALE_LO: [], SCALE_HI: []}
-        ctrl: dict[int, list[float]] = {SCALE_LO: [], SCALE_HI: []}
-        windows: list[dict[str, float]] = []
-        t_start = time.monotonic()
-        pair = 0
-        max_pairs = SCALE_REPS + 3
-        while pair < SCALE_REPS or (time.monotonic() - t_start < idx_budget
-                                    and pair < max_pairs):
-            gt0 = _GATE_TIMEOUTS[0]
-            # alternate which level runs first so slow machine-state drift
-            # within a window doesn't systematically penalize one level
-            if pair % 2 == 0:
-                s_hi, k_hi = index_once(SCALE_HI, idx)
-                c_hi = _pool_control(corpus, SCALE_HI)
-                s_lo, k_lo = index_once(SCALE_LO, idx)
-                c_lo = _pool_control(corpus, SCALE_LO)
-            else:
-                s_lo, k_lo = index_once(SCALE_LO, idx)
-                c_lo = _pool_control(corpus, SCALE_LO)
-                s_hi, k_hi = index_once(SCALE_HI, idx)
-                c_hi = _pool_control(corpus, SCALE_HI)
-            times[SCALE_HI].append(s_hi)
-            times[SCALE_LO].append(s_lo)
-            ktimes[SCALE_HI].append(k_hi)
-            ktimes[SCALE_LO].append(k_lo)
-            ctrl[SCALE_HI].append(c_hi)
-            ctrl[SCALE_LO].append(c_lo)
-            w_eff = (s_lo / s_hi) / ratio
-            w_ctrl = (c_lo / c_hi) / ratio
-            windows.append({
-                "spark_hi": round(s_hi, 2), "ctrl_hi": round(c_hi, 2),
-                "spark_lo": round(s_lo, 2), "ctrl_lo": round(c_lo, 2),
-                "kernel_hi": round(k_hi, 2), "kernel_lo": round(k_lo, 2),
-                "spark_eff": round(w_eff, 4),
-                "ctrl_eff": round(w_ctrl, 4),
-                "envelope": round(w_eff / max(w_ctrl, 1e-9), 4),
-                "kernel_eff": round((k_lo / k_hi) / ratio, 4),
-                # >0 ⇒ at least one timed region in this window started
-                # with the calibration gate still failing at its deadline
-                # (machine-degraded by the instrument's own evidence)
-                "gate_timeouts": _GATE_TIMEOUTS[0] - gt0,
-            })
-            print(f"[bench] window {pair}: {windows[-1]}", file=sys.stderr,
-                  flush=True)
-            pair += 1
+        ext_budget = float(os.environ.get("SPARK_GRAFT_SCALE_EXT_BUDGET",
+                                          "700"))
+        sc = _windowed_scaling(lambda c: index_once(c, idx), corpus,
+                               base_reps=SCALE_REPS,
+                               ext_budget_s=ext_budget, tag="index")
+        times, ktimes, ctrl = sc["times"], sc["ktimes"], sc["ctrl"]
+        windows = sc["windows"]
 
         t_lo, t_hi, eff = _efficiency(times)
         c_lo, c_hi = min(ctrl[SCALE_LO]), min(ctrl[SCALE_HI])
@@ -506,11 +557,10 @@ def main() -> None:  # noqa: C901
         results["envelope_per_window_best"] = env_sorted[-1]
 
         # ---- noise screen: drop windows whose CONTROL is self-evidently
-        # corrupt (ctrl_eff outside CTRL_BAND), then recompute the
-        # min-based efficiency and per-window envelopes over the survivors
-        screened = [w for w in windows
-                    if CTRL_BAND[0] <= w["ctrl_eff"] <= CTRL_BAND[1]
-                    and w["gate_timeouts"] == 0]
+        # corrupt (ctrl_eff outside CTRL_BAND) or that hit a gate timeout,
+        # then recompute the min-based efficiency and per-window envelopes
+        # over the survivors. Arrays go to detail (emission contract).
+        screened = [w for w in windows if _window_clean(w)]
         results["n_windows"] = len(windows)
         results["n_windows_screened"] = len(screened)
         if screened:
@@ -519,21 +569,43 @@ def main() -> None:  # noqa: C901
             results["scaling_efficiency_screened"] = round(
                 (s_lo / s_hi) / ratio, 4)
             envs = sorted(min(w["envelope"], 1.0) for w in screened)
-            results["screened_envelopes"] = envs
+            detail["screened_envelopes"] = envs
             results["screened_envelope_min"] = envs[0]
             results["screened_envelope_median"] = envs[len(envs) // 2]
         else:  # every control corrupted — fall back to raw, declared
             results["scaling_efficiency_screened"] = round(eff, 4)
 
-        qtimes = _interleaved(lambda c: query_batch_once(c, idx),
-                              max(SCALE_REPS - 1, 3), budget_s=300.0)
+        # ---- query-batch scaling: SAME windowed protocol + screen as the
+        # index section (round-4 record: raw 0.523 with no way to tell a
+        # machine artifact from a scaling defect — now it has the same
+        # per-window control evidence and extension rule)
+        q_ext = float(os.environ.get("SPARK_GRAFT_QSCALE_EXT_BUDGET",
+                                     "400"))
+        qs = _windowed_scaling(
+            lambda c: (lambda t: (t, t))(query_batch_once(c, idx)),
+            corpus, base_reps=max(SCALE_REPS - 1, 3),
+            ext_budget_s=q_ext, max_pairs=10, tag="query")
+        qtimes, qwindows = qs["times"], qs["windows"]
         q_lo, q_hi, qeff = _efficiency(qtimes)
         results[f"scale_query_local{SCALE_LO}"] = round(q_lo, 3)
         results[f"scale_query_local{SCALE_HI}"] = round(q_hi, 3)
         detail["scale_query_runs_lo"] = [round(t, 2) for t in qtimes[SCALE_LO]]
         detail["scale_query_runs_hi"] = [round(t, 2) for t in qtimes[SCALE_HI]]
+        detail["scale_query_windows"] = qwindows
         results["scale_query_qps_hi"] = round(QUERY_BATCH / q_hi, 1)
         results["query_scaling_efficiency"] = round(qeff, 4)
+        q_screened = [w for w in qwindows if _window_clean(w)]
+        results["query_n_windows"] = len(qwindows)
+        results["query_n_windows_screened"] = len(q_screened)
+        if q_screened:
+            sq_lo = min(w["spark_lo"] for w in q_screened)
+            sq_hi = min(w["spark_hi"] for w in q_screened)
+            results["query_scaling_efficiency_screened"] = round(
+                (sq_lo / sq_hi) / ratio, 4)
+            qenvs = sorted(min(w["envelope"], 1.0) for w in q_screened)
+            results["query_screened_envelope_min"] = qenvs[0]
+        else:
+            results["query_scaling_efficiency_screened"] = round(qeff, 4)
         detail["gate_samples"] = _GATE_LOG[-80:]
         results["gate_best"] = round(_CALIB_BEST[0], 3)
         results["gate_timeouts_total"] = _GATE_TIMEOUTS[0]

@@ -238,12 +238,18 @@ def jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     :func:`minhash_near_duplicates`, which wires the two together over one
     shared shingle table.
 
-    Jaccard = |A∩B| / |A∪B| over distinct shingle sets. With
-    ``shingles_distinct=False`` the given/derived ``shingle_df`` carries
-    duplicates (:func:`raw_shingles`) and the distinct is applied AFTER
-    the candidate restriction — candidate docs are a vanishing fraction
-    of the corpus, so this replaces a corpus-wide dedup shuffle with one
-    over the candidate subset.
+    Jaccard = |A∩B| / |A∪B| over distinct shingle sets.
+    ``shingles_distinct`` describes the PROVIDED ``shingle_df`` (True =
+    "my frame is already per-doc distinct"); when no frame is given it
+    selects which producer builds one. With ``shingles_distinct=False``
+    the frame carries duplicates (:func:`raw_shingles` — the preferred
+    producer) and the distinct is applied AFTER the candidate
+    restriction — candidate docs are a vanishing fraction of the corpus,
+    so this replaces a corpus-wide dedup shuffle with one over the
+    candidate subset. On the ``candidates`` path a caller-provided frame
+    is deduped defensively regardless of the flag (cheap on the
+    candidate subset; a mislabeled raw frame used to inflate Jaccard
+    silently). Without ``candidates``, the flag is trusted as given.
     """
     if shingle_df is not None:
         sh = shingle_df
@@ -258,7 +264,10 @@ def jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
                     .unionByName(candidates.select(F.col("id_b").alias("id")))
                     .distinct())
         sh = sh.join(F.broadcast(cand_ids), "id", "left_semi")
-        if not shingles_distinct:
+        # dedupe whenever the frame is not one WE built distinct: a
+        # caller-provided frame may carry duplicates regardless of the
+        # flag, and the distinct runs over the candidate subset only
+        if shingle_df is not None or not shingles_distinct:
             sh = sh.distinct()
     elif not shingles_distinct:
         sh = sh.distinct()
@@ -423,31 +432,48 @@ def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id",
 
 
 def duplicate_clusters(pairs: DataFrame, max_iters: int = 20,
-                       small_max: int = 5_000_000) -> DataFrame:
+                       small_max: int = 500_000) -> DataFrame:
     """Near-duplicate pair set → duplicate CLUSTERS (connected components):
     the step a real dedup pipeline needs after pair generation — transitive
     closure turns chains (A~B, B~C, A!~C) into one keep-group.
-
-    Iterative min-label propagation over the symmetrized edge list:
-    every node starts labeled with its own id; each round replaces a
-    node's label with the min of its own and its neighbors' labels;
-    fixpoint = components labeled by their minimum member id.
-    Deterministic. Rounds needed = graph diameter — near-dup components
-    are short chains in practice; at web scale swap this loop for the
-    large-star/small-star alternation (O(log n) rounds, same contract).
 
     Returns (cluster_id, doc_id): one row per member of a ≥2-doc cluster;
     cluster_id = min doc_id of the component (the deterministic keeper).
 
     Pair sets are tiny relative to the corpus (they are the near-dup
     graph, not the doc set), so at or below ``small_max`` pairs the
-    closure runs as driver-side union-find — one collect, zero iterative
-    Spark jobs. Above it, the distributed propagation loop runs.
-    """
-    from pyspark import StorageLevel
+    closure runs as driver-side union-find — one Arrow-batched toPandas,
+    zero iterative Spark jobs. The default is sized against a
+    default-sized driver (~16 bytes/edge in two int64 numpy columns plus
+    the dict; the previous 5M default pushed hundreds of MB of Row
+    objects through collect()).
 
+    Above ``small_max``, the distributed path runs alternating
+    LARGE-STAR / SMALL-STAR contraction — the published MapReduce
+    connected-components algorithm (Kiveris et al., "Connected Components
+    in MapReduce and Beyond", SoCC 2014): each round re-points every
+    node's larger neighbors at its smallest known neighbor (large-star)
+    and then contracts each node's smaller neighbors onto their minimum
+    (small-star). The edge set's fixed points are exactly star forests
+    rooted at component minima, and convergence is O(log n) rounds on ANY
+    graph shape — min-label propagation (the previous implementation) is
+    O(diameter), which an adversarial chain turns into O(n).
+    Deterministic. Every round localCheckpoints (lineage truncation —
+    Catalyst plan growth is exponential across iterative joins).
+
+    If ``max_iters`` rounds pass without reaching the fixed point, a
+    RuntimeWarning is raised and the best-effort labels are returned
+    (with max_iters=20 that takes a component needing >20 star rounds —
+    beyond any realistic graph; the previous min-label loop hit its bound
+    silently at diameter 20 and returned wrong labels with no signal).
+
+    The result DataFrame carries ``_cc_rounds`` (rounds executed) and
+    ``_cc_converged`` attributes as instrumentation.
+    """
+    spark = pairs.sparkSession
     n_pairs = pairs.count()
     if n_pairs <= small_max:
+        pdf = pairs.select("id_a", "id_b").toPandas()
         parent: dict[int, int] = {}
 
         def find(x: int) -> int:
@@ -456,8 +482,8 @@ def duplicate_clusters(pairs: DataFrame, max_iters: int = 20,
                 x = parent[x]
             return x
 
-        for row in pairs.select("id_a", "id_b").collect():
-            a, b = int(row["id_a"]), int(row["id_b"])
+        for a, b in zip(pdf["id_a"].to_numpy(), pdf["id_b"].to_numpy()):
+            a, b = int(a), int(b)
             parent.setdefault(a, a)
             parent.setdefault(b, b)
             ra, rb = find(a), find(b)
@@ -468,37 +494,64 @@ def duplicate_clusters(pairs: DataFrame, max_iters: int = 20,
                 else:
                     parent[ra] = rb
         rows = sorted((find(n), n) for n in parent)
-        return pairs.sparkSession.createDataFrame(
-            rows, "cluster_id long, doc_id long")
+        out = spark.createDataFrame(rows, "cluster_id long, doc_id long")
+        out._cc_rounds = 0
+        out._cc_converged = True
+        return out
 
-    sym = (pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-           .unionByName(pairs.select(F.col("id_b").alias("src"),
-                                     F.col("id_a").alias("dst")))
-           .distinct()
-           .persist(StorageLevel.MEMORY_AND_DISK))
-    # localCheckpoint, not persist: an iterative join/union loop grows the
-    # LOGICAL plan exponentially even when every step is cached (caching
-    # cuts execution, not analysis), and Catalyst analysis time explodes
-    # after ~10 rounds — lineage truncation per round keeps plans O(1)
-    labels = (sym.select(F.col("src").alias("id")).distinct()
-              .withColumn("label", F.col("id"))
-              .localCheckpoint(eager=True))
-    try:
-        for _ in range(max_iters):
-            # neighbor labels → min with own label; the changed-count and
-            # the next round both read the SAME checkpointed frame
-            nbr = (sym.join(labels, sym.src == labels.id)
-                   .select(F.col("dst").alias("id"), "label"))
-            new_labels = (labels.unionByName(nbr)
-                          .groupBy("id").agg(F.min("label").alias("label"))
-                          .localCheckpoint(eager=True))
-            changed = (new_labels.join(
-                labels.withColumnRenamed("label", "old"), "id")
-                .filter(F.col("label") != F.col("old")).count())
-            labels = new_labels
-            if changed == 0:
-                break
-        return labels.select(F.col("label").alias("cluster_id"),
-                             F.col("id").alias("doc_id"))
-    finally:
-        sym.unpersist()
+    # canonical undirected edges (hi > lo), deduped
+    e = (pairs.select(F.greatest("id_a", "id_b").alias("hi"),
+                      F.least("id_a", "id_b").alias("lo"))
+         .filter(F.col("hi") != F.col("lo"))
+         .distinct()
+         .localCheckpoint(eager=True))
+    n_e = e.count()
+    converged = False
+    rounds = 0
+    for _ in range(max_iters):
+        rounds += 1
+        # LARGE-STAR: for every node u, re-point each STRICTLY LARGER
+        # neighbor v at m = min(neighbors(u) ∪ {u}). Emitted (v, m) stays
+        # canonical: v > u ≥ m.
+        sym = (e.select(F.col("hi").alias("u"), F.col("lo").alias("v"))
+               .unionByName(
+                   e.select(F.col("lo").alias("u"), F.col("hi").alias("v"))))
+        mins = (sym.groupBy("u").agg(F.min("v").alias("mn"))
+                .select("u", F.least("mn", "u").alias("mn")))
+        large = (sym.join(mins, "u")
+                 .filter(F.col("v") > F.col("u"))
+                 .select(F.col("v").alias("hi"), F.col("mn").alias("lo"))
+                 .distinct())
+        # SMALL-STAR: group each edge at its LARGER endpoint; contract
+        # all smaller neighbors (and the node itself) onto their minimum.
+        smins = large.groupBy("hi").agg(F.min("lo").alias("mn"))
+        small = (large.join(smins, "hi")
+                 .filter(F.col("lo") != F.col("mn"))
+                 .select(F.col("lo").alias("hi"), F.col("mn").alias("lo"))
+                 .unionByName(smins.select("hi", F.col("mn").alias("lo")))
+                 .distinct()
+                 .localCheckpoint(eager=True))
+        n_new = small.count()
+        if n_new == n_e and small.join(
+                e, ["hi", "lo"], "left_anti").limit(1).count() == 0:
+            e = small
+            converged = True
+            break
+        e, n_e = small, n_new
+    if not converged:
+        import warnings
+
+        warnings.warn(
+            f"duplicate_clusters: star contraction did not reach its "
+            f"fixed point within max_iters={max_iters} rounds; labels "
+            f"may be partially propagated", RuntimeWarning, stacklevel=2)
+    # converged edge set = star forest rooted at component minima:
+    # members are the hi side, roots label themselves
+    out = (e.select(F.col("lo").alias("cluster_id"),
+                    F.col("hi").alias("doc_id"))
+           .unionByName(e.select(F.col("lo").alias("cluster_id"),
+                                 F.col("lo").alias("doc_id")))
+           .distinct())
+    out._cc_rounds = rounds
+    out._cc_converged = converged
+    return out

@@ -385,3 +385,23 @@ def test_clean_corpus_fates(spark):
     assert out[4] == "quality"
     assert out[5] == "quality"      # quality beats exact (stage order)
     assert out[6] == "kept"
+
+
+def test_duplicate_clusters_long_chain_converges_logarithmically(spark):
+    """Adversarial diameter: a 1000-node path graph (diameter 999) must
+    close into ONE cluster within O(log n) star rounds — the large-star/
+    small-star contraction's contract (min-label propagation would need
+    999 rounds and previously hit its bound silently at 20)."""
+    import math
+
+    from pdf_to_opensearch_spark.ops.dedup import duplicate_clusters
+
+    n = 1000
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(n - 1)],
+                                  "id_a long, id_b long")
+    out = duplicate_clusters(pairs, small_max=0)
+    rows = out.collect()
+    assert out._cc_converged
+    assert out._cc_rounds <= 2 * math.log2(n)
+    assert {int(r["doc_id"]) for r in rows} == set(range(n))
+    assert {int(r["cluster_id"]) for r in rows} == {0}
