@@ -2674,6 +2674,29 @@ def _hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                          k0=HYBRID_K0)
 
 
+def _hybrid_field_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid RRF with the LEXICAL leg on the ``text_prev`` field's
+    posting space and the kNN leg on the root docs' embeddings — the
+    reference's hybrid applies to any analyzed schema field
+    (opensearch_loader.py:386-408 + 873-884); embeddings are
+    per-document, so the vector side is field-independent."""
+    _ensure_pkg(spark)
+    from pdf_to_opensearch_spark.fields import build_field_index
+    from pdf_to_opensearch_spark.hybrid import search_hybrid
+
+    out = _ensure_engine_index(spark, sf_dir)
+    if out not in _FIELD_INDEXES:
+        build_field_index(spark, out, "text_prev")
+        _FIELD_INDEXES.add(out)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = {int(r["vec_id"]): list(r["embedding"]) for r in
+            emb.filter(emb.vec_id.isin(list(HYBRID_QVECS.values()))).collect()}
+    queries = [(qid, text, qvec[HYBRID_QVECS[qid]])
+               for qid, text in BM25_QUERIES.items()]
+    return search_hybrid(spark, out, queries, k=BM25_K, depth=HYBRID_DEPTH,
+                         k0=HYBRID_K0, field="text_prev")
+
+
 def _hybrid_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid RRF with the metadata filter context applied to BOTH the
     lexical and the vector side (the reference's bool/filter attaches to
@@ -2691,13 +2714,18 @@ def _hybrid_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
                          k0=HYBRID_K0, doc_filter=FILTER_PRED)
 
 
-def _hybrid_oracle_sql(cand_where: str = "") -> str:
+def _hybrid_oracle_sql(cand_where: str = "",
+                       docs_src: str | None = None) -> str:
     """RRF oracle; ``cand_where`` restricts candidate docs on BOTH lists
-    (bm scores and knn scan) while BM25 stats stay corpus-global."""
+    (bm scores and knn scan) while BM25 stats stay corpus-global.
+    ``docs_src`` replaces the LEXICAL leg's corpus SELECT (the per-field
+    hybrid entry fuses BM25-over-lag(text) with root-docs kNN — the kNN
+    leg always scans per-document embeddings)."""
     bm_cand = (f"WHERE tf.doc_id IN (SELECT doc_id FROM documents "
                f"WHERE {cand_where})" if cand_where else "")
     knn_cand = (f"WHERE e.vec_id IN (SELECT doc_id FROM documents "
                 f"WHERE {cand_where})" if cand_where else "")
+    corpus = f"({docs_src})" if docs_src else "documents"
     qvals = ", ".join(
         f"({qid}, '{t}')"
         for qid, t in sorted({(qid, t) for qid, q in BM25_QUERIES.items()
@@ -2705,10 +2733,10 @@ def _hybrid_oracle_sql(cand_where: str = "") -> str:
     qv_vals = ", ".join(f"({q}, {v})" for q, v in sorted(HYBRID_QVECS.items()))
     return f"""
 WITH toks AS (
-  SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents
+  SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM {corpus}
 ),
 tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2),
-dl AS (SELECT doc_id, len({_TOKS_SQL})::DOUBLE AS dl FROM documents),
+dl AS (SELECT doc_id, len({_TOKS_SQL})::DOUBLE AS dl FROM {corpus}),
 stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
 q(query_id, term) AS (VALUES {qvals}),
 dfreq AS (
@@ -2897,6 +2925,7 @@ def queries():  # noqa: F811 — extend the registry with the spatial/misc ops
         "phrase_topk_filtered": _phrase_topk_filtered,
         "bm25_field_topk": _bm25_field_topk,
         "phrase_field_topk": _phrase_field_topk,
+        "hybrid_field_topk": _hybrid_field_topk,
         "hybrid_topk_filtered": _hybrid_topk_filtered,
         "dedup_clusters": _dedup_clusters,
         "clean_corpus": _clean_corpus,
@@ -2912,6 +2941,7 @@ def oracle_sql():  # noqa: F811
         "phrase_topk_filtered": _phrase_oracle_sql(cand_where=FILTER_PRED),
         "bm25_field_topk": _bm25_oracle_sql(docs_src=_FIELD_DOCS_SRC),
         "phrase_field_topk": _phrase_oracle_sql(docs_src=_FIELD_DOCS_SRC),
+        "hybrid_field_topk": _hybrid_oracle_sql(docs_src=_FIELD_DOCS_SRC),
         "hybrid_topk_filtered": _hybrid_oracle_sql(cand_where=FILTER_PRED),
         "dedup_clusters": _dedup_clusters_oracle_sql(),
         "clean_corpus": _clean_corpus_oracle_sql(),

@@ -197,7 +197,8 @@ def search_hybrid(spark: SparkSession, index_dir: str,
                   depth: int = 20, k0: int = RRF_K0,
                   prune: bool = True,
                   vector_mode: str = "exact",
-                  doc_filter: str | None = None) -> DataFrame:
+                  doc_filter: str | None = None,
+                  field: str | None = None) -> DataFrame:
     """Hybrid top-k: (query_id, text, vector) → RRF(BM25 top-depth, kNN
     top-depth) → (query_id, rank, doc_id, rrf).
 
@@ -211,6 +212,11 @@ def search_hybrid(spark: SparkSession, index_dir: str,
     (the reference attaches filters to every query type, hybrid included,
     opensearch_loader.py:873-884): candidates restricted, BM25 statistics
     stay corpus-global, fusion ranks computed over the filtered lists.
+    ``field`` points the LEXICAL leg at an analyzed field's posting space
+    (reference: hybrid over any schema field, opensearch_loader.py:
+    386-408 + 873-884); the kNN leg always scans the root docs table
+    (embeddings are per-document, not per-field), and a ``doc_filter``
+    resolves against the root docs for both legs.
     """
     if vector_mode not in ("exact", "lsh"):
         raise ValueError(f"vector_mode must be exact|lsh, got {vector_mode!r}")
@@ -218,8 +224,15 @@ def search_hybrid(spark: SparkSession, index_dir: str,
     # scores on ROUNDED values and cut at depth — fusion ranks are then
     # reproducible against an external oracle even when full-precision
     # and rounded orderings disagree at the depth boundary
-    bm = search(spark, index_dir, [(q, t) for q, t, _v in queries],
-                k=depth + 5, prune=prune, doc_filter=doc_filter)
+    if field in (None, "current", "text"):
+        bm_root, bm_froot = index_dir, None
+    else:
+        from .fields import field_root
+
+        bm_root, bm_froot = field_root(index_dir, field), index_dir
+    bm = search(spark, bm_root, [(q, t) for q, t, _v in queries],
+                k=depth + 5, prune=prune, doc_filter=doc_filter,
+                filter_root=bm_froot)
     wb = Window.partitionBy("query_id").orderBy(
         F.round("score", 4).desc(), F.col("doc_id").asc())
     bm = (bm.withColumn("rank", F.row_number().over(wb))
