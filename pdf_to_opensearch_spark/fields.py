@@ -22,10 +22,10 @@ independent zero-shuffle job over the shared docs table, so fields can
 be built serially (bounded peak resources) or concurrently.
 
 Maintenance interplay: ``maintenance.delete_from_index`` writes a NEW
-index root (snapshot isolation); field spaces are derived tables and are
-NOT copied into the snapshot — rebuild them there with
-:func:`build_field_index` (they derive deterministically from the new
-docs table, same as the root's own postings).
+index root (snapshot isolation) and carries every ``fields/*`` space
+through it — affected ranges are rebuilt from the field's surviving
+docs, untouched ranges are copied — matching the reference's
+all-fields-consistent delete (opensearch_loader.py:410-451).
 """
 
 from __future__ import annotations
