@@ -410,6 +410,271 @@ _FIELD_DOCS_SRC = """SELECT doc_id,
   FROM documents"""
 
 
+# ---------------------------------------- bool / prefix / facet / highlight
+
+# BooleanQuery clauses (opensearch_loader.py:430-441 builds bool bodies).
+# Scoring terms (must + should) are UNIQUE within each query so the
+# set-based oracle VALUES carries weight 1 per term, like BM25_QUERIES.
+BOOL_QUERIES: dict[int, dict] = {
+    1: {"must": "customer", "should": "join filter"},
+    2: {"must": "vector stream", "should": "window", "must_not": "batch"},
+    3: {"should": "spark join", "must_not": "customer"},
+}
+
+PREFIX_QUERIES: dict[int, str] = {1: "cust", 2: "str", 3: "win"}
+PREFIX_MAX_EXP = 50
+
+
+def _bool_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene BooleanQuery must/should/must_not through the engine kernel
+    (boolquery.boolean_search): must terms score AND constrain, should
+    terms score, must_not terms exclude — clause filtering is range-local
+    because every doc lives in exactly one range."""
+    _ensure_pkg(spark)
+    from pdf_to_opensearch_spark.boolquery import boolean_search
+
+    out = _ensure_engine_index(spark, sf_dir)
+    res = boolean_search(spark, out, list(BOOL_QUERIES.items()), k=BM25_K)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_r").desc(), F.col("doc_id").asc())
+    return (res.withColumn("score_r", F.round("score", 4))
+            .withColumn("rank2", F.row_number().over(w))
+            .select("query_id", F.col("rank2").cast("int").alias("rank"),
+                    "doc_id", F.col("score_r").alias("score")))
+
+
+def _prefix_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PrefixQuery under the scoring_boolean rewrite: expand against the
+    term dictionary in term order (first PREFIX_MAX_EXP terms — Lucene's
+    rewrite enumeration), score the expansion as a TermQuery disjunction
+    with weight = idf."""
+    _ensure_pkg(spark)
+    from pdf_to_opensearch_spark.boolquery import prefix_search
+
+    out = _ensure_engine_index(spark, sf_dir)
+    res = prefix_search(spark, out, list(PREFIX_QUERIES.items()),
+                        k=BM25_K, max_expansions=PREFIX_MAX_EXP)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_r").desc(), F.col("doc_id").asc())
+    return (res.withColumn("score_r", F.round("score", 4))
+            .withColumn("rank2", F.row_number().over(w))
+            .select("query_id", F.col("rank2").cast("int").alias("rank"),
+                    "doc_id", F.col("score_r").alias("score")))
+
+
+def _facet_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OpenSearch ``terms`` aggregation next to a match query: lang
+    bucket counts over ALL docs matching ANY query term (aggregation
+    scope = the full hit set, not the top-k page)."""
+    _ensure_pkg(spark)
+    from pdf_to_opensearch_spark.boolquery import search_facets
+
+    out = _ensure_engine_index(spark, sf_dir)
+    return (search_facets(spark, out, list(BM25_QUERIES.items()),
+                          facet_col="lang", n=10)
+            .select("query_id", "facet_value", "doc_count",
+                    F.col("rank").cast("int").alias("rank")))
+
+
+def _highlight_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k + highlight snippet (the ``highlight`` block of a
+    search body): 60-char window around the first occurrence of any
+    query term, computed relationally on both sides."""
+    _ensure_pkg(spark)
+    from pdf_to_opensearch_spark.boolquery import highlight_snippets
+
+    out = _ensure_engine_index(spark, sf_dir)
+    res = highlight_snippets(spark, out, list(BM25_QUERIES.items()),
+                             k=BM25_K, width=30)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_r").desc(), F.col("doc_id").asc())
+    return (res.withColumn("score_r", F.round("score", 4))
+            .withColumn("rank2", F.row_number().over(w))
+            .select("query_id", F.col("rank2").cast("int").alias("rank"),
+                    "doc_id", F.col("score_r").alias("score"), "snippet"))
+
+
+def _qvals(qmap: dict[int, str]) -> str:
+    return ", ".join(f"({qid}, '{t}')"
+                     for qid, t in sorted({(qid, t)
+                                           for qid, q in qmap.items()
+                                           for t in q.split()}))
+
+
+_BM25_CORE_SQL = f"""toks AS (
+  SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM docs0
+),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, len({_TOKS_SQL})::DOUBLE AS dl FROM docs0),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+dfreq AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tf
+  WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY 1
+),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         round(sum( ln(1.0 + (s.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                    * tf.tf * 2.2
+                    / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) ),
+               4) AS score
+  FROM tf
+  JOIN q USING (term) JOIN dfreq USING (term) JOIN dl USING (doc_id)
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+)"""
+
+
+def _bool_oracle_sql() -> str:
+    """BooleanQuery oracle: brute BM25 over must+should terms, then the
+    clause constraints — doc has EVERY must term (count-distinct match
+    against the per-query must count) and NO must_not term."""
+    score_vals = _qvals({qid: " ".join((q.get("must", "") + " " +
+                                        q.get("should", "")).split())
+                         for qid, q in BOOL_QUERIES.items()})
+    must_vals = ", ".join(
+        f"({qid}, '{t}')" for qid, q in sorted(BOOL_QUERIES.items())
+        for t in q.get("must", "").split()) or "(-1, '')"
+    not_vals = ", ".join(
+        f"({qid}, '{t}')" for qid, q in sorted(BOOL_QUERIES.items())
+        for t in q.get("must_not", "").split()) or "(-1, '')"
+    return f"""
+WITH docs0 AS (SELECT * FROM documents),
+q(query_id, term) AS (VALUES {score_vals}),
+musts(query_id, term) AS (VALUES {must_vals}),
+nots(query_id, term) AS (VALUES {not_vals}),
+{_BM25_CORE_SQL},
+must_cnt AS (SELECT query_id, count(DISTINCT term) AS nm
+             FROM musts GROUP BY 1),
+must_ok AS (
+  SELECT m.query_id, tf.doc_id
+  FROM musts m JOIN tf USING (term)
+       JOIN must_cnt mc ON mc.query_id = m.query_id
+  GROUP BY 1, 2
+  HAVING count(DISTINCT term) = max(mc.nm)
+),
+qual AS (
+  SELECT s.* FROM scores s
+  WHERE (s.query_id NOT IN (SELECT query_id FROM musts)
+         OR EXISTS (SELECT 1 FROM must_ok mo
+                    WHERE mo.query_id = s.query_id
+                      AND mo.doc_id = s.doc_id))
+    AND NOT EXISTS (SELECT 1 FROM nots n JOIN tf t2 ON t2.term = n.term
+                    WHERE n.query_id = s.query_id
+                      AND t2.doc_id = s.doc_id)
+)
+SELECT query_id, rank, doc_id, score FROM (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id)::INTEGER AS rank,
+         doc_id, score
+  FROM qual
+) WHERE rank <= {BM25_K}
+"""
+
+
+def _prefix_oracle_sql() -> str:
+    """PrefixQuery oracle: expansion = first PREFIX_MAX_EXP distinct
+    corpus terms per prefix in term order (binary collation both sides:
+    terms are [0-9a-z]+), scored as a weight-1 TermQuery disjunction."""
+    pref_vals = ", ".join(f"({qid}, '{p}')"
+                          for qid, p in sorted(PREFIX_QUERIES.items()))
+    return f"""
+WITH docs0 AS (SELECT * FROM documents),
+prefixes(query_id, pref) AS (VALUES {pref_vals}),
+toks0 AS (
+  SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM docs0
+),
+vocab AS (SELECT DISTINCT term FROM toks0),
+exp AS (
+  SELECT p.query_id, v.term,
+         row_number() OVER (PARTITION BY p.query_id
+                            ORDER BY v.term) AS rn
+  FROM prefixes p JOIN vocab v ON v.term LIKE p.pref || '%'
+),
+q AS (SELECT query_id, term FROM exp WHERE rn <= {PREFIX_MAX_EXP}),
+toks AS (SELECT * FROM toks0),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, len({_TOKS_SQL})::DOUBLE AS dl FROM docs0),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+dfreq AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tf
+  WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY 1
+),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         round(sum( ln(1.0 + (s.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                    * tf.tf * 2.2
+                    / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) ),
+               4) AS score
+  FROM tf
+  JOIN q USING (term) JOIN dfreq USING (term) JOIN dl USING (doc_id)
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+)
+SELECT query_id, rank, doc_id, score FROM (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id)::INTEGER AS rank,
+         doc_id, score
+  FROM scores
+) WHERE rank <= {BM25_K}
+"""
+
+
+def _facet_oracle_sql() -> str:
+    """terms-aggregation oracle: distinct matching docs per query (ANY
+    query term) joined to lang, counted, top-10 by (count desc, value)."""
+    return f"""
+WITH docs0 AS (SELECT * FROM documents),
+q(query_id, term) AS (VALUES {_qvals(BM25_QUERIES)}),
+toks AS (
+  SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM docs0
+),
+matches AS (
+  SELECT DISTINCT q.query_id, toks.doc_id
+  FROM toks JOIN q USING (term)
+),
+fac AS (
+  SELECT m.query_id, d.lang::VARCHAR AS facet_value,
+         count(*)::BIGINT AS doc_count
+  FROM matches m JOIN docs0 d USING (doc_id)
+  GROUP BY 1, 2
+)
+SELECT query_id, facet_value, doc_count, rank FROM (
+  SELECT query_id, facet_value, doc_count,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY doc_count DESC,
+                                     facet_value)::INTEGER AS rank
+  FROM fac
+) WHERE rank <= 10
+"""
+
+
+def _highlight_oracle_sql(width: int = 30) -> str:
+    """BM25 top-k + snippet: min positive 1-based char position of any
+    query term in lower(text) (strpos == Spark instr), fixed
+    2·width-char substring clamped at 1 — '' when no verbatim match."""
+    return f"""
+WITH topk AS ({_bm25_oracle_sql()}),
+docs0 AS (SELECT * FROM documents),
+q(query_id, term) AS (VALUES {_qvals(BM25_QUERIES)}),
+hl AS (
+  SELECT t.query_id, t.rank, t.doc_id, t.score,
+         min(CASE WHEN strpos(lower(d.text), q.term) > 0
+                  THEN strpos(lower(d.text), q.term) END) AS pos,
+         any_value(d.text) AS text
+  FROM topk t JOIN docs0 d ON d.doc_id = t.doc_id
+       JOIN q ON q.query_id = t.query_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT query_id, rank, doc_id, score,
+       CASE WHEN pos IS NOT NULL
+            THEN substring(text, greatest(pos - {width}, 1), {2 * width})
+            ELSE '' END AS snippet
+FROM hl
+"""
+
+
 # ------------------------------------------------------- corpus statistics
 
 
@@ -2929,6 +3194,10 @@ def queries():  # noqa: F811 — extend the registry with the spatial/misc ops
         "hybrid_topk_filtered": _hybrid_topk_filtered,
         "dedup_clusters": _dedup_clusters,
         "clean_corpus": _clean_corpus,
+        "bool_search_topk": _bool_search_topk,
+        "prefix_topk": _prefix_topk,
+        "facet_counts": _facet_counts,
+        "highlight_topk": _highlight_topk,
     })
     return _reorder(out)
 
@@ -2945,5 +3214,9 @@ def oracle_sql():  # noqa: F811
         "hybrid_topk_filtered": _hybrid_oracle_sql(cand_where=FILTER_PRED),
         "dedup_clusters": _dedup_clusters_oracle_sql(),
         "clean_corpus": _clean_corpus_oracle_sql(),
+        "bool_search_topk": _bool_oracle_sql(),
+        "prefix_topk": _prefix_oracle_sql(),
+        "facet_counts": _facet_oracle_sql(),
+        "highlight_topk": _highlight_oracle_sql(),
     })
     return _reorder(out)

@@ -1,0 +1,313 @@
+"""Boolean / prefix / facet / highlight query surfaces (SURVEY.md §3.3).
+
+The reference builds OpenSearch ``bool`` queries from term + match_phrase
+clauses (opensearch_loader.py:395-441) and lets Lucene execute them; this
+module re-owns the remaining Lucene query types over the same SPIMI index
+that :mod:`.query` scores:
+
+* :func:`boolean_search` — BooleanQuery must/should/must_not with
+  sum-of-scores semantics (must terms score AND constrain, should terms
+  score, must_not terms exclude).
+* :func:`prefix_search` — PrefixQuery under the ``scoring_boolean``
+  rewrite: expand the prefix against the term dictionary in term order
+  (Lucene's rewrite picks the first ``max_expansions`` terms), then score
+  the expansion as a disjunction of TermQuery clauses (weight = idf).
+* :func:`search_facets` — the ``terms`` aggregation run alongside a match
+  query: bucket counts over ALL matching docs, not just the top-k page.
+* :func:`highlight_snippets` — per-hit snippet extraction (the ``highlight``
+  block of an OpenSearch search body): first query-term occurrence, fixed
+  character window, computed relationally so the DuckDB oracle can
+  reproduce it byte-for-byte.
+
+All four reuse the physical shape of :func:`.query.search`: dictionary
+point-lookup (pruned parquet scan) → bucket/term-pruned postings scan →
+per-range vectorized kernel → global top-k window. Nothing here collects
+more than the dictionary rows for the query's own terms.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .analyzer import tokenize_text
+from .codec import decode_postings
+from .indexer import IndexPaths, bucket_of
+from .oracle import idf as idf_fn
+from .query import (
+    RESULT_SCHEMA,
+    _allowed_docs,
+    _filter_in,
+    _score_kernel,
+    load_stats,
+)
+
+RANKED = "query_id int, rank int, doc_id long, score double"
+
+
+def _ranked_topk(per_range: DataFrame, k: int) -> DataFrame:
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc())
+    return (per_range.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "doc_id", "score"))
+
+
+def _pruned_postings(spark: SparkSession, paths: IndexPaths, n_buckets: int,
+                     terms: list[str]) -> DataFrame:
+    buckets = sorted({bucket_of(t, n_buckets) for t in terms})
+    return _filter_in(
+        spark.read.parquet(paths.postings)
+        .filter(F.col("bucket").isin(buckets)),
+        "term", terms)
+
+
+def _run_kernel(spark: SparkSession, paths: IndexPaths, stats, qinfo: dict,
+                k: int, prune: bool, live_terms: list[str],
+                doc_filter: str | None, filter_root: str | None,
+                bool_spec: dict | None = None) -> DataFrame:
+    postings = _pruned_postings(spark, paths, stats.n_buckets, live_terms)
+    if doc_filter is not None:
+        fpaths = IndexPaths(filter_root) if filter_root else paths
+        allowed = _allowed_docs(spark, fpaths, doc_filter)
+        per_range = (postings.groupBy("range_id")
+                     .cogroup(allowed.groupBy("range_id"))
+                     .applyInPandas(
+                         _score_kernel(qinfo, k, stats, prune, filtered=True,
+                                       bool_spec=bool_spec),
+                         schema=RESULT_SCHEMA))
+    else:
+        per_range = (postings.groupBy("range_id")
+                     .applyInPandas(
+                         _score_kernel(qinfo, k, stats, prune,
+                                       bool_spec=bool_spec),
+                         schema=RESULT_SCHEMA))
+    return _ranked_topk(per_range, k)
+
+
+# ------------------------------------------------------------- bool query
+
+def boolean_search(spark: SparkSession, index_dir: str,
+                   queries: list[tuple[int, dict]], k: int = 10,
+                   doc_filter: str | None = None,
+                   filter_root: str | None = None) -> DataFrame:
+    """Lucene BooleanQuery over the index (opensearch_loader.py:430-441
+    builds exactly this shape for delete/verify round-trips).
+
+    ``queries``: [(query_id, {"must": str, "should": str,
+    "must_not": str})] — each clause is an analyzer-tokenized query
+    string; missing clauses default to empty.
+
+    Semantics (BooleanQuery sum-of-scores):
+
+    * a doc qualifies iff it contains EVERY must term and NO must_not term;
+    * score = Σ BM25 contributions over must + should occurrences
+      (a term repeated across clauses scores once per occurrence, the
+      same occurrence-weighting as :func:`.query.search`);
+    * a query whose must clause contains a term absent from the corpus
+      matches nothing; a query with no scoreable must/should terms is
+      dropped (pure must_not needs match_all, which a scored top-k
+      surface has no use for).
+
+    Block-max pruning is off: clause constraints can legitimately pull
+    docs below the unconstrained prune threshold into the true top-k.
+    """
+    paths = IndexPaths(index_dir)
+    stats = load_stats(spark, index_dir)
+    clauses = {}
+    for qid, q in queries:
+        clauses[int(qid)] = (tokenize_text(q.get("must", "") or ""),
+                             tokenize_text(q.get("should", "") or ""),
+                             tokenize_text(q.get("must_not", "") or ""))
+    all_terms = sorted({t for m, s, n in clauses.values() for t in m + s + n})
+    if not all_terms:
+        return spark.createDataFrame([], RANKED)
+    dict_rows = _filter_in(spark.read.parquet(paths.dictionary),
+                           "term", all_terms).collect()
+    dfs = {r["term"]: int(r["df"]) for r in dict_rows}
+    idfs = {t: float(idf_fn(stats.N, np.array([dfs[t]]))[0])
+            for t in all_terms if t in dfs}
+    qinfo: dict[int, dict] = {}
+    bool_spec: dict[int, tuple] = {}
+    for qid, (must, should, mnot) in clauses.items():
+        if must and any(t not in dfs for t in must):
+            continue  # a required term is absent from the corpus: no hits
+        ti = {t: idfs[t] * c for t, c in Counter(must + should).items()
+              if t in idfs}
+        if not ti:
+            continue
+        qinfo[qid] = ti
+        bool_spec[qid] = (tuple(sorted(set(must))),
+                          tuple(sorted({t for t in mnot if t in dfs})))
+    if not qinfo:
+        return spark.createDataFrame([], RANKED)
+    live = sorted({t for ti in qinfo.values() for t in ti}
+                  | {t for ms, ns in bool_spec.values() for t in ns})
+    return _run_kernel(spark, paths, stats, qinfo, k, False, live,
+                       doc_filter, filter_root, bool_spec=bool_spec)
+
+
+# ------------------------------------------------------------ prefix query
+
+def prefix_search(spark: SparkSession, index_dir: str,
+                  queries: list[tuple[int, str]], k: int = 10,
+                  max_expansions: int = 50,
+                  doc_filter: str | None = None,
+                  filter_root: str | None = None) -> DataFrame:
+    """Lucene PrefixQuery under the ``scoring_boolean`` rewrite.
+
+    Each query is a single prefix (analyzed: lowercased through the frozen
+    analyzer). Expansion picks the first ``max_expansions`` dictionary
+    terms in term order — Lucene's rewrite enumerates the term dict in
+    order and stops at ``max_expansions`` — via an orderBy+limit pruned
+    scan per prefix (``StartsWith`` reaches the parquet reader; the sort
+    is a TakeOrdered over the matching rows, never a full dictionary
+    collect). The expansion then scores as a disjunction of TermQuery
+    clauses with boost 1: weight = idf(term), tf-normalized per doc like
+    any other scored term.
+    """
+    paths = IndexPaths(index_dir)
+    stats = load_stats(spark, index_dir)
+    prefs: dict[int, str] = {}
+    for qid, p in queries:
+        toks = tokenize_text(p)
+        if toks:
+            prefs[int(qid)] = toks[0]
+    if not prefs:
+        return spark.createDataFrame([], RANKED)
+    dictionary = spark.read.parquet(paths.dictionary)
+    expansions: dict[int, list[tuple[str, int]]] = {}
+    for qid, pref in prefs.items():
+        rows = (dictionary.filter(F.col("term").startswith(pref))
+                .select("term", "df").orderBy("term")
+                .limit(max_expansions).collect())
+        if rows:
+            expansions[qid] = [(r["term"], int(r["df"])) for r in rows]
+    if not expansions:
+        return spark.createDataFrame([], RANKED)
+    qinfo = {qid: {t: float(idf_fn(stats.N, np.array([df]))[0])
+                   for t, df in exp}
+             for qid, exp in expansions.items()}
+    live = sorted({t for ti in qinfo.values() for t in ti})
+    return _run_kernel(spark, paths, stats, qinfo, k, True, live,
+                       doc_filter, filter_root)
+
+
+# --------------------------------------------------------- terms aggregation
+
+def search_facets(spark: SparkSession, index_dir: str,
+                  queries: list[tuple[int, str]], facet_col: str = "lang",
+                  n: int = 10) -> DataFrame:
+    """OpenSearch ``terms`` aggregation alongside a match query: bucket
+    counts of ``facet_col`` over ALL docs matching ANY query term (the
+    aggregation scope is the full hit set, not the top-k page).
+
+    Physical plan: pruned postings scan → per-range decode of each
+    needed term ONCE → distinct (query_id, doc_id) matches → join the
+    docs table (column-pruned to doc_id + facet) → count per bucket →
+    per-query top-n by (count desc, value asc). The match set never
+    collects: the kernel emits doc_ids range-locally and the count is a
+    map-side-combined groupBy.
+
+    Returns DataFrame(query_id, facet_value, doc_count, rank).
+    """
+    paths = IndexPaths(index_dir)
+    stats = load_stats(spark, index_dir)
+    q_terms = {int(qid): sorted(set(tokenize_text(text)))
+               for qid, text in queries}
+    q_terms = {qid: ts for qid, ts in q_terms.items() if ts}
+    terms = sorted({t for ts in q_terms.values() for t in ts})
+    out_schema = "query_id int, facet_value string, doc_count long, rank int"
+    if not terms:
+        return spark.createDataFrame([], out_schema)
+
+    def match_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        by_term = {rec["term"]: rec for rec in pdf.to_dict("records")}
+        dec: dict[str, np.ndarray] = {}
+        out_q: list[np.ndarray] = []
+        out_d: list[np.ndarray] = []
+        for qid, ts in q_terms.items():
+            idss = []
+            for t in ts:
+                if t not in by_term:
+                    continue
+                ids = dec.get(t)
+                if ids is None:
+                    ids = dec[t] = decode_postings(by_term[t])[0]
+                idss.append(ids)
+            if not idss:
+                continue
+            u = np.unique(np.concatenate(idss))
+            out_q.append(np.full(u.size, qid, dtype=np.int32))
+            out_d.append(u)
+        if not out_q:
+            return pd.DataFrame({"query_id": pd.Series(dtype="int32"),
+                                 "doc_id": pd.Series(dtype="int64")})
+        return pd.DataFrame({
+            "query_id": np.concatenate(out_q),
+            "doc_id": np.concatenate(out_d).astype(np.int64),
+        })
+
+    postings = _pruned_postings(spark, paths, stats.n_buckets, terms)
+    matches = (postings.groupBy("range_id")
+               .applyInPandas(lambda pdf: match_kernel(pdf),
+                              schema="query_id int, doc_id long"))
+    facets = (matches
+              .join(spark.read.parquet(paths.docs)
+                    .select("doc_id", F.col(facet_col).cast("string")
+                            .alias("facet_value")),
+                    "doc_id")
+              .groupBy("query_id", "facet_value")
+              .agg(F.count("*").alias("doc_count")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("doc_count").desc(), F.col("facet_value").asc())
+    return (facets.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= n)
+            .select("query_id", "facet_value", "doc_count", "rank"))
+
+
+# ------------------------------------------------------------- highlighting
+
+def highlight_snippets(spark: SparkSession, index_dir: str,
+                       queries: list[tuple[int, str]], k: int = 10,
+                       width: int = 30) -> DataFrame:
+    """Search top-k + per-hit snippet (the ``highlight`` block of the
+    reference's search responses): the snippet is the ``2·width``-char
+    window starting ``width`` chars before the FIRST occurrence (1-based,
+    case-insensitive) of ANY query term in the doc text; docs whose text
+    contains no query term verbatim (tokenization can match where raw
+    ``instr`` does not) get an empty snippet.
+
+    Computed relationally — explode (query_id, term) against the top-k
+    hits, ``instr`` per pair, min positive position per hit — so the
+    DuckDB oracle states the same plan in SQL and the bytes match.
+
+    Returns DataFrame(query_id, rank, doc_id, score, snippet).
+    """
+    from .query import search
+
+    res = search(spark, index_dir, queries, k=k)
+    qt_rows = [(int(qid), t) for qid, text in queries
+               for t in sorted(set(tokenize_text(text)))]
+    if not qt_rows:
+        return res.withColumn("snippet", F.lit(""))
+    qt = spark.createDataFrame(qt_rows, "query_id int, term string")
+    docs = spark.read.parquet(IndexPaths(index_dir).docs) \
+        .select("doc_id", "text")
+    pos = (res.join(F.broadcast(qt), "query_id")
+           .join(docs, "doc_id")
+           .withColumn("p", F.expr("instr(lower(text), term)"))
+           .groupBy("query_id", "rank", "doc_id", "score")
+           .agg(F.min(F.when(F.col("p") > 0, F.col("p"))).alias("pos"),
+                F.first("text").alias("text")))
+    return (pos.withColumn(
+        "snippet",
+        F.when(F.col("pos").isNotNull(),
+               F.expr(f"substring(text, greatest(pos - {width}, 1), "
+                      f"{2 * width})"))
+        .otherwise(F.lit("")))
+        .select("query_id", "rank", "doc_id", "score", "snippet"))

@@ -95,7 +95,7 @@ def load_stats(spark: SparkSession, index_dir: str) -> IndexStats:
 
 
 def _score_kernel(qinfo: dict, k: int, stats: IndexStats, prune: bool,
-                  filtered: bool = False):
+                  filtered: bool = False, bool_spec: dict | None = None):
     """Per-doc-range scorer. qinfo: {query_id: {term: weight}} where
     weight = idf · (occurrences of the term in the query) — BM25 accumulates
     per query-term occurrence (Lucene BooleanQuery / BruteForceBM25.search
@@ -106,6 +106,17 @@ def _score_kernel(qinfo: dict, k: int, stats: IndexStats, prune: bool,
     pass the metadata filter in this range (the Lucene bool/filter context:
     scores are corpus-global, the filter only restricts the candidate set —
     opensearch_loader.py:873-884 semantics).
+
+    ``bool_spec``: {query_id: (must_terms, must_not_terms)} — Lucene
+    BooleanQuery clause constraints (the reference's bool query builder,
+    opensearch_loader.py:430-441). A doc qualifies only if it contains
+    EVERY must term and NO must_not term; constraints are range-local
+    because each doc lives in exactly one range. must terms also score
+    (they are in qinfo); must_not terms only exclude. Callers must pass
+    ``prune=False`` with a non-empty bool_spec: block-max thresholds are
+    computed over unconstrained candidates, and clause filtering can push
+    the true k-th score below that threshold (same soundness argument as
+    the metadata-filter path).
     """
     k1, b, avgdl = stats.k1, stats.b, stats.avgdl
 
@@ -150,6 +161,11 @@ def _score_kernel(qinfo: dict, k: int, stats: IndexStats, prune: bool,
             hits = [(t, w, rec) for t, w, rec in hits if decoded[t][0].size]
             if not hits:
                 continue
+            spec = bool_spec.get(query_id) if bool_spec else None
+            if spec:
+                live = {t for t, _w, _rec in hits}
+                if any(t not in live for t in spec[0]):
+                    continue  # a must term has no postings in this range
             contribs = {}
             for t, w, _rec in hits:
                 c = norm_cache.get(t)
@@ -190,6 +206,16 @@ def _score_kernel(qinfo: dict, k: int, stats: IndexStats, prune: bool,
             starts = np.flatnonzero(chg)
             acc = np.add.reduceat(sc_s, starts)
             uniq = ids_s[starts]
+            if spec:
+                keep = np.ones(uniq.size, dtype=bool)
+                for t in spec[0]:           # must: intersect posting sets
+                    keep &= np.isin(uniq, decoded[t][0])
+                for t in spec[1]:           # must_not: subtract
+                    if t in by_term:
+                        keep &= ~np.isin(uniq, get_decoded(t)[0])
+                uniq, acc = uniq[keep], acc[keep]
+                if uniq.size == 0:
+                    continue
             top = min(k, uniq.size)
             if uniq.size > top:
                 # tie-safe selection: keep every doc scoring >= the k-th

@@ -1,0 +1,151 @@
+"""Boolean / prefix / facet / highlight query surfaces vs brute-force
+oracles (boolquery.py; reference bool-query builder
+opensearch_loader.py:395-441)."""
+
+import numpy as np
+import pytest
+
+from pdf_to_opensearch_spark.analyzer import tokenize_text
+from pdf_to_opensearch_spark.boolquery import (
+    boolean_search,
+    highlight_snippets,
+    prefix_search,
+    search_facets,
+)
+from pdf_to_opensearch_spark.extract import extract_docs
+from pdf_to_opensearch_spark.indexer import build_index
+from pdf_to_opensearch_spark.oracle import BruteForceBM25
+from pdf_to_opensearch_spark.query import search
+from pdf_to_opensearch_spark.synth import expected_text, make_pages, make_pages_pdf
+
+K = 10
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    pdf = make_pages_pdf(n_docs=250, seed=7)
+    texts = list(expected_text(pdf))
+    pdf = pdf.sort_values("url", ignore_index=True)
+    return pdf, BruteForceBM25(np.arange(len(pdf)), texts)
+
+
+@pytest.fixture(scope="module")
+def index_dir(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("boolindex"))
+    pages = make_pages(spark, n_docs=250, seed=7, partitions=4)
+    docs = extract_docs(pages)
+    build_index(spark, docs, root, num_ranges=4, n_buckets=8,
+                id_partitions=4)
+    return root
+
+
+def _bool_allowed(oracle: BruteForceBM25, must: str, mnot: str) -> set[int]:
+    """Doc ids containing EVERY must term and NO must_not term."""
+    ok = set(int(d) for d in oracle.doc_ids)
+    for t in tokenize_text(must):
+        have = {int(oracle.doc_ids[i])
+                for i in oracle.index.get(t, {})}
+        ok &= have
+    for t in tokenize_text(mnot):
+        ok -= {int(oracle.doc_ids[i]) for i in oracle.index.get(t, {})}
+    return ok
+
+
+BOOL_CASES = [
+    {"must": "spark index", "should": "posting merge"},
+    {"must": "document", "should": "query score", "must_not": "stream"},
+    {"should": "token search", "must_not": "spark"},
+    {"must": "nonexistentterm12345", "should": "spark"},  # must absent: 0 hits
+]
+
+
+def test_boolean_vs_brute(spark, index_dir, corpus):
+    _, oracle = corpus
+    queries = [(i + 1, q) for i, q in enumerate(BOOL_CASES)]
+    got = (boolean_search(spark, index_dir, queries, k=K).toPandas()
+           .sort_values(["query_id", "rank"], ignore_index=True))
+    for qid, q in queries:
+        allowed = _bool_allowed(oracle, q.get("must", ""),
+                                q.get("must_not", ""))
+        scoring = (q.get("must", "") + " " + q.get("should", "")).strip()
+        if q.get("must") and any(
+                t not in oracle.index for t in tokenize_text(q["must"])):
+            exp = []
+        else:
+            exp = oracle.search(scoring, k=K, allowed=allowed)
+        sub = got[got.query_id == qid]
+        assert list(sub.doc_id) == [d for d, _ in exp], f"qid {qid}"
+        np.testing.assert_allclose(sub.score.to_numpy(),
+                                   [s for _, s in exp], rtol=1e-9)
+
+
+def test_boolean_constraints_hold(spark, index_dir, corpus):
+    pdf, _ = corpus
+    toks = [set(tokenize_text(t)) for t in pdf["text"]]
+    queries = [(1, BOOL_CASES[1])]
+    got = boolean_search(spark, index_dir, queries, k=50).toPandas()
+    assert len(got) > 0
+    for d in got.doc_id:
+        assert "document" in toks[int(d)]
+        assert "stream" not in toks[int(d)]
+
+
+def test_prefix_equals_expanded_search(spark, index_dir, corpus):
+    """PrefixQuery(scoring_boolean) == match query over the expansion
+    terms listed once each (weight = idf in both)."""
+    _, oracle = corpus
+    pref = "po"  # posting, pool, ... whatever the synth vocab holds
+    exp_terms = sorted(t for t in oracle.index if t.startswith(pref))[:50]
+    assert exp_terms, "fixture vocabulary must contain a 'po' term"
+    got = (prefix_search(spark, index_dir, [(1, pref)], k=K)
+           .toPandas().sort_values("rank", ignore_index=True))
+    want = (search(spark, index_dir, [(1, " ".join(exp_terms))], k=K,
+                   prune=True)
+            .toPandas().sort_values("rank", ignore_index=True))
+    assert list(got.doc_id) == list(want.doc_id)
+    np.testing.assert_allclose(got.score.to_numpy(), want.score.to_numpy(),
+                               rtol=1e-12)
+
+
+def test_prefix_no_match_is_empty(spark, index_dir):
+    got = prefix_search(spark, index_dir, [(1, "zzzzqqq")], k=K).toPandas()
+    assert len(got) == 0
+
+
+def test_facets_vs_brute(spark, index_dir, corpus):
+    pdf, oracle = corpus
+    query = "spark document"
+    got = (search_facets(spark, index_dir, [(1, query)],
+                         facet_col="lang", n=10)
+           .toPandas().sort_values("rank", ignore_index=True))
+    match_idx = set()
+    for t in tokenize_text(query):
+        match_idx |= set(oracle.index.get(t, {}))
+    langs = pdf["lang"].to_numpy()
+    counts: dict[str, int] = {}
+    for i in match_idx:
+        counts[langs[i]] = counts.get(langs[i], 0) + 1
+    exp = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert list(zip(got.facet_value, got.doc_count)) == [
+        (v, c) for v, c in exp]
+
+
+def test_highlight_window(spark, index_dir, corpus):
+    pdf, _ = corpus
+    query = "spark posting"
+    width = 30
+    got = highlight_snippets(spark, index_dir, [(1, query)], k=5,
+                             width=width).toPandas()
+    assert len(got) > 0
+    terms = sorted(set(tokenize_text(query)))
+    texts = pdf["text"].tolist()
+    for row in got.itertuples():
+        text = texts[int(row.doc_id)]
+        poss = [text.lower().find(t) + 1 for t in terms
+                if text.lower().find(t) >= 0]
+        if poss:
+            p = min(poss)
+            start = max(p - width, 1)
+            assert row.snippet == text[start - 1:start - 1 + 2 * width]
+        else:
+            assert row.snippet == ""
