@@ -675,6 +675,355 @@ FROM hl
 """
 
 
+# ------------------------------- fuzzy / wildcard / MLT / multi_match
+
+# FuzzyQuery inputs: misspellings within 2 edits of corpus terms
+# ('custmer'→customer, 'windoe'→window, 'strem'→stream, 'tabel'→table);
+# the dense synthetic vocab also pulls in short-word neighbours, which is
+# exactly what exercises the distance-decay boost.
+FUZZY_QUERIES: dict[int, str] = {1: "custmer", 2: "windoe strem",
+                                 3: "tabel"}
+FUZZY_MAX_EDITS = 2
+FUZZY_MAX_EXP = 50
+
+# WildcardQuery patterns: leading-anchored, suffix, and single-char hole
+WILDCARD_QUERIES: dict[int, str] = {1: "s*", 2: "*er", 3: "w?ndow"}
+WILDCARD_MAX_EXP = 50
+
+# more_like_this seeds: (query_id, seed doc_id) — ids exist at every sf
+MLT_SEEDS: dict[int, int] = {1: 7, 2: 42, 3: 311}
+MLT_MAX_TERMS = 10
+MLT_MIN_TF = 2
+MLT_MIN_DF = 2
+
+# multi_match fields: the root 'current' text plus the derived
+# chunk_text_previous analogue, boosted 1.0 / 0.5
+MULTI_FIELDS: dict[str, float] = {"text": 1.0, "text_prev": 0.5}
+
+
+# Engine over-fetch margin for the rounded re-rank: the oracle ranks by
+# round(score, 4) with doc_id tie-break over ALL docs, so a raw-precision
+# top-k can drop a doc that ties at the k-th ROUNDED score (seen live at
+# sf0.01: two docs both 0.6708 at rank 10). Fetch k+margin raw rows, then
+# re-rank rounded and cut — margin 50 covers any plausible tie run.
+_RERANK_MARGIN = 50
+
+
+def _rerank_rounded(res: DataFrame, k: int) -> DataFrame:
+    """Deterministic oracle-comparable ordering: round scores to 4 dp,
+    re-rank per query by (rounded score desc, doc_id asc), keep top k."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_r").desc(), F.col("doc_id").asc())
+    return (res.withColumn("score_r", F.round("score", 4))
+            .withColumn("rank2", F.row_number().over(w))
+            .filter(F.col("rank2") <= k)
+            .select("query_id", F.col("rank2").cast("int").alias("rank"),
+                    "doc_id", F.col("score_r").alias("score")))
+
+
+def _fuzzy_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FuzzyQuery (the ``fuzziness`` option of a ``match`` clause):
+    Levenshtein ≤2 expansion against the term dictionary, closest terms
+    first, each expansion scored as a TermQuery with weight
+    (1 − d/|token|)·idf — boolquery.fuzzy_search."""
+    _ensure_pkg(spark)
+    from pdf_to_opensearch_spark.boolquery import fuzzy_search
+
+    out = _ensure_engine_index(spark, sf_dir)
+    return _rerank_rounded(fuzzy_search(
+        spark, out, list(FUZZY_QUERIES.items()),
+        k=BM25_K + _RERANK_MARGIN,
+        max_edits=FUZZY_MAX_EDITS, max_expansions=FUZZY_MAX_EXP), BM25_K)
+
+
+def _wildcard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WildcardQuery under the scoring_boolean rewrite: LIKE-pushdown
+    dictionary expansion in term order, idf-weighted disjunction —
+    boolquery.wildcard_search."""
+    _ensure_pkg(spark)
+    from pdf_to_opensearch_spark.boolquery import wildcard_search
+
+    out = _ensure_engine_index(spark, sf_dir)
+    return _rerank_rounded(wildcard_search(
+        spark, out, list(WILDCARD_QUERIES.items()),
+        k=BM25_K + _RERANK_MARGIN,
+        max_expansions=WILDCARD_MAX_EXP), BM25_K)
+
+
+def _mlt_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """more_like_this seeded by an indexed doc: top tf·idf terms of the
+    seed (min_term_freq/min_doc_freq gates) run as a TermQuery
+    disjunction, seed excluded — boolquery.more_like_this."""
+    _ensure_pkg(spark)
+    from pdf_to_opensearch_spark.boolquery import more_like_this
+
+    out = _ensure_engine_index(spark, sf_dir)
+    return _rerank_rounded(more_like_this(
+        spark, out, list(MLT_SEEDS.items()), k=BM25_K + _RERANK_MARGIN,
+        max_query_terms=MLT_MAX_TERMS, min_term_freq=MLT_MIN_TF,
+        min_doc_freq=MLT_MIN_DF), BM25_K)
+
+
+def _multi_match_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """multi_match most_fields over (text, text_prev) with boosts
+    (1.0, 0.5): per-field BM25 (own postings/norms/df per posting space)
+    summed per doc in ONE per-range kernel — multimatch.multi_match."""
+    _ensure_pkg(spark)
+    from pdf_to_opensearch_spark.fields import build_field_index
+    from pdf_to_opensearch_spark.multimatch import multi_match
+
+    out = _ensure_engine_index(spark, sf_dir)
+    if out not in _FIELD_INDEXES:
+        build_field_index(spark, out, "text_prev")
+        _FIELD_INDEXES.add(out)
+    return _rerank_rounded(multi_match(
+        spark, out, list(BM25_QUERIES.items()), dict(MULTI_FIELDS),
+        k=BM25_K + _RERANK_MARGIN, mode="most_fields"), BM25_K)
+
+
+def _multi_match_best_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """multi_match best_fields (DisjunctionMaxQuery, tie_breaker 0): max
+    of the boosted per-field BM25 totals per doc."""
+    _ensure_pkg(spark)
+    from pdf_to_opensearch_spark.fields import build_field_index
+    from pdf_to_opensearch_spark.multimatch import multi_match
+
+    out = _ensure_engine_index(spark, sf_dir)
+    if out not in _FIELD_INDEXES:
+        build_field_index(spark, out, "text_prev")
+        _FIELD_INDEXES.add(out)
+    return _rerank_rounded(multi_match(
+        spark, out, list(BM25_QUERIES.items()), dict(MULTI_FIELDS),
+        k=BM25_K + _RERANK_MARGIN, mode="best_fields"), BM25_K)
+
+
+def _fuzzy_oracle_sql() -> str:
+    """FuzzyQuery oracle: expansion = corpus vocab within FUZZY_MAX_EDITS
+    of each source token, ranked (levenshtein asc, term asc), first
+    FUZZY_MAX_EXP; per-row weight (1 − d/len(src)); score = Σ over
+    (src, term) rows of w·idf·tfnorm — the engine folds the same sum into
+    per-term weights before the kernel."""
+    src_vals = ", ".join(f"({qid}, '{t}')"
+                         for qid, q in sorted(FUZZY_QUERIES.items())
+                         for t in q.split())
+    return f"""
+WITH docs0 AS (SELECT * FROM documents),
+srcs(query_id, src) AS (VALUES {src_vals}),
+toks AS (
+  SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM docs0
+),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, len({_TOKS_SQL})::DOUBLE AS dl FROM docs0),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+vocab AS (SELECT DISTINCT term FROM toks),
+exp AS (
+  SELECT s.query_id, s.src, v.term,
+         levenshtein(v.term, s.src) AS dist,
+         row_number() OVER (PARTITION BY s.query_id, s.src
+                            ORDER BY levenshtein(v.term, s.src),
+                                     v.term) AS rn
+  FROM srcs s JOIN vocab v ON levenshtein(v.term, s.src)
+                              <= {FUZZY_MAX_EDITS}
+),
+q AS (
+  SELECT query_id, term, 1.0 - dist::DOUBLE / length(src) AS w
+  FROM exp WHERE rn <= {FUZZY_MAX_EXP} AND dist < length(src)
+),
+dfreq AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tf
+  WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY 1
+),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         round(sum( q.w * ln(1.0 + (s.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                    * tf.tf * 2.2
+                    / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) ),
+               4) AS score
+  FROM tf
+  JOIN q USING (term) JOIN dfreq USING (term) JOIN dl USING (doc_id)
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+)
+SELECT query_id, rank, doc_id, score FROM (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id)::INTEGER AS rank,
+         doc_id, score
+  FROM scores
+) WHERE rank <= {BM25_K}
+"""
+
+
+def _wildcard_oracle_sql() -> str:
+    """WildcardQuery oracle: LIKE expansion of the translated pattern
+    (*→%, ?→_) over the corpus vocab in term order, first
+    WILDCARD_MAX_EXP, weight-1 idf disjunction (same core as prefix)."""
+    pat_vals = ", ".join(
+        f"({qid}, '{p.lower().replace('*', '%').replace('?', '_')}')"
+        for qid, p in sorted(WILDCARD_QUERIES.items()))
+    return f"""
+WITH docs0 AS (SELECT * FROM documents),
+pats(query_id, pat) AS (VALUES {pat_vals}),
+toks0 AS (
+  SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM docs0
+),
+vocab AS (SELECT DISTINCT term FROM toks0),
+exp AS (
+  SELECT p.query_id, v.term,
+         row_number() OVER (PARTITION BY p.query_id
+                            ORDER BY v.term) AS rn
+  FROM pats p JOIN vocab v ON v.term LIKE p.pat
+),
+q AS (SELECT query_id, term FROM exp WHERE rn <= {WILDCARD_MAX_EXP}),
+toks AS (SELECT * FROM toks0),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, len({_TOKS_SQL})::DOUBLE AS dl FROM docs0),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+dfreq AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tf
+  WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY 1
+),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         round(sum( ln(1.0 + (s.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                    * tf.tf * 2.2
+                    / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) ),
+               4) AS score
+  FROM tf
+  JOIN q USING (term) JOIN dfreq USING (term) JOIN dl USING (doc_id)
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+)
+SELECT query_id, rank, doc_id, score FROM (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id)::INTEGER AS rank,
+         doc_id, score
+  FROM scores
+) WHERE rank <= {BM25_K}
+"""
+
+
+def _mlt_oracle_sql() -> str:
+    """more_like_this oracle: seed tf from the seed doc's tokens, term
+    selection by round(tf·idf, 6) desc / term asc under the
+    min_term_freq / min_doc_freq gates, first MLT_MAX_TERMS; then the
+    weight-1 BM25 core over the selected terms, seed doc excluded."""
+    seed_vals = ", ".join(f"({qid}, {d})"
+                          for qid, d in sorted(MLT_SEEDS.items()))
+    return f"""
+WITH docs0 AS (SELECT * FROM documents),
+seeds(query_id, seed_id) AS (VALUES {seed_vals}),
+toks AS (
+  SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM docs0
+),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, len({_TOKS_SQL})::DOUBLE AS dl FROM docs0),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+dfreq_all AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+sel AS (
+  SELECT s.query_id, tf.term,
+         row_number() OVER (
+             PARTITION BY s.query_id
+             ORDER BY round(tf.tf * ln(1.0 + (st.n - d.df + 0.5)
+                                             / (d.df + 0.5)), 6) DESC,
+                      tf.term) AS rn
+  FROM seeds s
+  JOIN tf ON tf.doc_id = s.seed_id AND tf.tf >= {MLT_MIN_TF}
+  JOIN dfreq_all d ON d.term = tf.term AND d.df >= {MLT_MIN_DF}
+  CROSS JOIN stats st
+),
+q AS (SELECT query_id, term FROM sel WHERE rn <= {MLT_MAX_TERMS}),
+dfreq AS (
+  SELECT term, df FROM dfreq_all
+  WHERE term IN (SELECT DISTINCT term FROM q)
+),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         round(sum( ln(1.0 + (s.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                    * tf.tf * 2.2
+                    / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) ),
+               4) AS score
+  FROM tf
+  JOIN q USING (term) JOIN dfreq USING (term) JOIN dl USING (doc_id)
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+qual AS (
+  SELECT sc.* FROM scores sc
+  JOIN seeds s USING (query_id)
+  WHERE sc.doc_id <> s.seed_id
+)
+SELECT query_id, rank, doc_id, score FROM (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id)::INTEGER AS rank,
+         doc_id, score
+  FROM qual
+) WHERE rank <= {BM25_K}
+"""
+
+
+def _mm_oracle_sql(mode: str) -> str:
+    """multi_match oracle: one UNROUNDED weight-1 BM25 stack per field
+    (current text; derived lag(text) with its own stats), boosted and
+    combined per (query_id, doc_id) by sum (most_fields) or max
+    (best_fields), rounded once at the end."""
+    agg = "max" if mode == "best_fields" else "sum"
+    b_cur, b_prev = MULTI_FIELDS["text"], MULTI_FIELDS["text_prev"]
+
+    def field_stack(tag: str, src: str) -> str:
+        return f"""toks{tag} AS (
+  SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM {src}
+),
+tf{tag} AS (SELECT doc_id, term, count(*)::DOUBLE AS tf
+            FROM toks{tag} GROUP BY 1, 2),
+dl{tag} AS (SELECT doc_id, len({_TOKS_SQL})::DOUBLE AS dl FROM {src}),
+stats{tag} AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl
+               FROM dl{tag}),
+dfreq{tag} AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tf{tag}
+  WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY 1
+),
+scores{tag} AS (
+  SELECT q.query_id, tf{tag}.doc_id,
+         sum( ln(1.0 + (s.n - dfreq{tag}.df + 0.5) / (dfreq{tag}.df + 0.5))
+              * tf{tag}.tf * 2.2
+              / (tf{tag}.tf + 1.2 * (1.0 - 0.75
+                                     + 0.75 * dl{tag}.dl / s.avgdl)) )
+         AS score
+  FROM tf{tag}
+  JOIN q USING (term) JOIN dfreq{tag} USING (term)
+  JOIN dl{tag} USING (doc_id)
+  CROSS JOIN stats{tag} s
+  GROUP BY 1, 2
+)"""
+
+    return f"""
+WITH cur AS (SELECT doc_id, text FROM documents),
+prev AS ({_FIELD_DOCS_SRC}),
+q(query_id, term) AS (VALUES {_qvals(BM25_QUERIES)}),
+{field_stack('1', 'cur')},
+{field_stack('2', 'prev')},
+uni AS (
+  SELECT query_id, doc_id, {b_cur} * score AS score FROM scores1
+  UNION ALL
+  SELECT query_id, doc_id, {b_prev} * score AS score FROM scores2
+),
+comb AS (
+  SELECT query_id, doc_id, round({agg}(score), 4) AS score
+  FROM uni GROUP BY 1, 2
+)
+SELECT query_id, rank, doc_id, score FROM (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id)::INTEGER AS rank,
+         doc_id, score
+  FROM comb
+) WHERE rank <= {BM25_K}
+"""
+
+
 # ------------------------------------------------------- corpus statistics
 
 
@@ -3198,6 +3547,11 @@ def queries():  # noqa: F811 — extend the registry with the spatial/misc ops
         "prefix_topk": _prefix_topk,
         "facet_counts": _facet_counts,
         "highlight_topk": _highlight_topk,
+        "fuzzy_topk": _fuzzy_topk,
+        "wildcard_topk": _wildcard_topk,
+        "mlt_topk": _mlt_topk,
+        "multi_match_topk": _multi_match_topk,
+        "multi_match_best_topk": _multi_match_best_topk,
     })
     return _reorder(out)
 
@@ -3218,5 +3572,10 @@ def oracle_sql():  # noqa: F811
         "prefix_topk": _prefix_oracle_sql(),
         "facet_counts": _facet_oracle_sql(),
         "highlight_topk": _highlight_oracle_sql(),
+        "fuzzy_topk": _fuzzy_oracle_sql(),
+        "wildcard_topk": _wildcard_oracle_sql(),
+        "mlt_topk": _mlt_oracle_sql(),
+        "multi_match_topk": _mm_oracle_sql("most_fields"),
+        "multi_match_best_topk": _mm_oracle_sql("best_fields"),
     })
     return _reorder(out)

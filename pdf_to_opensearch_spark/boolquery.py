@@ -18,6 +18,15 @@ that :mod:`.query` scores:
   block of an OpenSearch search body): first query-term occurrence, fixed
   character window, computed relationally so the DuckDB oracle can
   reproduce it byte-for-byte.
+* :func:`fuzzy_search` — FuzzyQuery: Levenshtein expansion against the
+  term dictionary (closest terms first, per-term boost 1 − d/|token|),
+  scored as a weighted TermQuery disjunction.
+* :func:`wildcard_search` — WildcardQuery (``*``/``?``) under the
+  ``scoring_boolean`` rewrite, expansion in term order.
+* :func:`more_like_this` — the MLT query: select the seed doc's most
+  significant terms by tf·idf (min_term_freq / min_doc_freq /
+  max_query_terms gates, Lucene MoreLikeThis defaults) and run them as a
+  disjunction, excluding the seed doc from the hits.
 
 All four reuse the physical shape of :func:`.query.search`: dictionary
 point-lookup (pruned parquet scan) → bucket/term-pruned postings scan →
@@ -195,6 +204,196 @@ def prefix_search(spark: SparkSession, index_dir: str,
     live = sorted({t for ti in qinfo.values() for t in ti})
     return _run_kernel(spark, paths, stats, qinfo, k, True, live,
                        doc_filter, filter_root)
+
+
+# ------------------------------------------------------------- fuzzy query
+
+def fuzzy_search(spark: SparkSession, index_dir: str,
+                 queries: list[tuple[int, str]], k: int = 10,
+                 max_edits: int = 2, max_expansions: int = 50,
+                 doc_filter: str | None = None,
+                 filter_root: str | None = None) -> DataFrame:
+    """Lucene FuzzyQuery (the ``fuzziness`` parameter of an OpenSearch
+    ``match``, opensearch_loader.py:386-408 builds the clause shape).
+
+    Expansion: dictionary terms within ``max_edits`` Levenshtein distance
+    of each analyzed query token, ranked (distance asc, term asc) and cut
+    at ``max_expansions`` — FuzzyTermsEnum's closest-terms-first
+    enumeration under the ``scoring_boolean`` rewrite. Each expanded term
+    scores as a TermQuery with weight ``boost · idf`` where
+    ``boost = 1 − distance/len(token)`` (FuzzyTermsEnum's distance-decay
+    boost; an exact match keeps boost 1, non-positive boosts drop out).
+    Multi-token queries are a disjunction of per-token expansions; a term
+    reached from several tokens accumulates their weights (BooleanQuery
+    sum-of-clauses).
+
+    The dictionary scan is a distributed filter (Lucene walks an FST
+    automaton; at 100 TB the term dictionary is still millions of rows, a
+    single distributed pass) collecting only the ≤``max_expansions``
+    survivors per token. Block-max pruning stays sound: the prune
+    thresholds are computed from the same fractional weights
+    (query.py:_block_prune_masks scales each upper bound by ``w``).
+    """
+    paths = IndexPaths(index_dir)
+    stats = load_stats(spark, index_dir)
+    q_toks: dict[int, list[str]] = {}
+    for qid, text in queries:
+        toks = tokenize_text(text)
+        if toks:
+            q_toks[int(qid)] = toks
+    if not q_toks:
+        return spark.createDataFrame([], RANKED)
+    dictionary = spark.read.parquet(paths.dictionary)
+    srcs = sorted({t for toks in q_toks.values() for t in toks})
+    exp: dict[str, list[tuple[str, int, int]]] = {}
+    for src in srcs:
+        rows = (dictionary
+                .withColumn("dist", F.levenshtein(F.col("term"), F.lit(src)))
+                .filter(F.col("dist") <= max_edits)
+                .select("term", "df", "dist")
+                .orderBy("dist", "term").limit(max_expansions).collect())
+        exp[src] = [(r["term"], int(r["df"]), int(r["dist"])) for r in rows]
+    qinfo: dict[int, dict] = {}
+    for qid, toks in q_toks.items():
+        ti: dict[str, float] = {}
+        for src in toks:
+            for term, df, dist in exp[src]:
+                boost = 1.0 - dist / len(src)
+                if boost <= 0.0:
+                    continue
+                idf = float(idf_fn(stats.N, np.array([df]))[0])
+                ti[term] = ti.get(term, 0.0) + boost * idf
+        if ti:
+            qinfo[qid] = ti
+    if not qinfo:
+        return spark.createDataFrame([], RANKED)
+    live = sorted({t for ti in qinfo.values() for t in ti})
+    return _run_kernel(spark, paths, stats, qinfo, k, True, live,
+                       doc_filter, filter_root)
+
+
+# ----------------------------------------------------------- wildcard query
+
+_WILDCARD_OK = frozenset("0123456789abcdefghijklmnopqrstuvwxyz*?")
+
+
+def wildcard_search(spark: SparkSession, index_dir: str,
+                    queries: list[tuple[int, str]], k: int = 10,
+                    max_expansions: int = 50,
+                    doc_filter: str | None = None,
+                    filter_root: str | None = None) -> DataFrame:
+    """Lucene WildcardQuery (``*`` = any run, ``?`` = one char) under the
+    ``scoring_boolean`` rewrite: expand the pattern against the term
+    dictionary in term order, cut at ``max_expansions``, score the
+    expansion as a TermQuery disjunction with weight = idf — the same
+    rewrite contract as :func:`prefix_search` (a prefix query IS the
+    ``p*`` wildcard).
+
+    Patterns are lowercased and must stay inside the analyzer's alphabet
+    plus the two metacharacters; anything else matches no indexed term by
+    construction and the query drops out. The dictionary expansion is a
+    LIKE-pushdown scan (``*``→``%``, ``?``→``_`` — the analyzer alphabet
+    contains neither SQL metacharacter, so no escaping is needed).
+    """
+    paths = IndexPaths(index_dir)
+    stats = load_stats(spark, index_dir)
+    pats: dict[int, str] = {}
+    for qid, raw in queries:
+        p = (raw or "").strip().lower()
+        if p and set(p) <= _WILDCARD_OK:
+            pats[int(qid)] = p.replace("*", "%").replace("?", "_")
+    if not pats:
+        return spark.createDataFrame([], RANKED)
+    dictionary = spark.read.parquet(paths.dictionary)
+    qinfo: dict[int, dict] = {}
+    for qid, pat in pats.items():
+        rows = (dictionary.filter(F.col("term").like(pat))
+                .select("term", "df").orderBy("term")
+                .limit(max_expansions).collect())
+        if rows:
+            qinfo[qid] = {r["term"]: float(idf_fn(stats.N,
+                                                  np.array([int(r["df"])]))[0])
+                          for r in rows}
+    if not qinfo:
+        return spark.createDataFrame([], RANKED)
+    live = sorted({t for ti in qinfo.values() for t in ti})
+    return _run_kernel(spark, paths, stats, qinfo, k, True, live,
+                       doc_filter, filter_root)
+
+
+# ------------------------------------------------------------ more_like_this
+
+def more_like_this(spark: SparkSession, index_dir: str,
+                   seeds: list[tuple[int, int]], k: int = 10,
+                   max_query_terms: int = 25, min_term_freq: int = 2,
+                   min_doc_freq: int = 2,
+                   doc_filter: str | None = None,
+                   filter_root: str | None = None) -> DataFrame:
+    """The ``more_like_this`` query seeded by an indexed document.
+
+    Term selection (Lucene MoreLikeThis): from the seed doc's tokens keep
+    terms with ``tf ≥ min_term_freq`` and ``df ≥ min_doc_freq``, rank by
+    ``round(tf·idf, 6)`` desc (term asc tie-break — the rounding pins the
+    ranking to something a SQL oracle reproduces bit-for-bit), take the
+    first ``max_query_terms``. The selected terms then run as an
+    unboosted TermQuery disjunction (MLT's default ``boost_terms=0``) and
+    the seed doc itself is excluded from the hits.
+
+    Physical shape: the seed text is a pruned doc-table point lookup, the
+    candidate dfs a pruned dictionary lookup; scoring is the unchanged
+    block-max kernel asked for ``k+1`` so dropping the seed still leaves
+    ``k`` full rows.
+    """
+    paths = IndexPaths(index_dir)
+    stats = load_stats(spark, index_dir)
+    seed_ids = sorted({int(d) for _qid, d in seeds})
+    if not seed_ids:
+        return spark.createDataFrame([], RANKED)
+    rows = _filter_in(spark.read.parquet(paths.docs)
+                      .select("doc_id", "text"), "doc_id", seed_ids).collect()
+    texts = {int(r["doc_id"]): r["text"] for r in rows}
+    tfs = {d: Counter(tokenize_text(t or "")) for d, t in texts.items()}
+    cand = sorted({t for tf in tfs.values()
+                   for t, c in tf.items() if c >= min_term_freq})
+    if not cand:
+        return spark.createDataFrame([], RANKED)
+    dict_rows = _filter_in(spark.read.parquet(paths.dictionary),
+                           "term", cand).collect()
+    dfs = {r["term"]: int(r["df"]) for r in dict_rows}
+    qinfo: dict[int, dict] = {}
+    seed_of: dict[int, int] = {}
+    for qid, d in seeds:
+        tf = tfs.get(int(d))
+        if not tf:
+            continue
+        scored = []
+        for t, c in tf.items():
+            if c < min_term_freq:
+                continue
+            df = dfs.get(t)
+            if df is None or df < min_doc_freq:
+                continue
+            idf = float(idf_fn(stats.N, np.array([df]))[0])
+            scored.append((round(c * idf, 6), t, idf))
+        if not scored:
+            continue
+        scored.sort(key=lambda x: (-x[0], x[1]))
+        qinfo[int(qid)] = {t: idf for _s, t, idf in scored[:max_query_terms]}
+        seed_of[int(qid)] = int(d)
+    if not qinfo:
+        return spark.createDataFrame([], RANKED)
+    live = sorted({t for ti in qinfo.values() for t in ti})
+    res = _run_kernel(spark, paths, stats, qinfo, k + 1, True, live,
+                      doc_filter, filter_root)
+    seed_df = spark.createDataFrame(sorted(seed_of.items()),
+                                    "query_id int, seed_id long")
+    res = (res.join(F.broadcast(seed_df), "query_id")
+           .filter(F.col("doc_id") != F.col("seed_id")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc())
+    return (res.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "doc_id", "score"))
 
 
 # --------------------------------------------------------- terms aggregation

@@ -149,3 +149,135 @@ def test_highlight_window(spark, index_dir, corpus):
             assert row.snippet == text[start - 1:start - 1 + 2 * width]
         else:
             assert row.snippet == ""
+
+
+# ------------------------- fuzzy / wildcard / more_like_this expansions
+
+def _lev(a: str, b: str) -> int:
+    """Plain DP Levenshtein (unit costs) — the semantics of both
+    F.levenshtein and Lucene's FuzzyTermsEnum distance."""
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def _tfnorm(oracle, term, k1=1.2, b=0.75):
+    postings = oracle.index.get(term, {})
+    out = {}
+    for i, tf in postings.items():
+        dl = float(oracle.dl[i])
+        out[i] = tf * (k1 + 1) / (
+            tf + k1 * (1 - b + b * dl / oracle.avgdl))
+    return out
+
+
+def test_fuzzy_vs_brute(spark, index_dir, corpus):
+    """FuzzyQuery: Levenshtein-≤2 expansion, closest-first cut at
+    max_expansions, per-term weight (1 − d/|src|)·idf accumulated across
+    source tokens, scored as a weighted disjunction."""
+    from pdf_to_opensearch_spark.boolquery import fuzzy_search
+    from pdf_to_opensearch_spark.oracle import idf as idf_fn
+
+    _, oracle = corpus
+    queries = [(1, "sprak"), (2, "documnt postng"), (3, "zqzqzqzq")]
+    max_edits, max_exp, k = 2, 50, K
+    got = fuzzy_search(spark, index_dir, queries, k=k,
+                       max_edits=max_edits,
+                       max_expansions=max_exp).toPandas()
+    vocab = sorted(oracle.index)
+    for qid, qtext in queries:
+        weights: dict[str, float] = {}
+        for src in tokenize_text(qtext):
+            exp = sorted(((_lev(t, src), t) for t in vocab
+                          if _lev(t, src) <= max_edits))[:max_exp]
+            for d, t in exp:
+                boost = 1.0 - d / len(src)
+                if boost <= 0:
+                    continue
+                w = float(idf_fn(oracle.N, np.array([len(oracle.index[t])]))[0])
+                weights[t] = weights.get(t, 0.0) + boost * w
+        scores: dict[int, float] = {}
+        for t, w in weights.items():
+            for i, tn in _tfnorm(oracle, t).items():
+                scores[i] = scores.get(i, 0.0) + w * tn
+        exp_rank = sorted(((int(oracle.doc_ids[i]), s)
+                           for i, s in scores.items() if s > 0),
+                          key=lambda kv: (-kv[1], kv[0]))[:k]
+        sub = got[got.query_id == qid].sort_values("rank")
+        assert list(sub.doc_id) == [d for d, _ in exp_rank], f"qid {qid}"
+        np.testing.assert_allclose(sub.score.to_numpy(),
+                                   [s for _, s in exp_rank], rtol=1e-9)
+
+
+def test_wildcard_prefix_equivalence(spark, index_dir, corpus):
+    """The pattern ``po*`` IS the prefix query ``po`` — identical rewrite,
+    identical scores."""
+    from pdf_to_opensearch_spark.boolquery import wildcard_search
+
+    got = (wildcard_search(spark, index_dir, [(1, "po*")], k=K)
+           .toPandas().sort_values("rank", ignore_index=True))
+    want = (prefix_search(spark, index_dir, [(1, "po")], k=K)
+            .toPandas().sort_values("rank", ignore_index=True))
+    assert list(got.doc_id) == list(want.doc_id)
+    np.testing.assert_allclose(got.score.to_numpy(), want.score.to_numpy(),
+                               rtol=1e-12)
+
+
+def test_wildcard_single_char_hole(spark, index_dir, corpus):
+    """``?`` matches exactly one character; expansion == regex over the
+    vocabulary, scored as the unweighted expanded match query."""
+    import re
+
+    from pdf_to_opensearch_spark.boolquery import wildcard_search
+
+    _, oracle = corpus
+    pat = "s?ark"
+    rx = re.compile("^s.ark$")
+    exp_terms = sorted(t for t in oracle.index if rx.match(t))[:50]
+    assert exp_terms, "vocab must hold an s?ark term (spark)"
+    got = (wildcard_search(spark, index_dir, [(1, pat)], k=K)
+           .toPandas().sort_values("rank", ignore_index=True))
+    want = (search(spark, index_dir, [(1, " ".join(exp_terms))], k=K,
+                   prune=True)
+            .toPandas().sort_values("rank", ignore_index=True))
+    assert list(got.doc_id) == list(want.doc_id)
+    np.testing.assert_allclose(got.score.to_numpy(), want.score.to_numpy(),
+                               rtol=1e-12)
+
+
+def test_mlt_selection_and_seed_exclusion(spark, index_dir, corpus):
+    """more_like_this == match query over the top tf·idf seed terms
+    (min_tf/min_df gates), with the seed doc dropped from the hits."""
+    from pdf_to_opensearch_spark.boolquery import more_like_this
+    from pdf_to_opensearch_spark.oracle import idf as idf_fn
+
+    pdf, oracle = corpus
+    seed, max_terms, min_tf, min_df = 5, 10, 2, 2
+    tf = {}
+    for t in tokenize_text(pdf["text"].iloc[seed]):
+        tf[t] = tf.get(t, 0) + 1
+    scored = []
+    for t, c in tf.items():
+        df = len(oracle.index.get(t, {}))
+        if c < min_tf or df < min_df:
+            continue
+        w = float(idf_fn(oracle.N, np.array([df]))[0])
+        scored.append((round(c * w, 6), t))
+    scored.sort(key=lambda x: (-x[0], x[1]))
+    sel = [t for _s, t in scored[:max_terms]]
+    assert sel, "seed doc must yield MLT terms"
+    got = (more_like_this(spark, index_dir, [(1, seed)], k=K,
+                          max_query_terms=max_terms, min_term_freq=min_tf,
+                          min_doc_freq=min_df)
+           .toPandas().sort_values("rank", ignore_index=True))
+    assert seed not in set(got.doc_id)
+    want = [(d, s) for d, s in oracle.search(" ".join(sel), k=K + 1)
+            if d != seed][:K]
+    assert list(got.doc_id) == [d for d, _ in want]
+    np.testing.assert_allclose(got.score.to_numpy(),
+                               [s for _, s in want], rtol=1e-9)
