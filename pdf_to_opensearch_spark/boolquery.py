@@ -245,14 +245,21 @@ def fuzzy_search(spark: SparkSession, index_dir: str,
         return spark.createDataFrame([], RANKED)
     dictionary = spark.read.parquet(paths.dictionary)
     srcs = sorted({t for toks in q_toks.values() for t in toks})
-    exp: dict[str, list[tuple[str, int, int]]] = {}
-    for src in srcs:
-        rows = (dictionary
-                .withColumn("dist", F.levenshtein(F.col("term"), F.lit(src)))
-                .filter(F.col("dist") <= max_edits)
-                .select("term", "df", "dist")
-                .orderBy("dist", "term").limit(max_expansions).collect())
-        exp[src] = [(r["term"], int(r["df"]), int(r["dist"])) for r in rows]
+    # ONE distributed dictionary pass for every source token: broadcast
+    # the (tiny) token list against the scan, per-token closest-first
+    # window cut — a per-token scan loop would read the 100-TB-scale
+    # term dictionary len(srcs) times
+    src_df = spark.createDataFrame([(s,) for s in srcs], "src string")
+    wexp = Window.partitionBy("src").orderBy("dist", "term")
+    rows = (dictionary.join(F.broadcast(src_df))
+            .withColumn("dist", F.levenshtein(F.col("term"), F.col("src")))
+            .filter(F.col("dist") <= max_edits)
+            .withColumn("rn", F.row_number().over(wexp))
+            .filter(F.col("rn") <= max_expansions)
+            .select("src", "term", "df", "dist").collect())
+    exp: dict[str, list[tuple[str, int, int]]] = {s: [] for s in srcs}
+    for r in sorted(rows, key=lambda r: (r["src"], r["dist"], r["term"])):
+        exp[r["src"]].append((r["term"], int(r["df"]), int(r["dist"])))
     qinfo: dict[int, dict] = {}
     for qid, toks in q_toks.items():
         ti: dict[str, float] = {}
@@ -305,15 +312,20 @@ def wildcard_search(spark: SparkSession, index_dir: str,
     if not pats:
         return spark.createDataFrame([], RANKED)
     dictionary = spark.read.parquet(paths.dictionary)
+    # ONE dictionary pass for all patterns (broadcast pattern table,
+    # LIKE with a column-valued pattern, per-query term-order cut)
+    pat_df = spark.createDataFrame(sorted(pats.items()),
+                                   "query_id int, pat string")
+    wexp = Window.partitionBy("query_id").orderBy("term")
+    rows = (dictionary.join(F.broadcast(pat_df))
+            .filter(F.expr("term LIKE pat"))
+            .withColumn("rn", F.row_number().over(wexp))
+            .filter(F.col("rn") <= max_expansions)
+            .select("query_id", "term", "df").collect())
     qinfo: dict[int, dict] = {}
-    for qid, pat in pats.items():
-        rows = (dictionary.filter(F.col("term").like(pat))
-                .select("term", "df").orderBy("term")
-                .limit(max_expansions).collect())
-        if rows:
-            qinfo[qid] = {r["term"]: float(idf_fn(stats.N,
-                                                  np.array([int(r["df"])]))[0])
-                          for r in rows}
+    for r in rows:
+        qinfo.setdefault(int(r["query_id"]), {})[r["term"]] = float(
+            idf_fn(stats.N, np.array([int(r["df"])]))[0])
     if not qinfo:
         return spark.createDataFrame([], RANKED)
     live = sorted({t for ti in qinfo.values() for t in ti})
