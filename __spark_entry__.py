@@ -476,6 +476,45 @@ def _facet_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("rank").cast("int").alias("rank")))
 
 
+HIST_INTERVAL = 50
+
+
+def _histogram_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OpenSearch numeric ``histogram`` aggregation next to a match
+    query: fixed-interval buckets of length(text) over the full ANY-term
+    hit set, key-ordered (min_doc_count=1) — boolquery.search_histogram."""
+    _ensure_pkg(spark)
+    from pdf_to_opensearch_spark.boolquery import search_histogram
+
+    out = _ensure_engine_index(spark, sf_dir)
+    return search_histogram(spark, out, list(BM25_QUERIES.items()),
+                            value_expr="length(text)",
+                            interval=HIST_INTERVAL)
+
+
+def _histogram_oracle_sql() -> str:
+    """histogram-aggregation oracle: distinct ANY-term matches joined to
+    length(text), floor-bucketed at HIST_INTERVAL, counted per bucket."""
+    return f"""
+WITH docs0 AS (SELECT * FROM documents),
+q(query_id, term) AS (VALUES {_qvals(BM25_QUERIES)}),
+toks AS (
+  SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM docs0
+),
+matches AS (
+  SELECT DISTINCT q.query_id, toks.doc_id
+  FROM toks JOIN q USING (term)
+)
+SELECT m.query_id,
+       (floor(length(d.text)::DOUBLE / {HIST_INTERVAL})
+        * {HIST_INTERVAL})::BIGINT AS bucket,
+       count(*)::BIGINT AS doc_count
+FROM matches m JOIN docs0 d USING (doc_id)
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 def _highlight_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 top-k + highlight snippet (the ``highlight`` block of a
     search body): 60-char window around the first occurrence of any
@@ -3552,6 +3591,7 @@ def queries():  # noqa: F811 — extend the registry with the spatial/misc ops
         "mlt_topk": _mlt_topk,
         "multi_match_topk": _multi_match_topk,
         "multi_match_best_topk": _multi_match_best_topk,
+        "histogram_facets": _histogram_facets,
     })
     return _reorder(out)
 
@@ -3577,5 +3617,6 @@ def oracle_sql():  # noqa: F811
         "mlt_topk": _mlt_oracle_sql(),
         "multi_match_topk": _mm_oracle_sql("most_fields"),
         "multi_match_best_topk": _mm_oracle_sql("best_fields"),
+        "histogram_facets": _histogram_oracle_sql(),
     })
     return _reorder(out)

@@ -14,6 +14,8 @@ that :mod:`.query` scores:
   the expansion as a disjunction of TermQuery clauses (weight = idf).
 * :func:`search_facets` — the ``terms`` aggregation run alongside a match
   query: bucket counts over ALL matching docs, not just the top-k page.
+* :func:`search_histogram` — the numeric ``histogram`` aggregation over
+  the same match-query hit set: fixed-interval buckets, key order.
 * :func:`highlight_snippets` — per-hit snippet extraction (the ``highlight``
   block of an OpenSearch search body): first query-term occurrence, fixed
   character window, computed relationally so the DuckDB oracle can
@@ -428,13 +430,37 @@ def search_facets(spark: SparkSession, index_dir: str,
     """
     paths = IndexPaths(index_dir)
     stats = load_stats(spark, index_dir)
+    out_schema = "query_id int, facet_value string, doc_count long, rank int"
+    matches = _match_docs(spark, paths, stats, queries)
+    if matches is None:
+        return spark.createDataFrame([], out_schema)
+    facets = (matches
+              .join(spark.read.parquet(paths.docs)
+                    .select("doc_id", F.col(facet_col).cast("string")
+                            .alias("facet_value")),
+                    "doc_id")
+              .groupBy("query_id", "facet_value")
+              .agg(F.count("*").alias("doc_count")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("doc_count").desc(), F.col("facet_value").asc())
+    return (facets.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= n)
+            .select("query_id", "facet_value", "doc_count", "rank"))
+
+
+def _match_docs(spark: SparkSession, paths: IndexPaths, stats,
+                queries: list[tuple[int, str]]) -> DataFrame | None:
+    """Distinct (query_id, doc_id) hit set for ANY-term matches — the
+    shared aggregation scope of every OpenSearch agg that runs alongside
+    a match query (terms/histogram/...). Pruned postings scan → per-range
+    decode of each needed term ONCE → range-local distinct; the hit set
+    stays distributed. None = no analyzable query terms."""
     q_terms = {int(qid): sorted(set(tokenize_text(text)))
                for qid, text in queries}
     q_terms = {qid: ts for qid, ts in q_terms.items() if ts}
     terms = sorted({t for ts in q_terms.values() for t in ts})
-    out_schema = "query_id int, facet_value string, doc_count long, rank int"
     if not terms:
-        return spark.createDataFrame([], out_schema)
+        return None
 
     def match_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         by_term = {rec["term"]: rec for rec in pdf.to_dict("records")}
@@ -464,21 +490,49 @@ def search_facets(spark: SparkSession, index_dir: str,
         })
 
     postings = _pruned_postings(spark, paths, stats.n_buckets, terms)
-    matches = (postings.groupBy("range_id")
-               .applyInPandas(lambda pdf: match_kernel(pdf),
-                              schema="query_id int, doc_id long"))
-    facets = (matches
-              .join(spark.read.parquet(paths.docs)
-                    .select("doc_id", F.col(facet_col).cast("string")
-                            .alias("facet_value")),
-                    "doc_id")
-              .groupBy("query_id", "facet_value")
-              .agg(F.count("*").alias("doc_count")))
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("doc_count").desc(), F.col("facet_value").asc())
-    return (facets.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= n)
-            .select("query_id", "facet_value", "doc_count", "rank"))
+    return (postings.groupBy("range_id")
+            .applyInPandas(lambda pdf: match_kernel(pdf),
+                           schema="query_id int, doc_id long"))
+
+
+def search_histogram(spark: SparkSession, index_dir: str,
+                     queries: list[tuple[int, str]],
+                     value_expr: str = "length(text)",
+                     interval: int = 500) -> DataFrame:
+    """OpenSearch ``histogram`` aggregation alongside a match query:
+    fixed-``interval`` buckets of a numeric expression over ALL docs
+    matching ANY query term, ordered by bucket key ascending (the
+    histogram agg's key order, unlike ``terms``' count order). Buckets
+    with no hits are omitted (``min_doc_count: 1`` semantics — emitting
+    empty buckets between min and max would materialize a dense range
+    driver-side for no analytical value at corpus scale).
+
+    Same physical shape as :func:`search_facets`: the shared distributed
+    hit set joins the column-pruned docs scan, bucketing is one codegen
+    expression (``floor(v / interval) * interval``), the count is
+    map-side combined.
+
+    Returns DataFrame(query_id, bucket, doc_count).
+    """
+    if interval <= 0:
+        raise ValueError(f"interval must be positive, got {interval}")
+    paths = IndexPaths(index_dir)
+    stats = load_stats(spark, index_dir)
+    out_schema = "query_id int, bucket long, doc_count long"
+    matches = _match_docs(spark, paths, stats, queries)
+    if matches is None:
+        return spark.createDataFrame([], out_schema)
+    vals = (spark.read.parquet(paths.docs)
+            .select("doc_id",
+                    F.expr(value_expr).cast("double").alias("v")))
+    return (matches.join(vals, "doc_id")
+            .filter(F.col("v").isNotNull())
+            .withColumn("bucket",
+                        (F.floor(F.col("v") / interval)
+                         * interval).cast("long"))
+            .groupBy("query_id", "bucket")
+            .agg(F.count("*").alias("doc_count"))
+            .orderBy("query_id", "bucket"))
 
 
 # ------------------------------------------------------------- highlighting

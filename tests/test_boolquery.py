@@ -281,3 +281,32 @@ def test_mlt_selection_and_seed_exclusion(spark, index_dir, corpus):
     assert list(got.doc_id) == [d for d, _ in want]
     np.testing.assert_allclose(got.score.to_numpy(),
                                [s for _, s in want], rtol=1e-9)
+
+
+def test_histogram_vs_brute(spark, index_dir, corpus):
+    """histogram agg: floor-interval buckets of length(text) over the
+    ANY-term hit set, key-ordered, min_doc_count=1."""
+    from pdf_to_opensearch_spark.boolquery import search_histogram
+
+    pdf, oracle = corpus
+    query, interval = "spark document", 40
+    got = search_histogram(spark, index_dir, [(1, query)],
+                           value_expr="length(text)",
+                           interval=interval).toPandas()
+    match_idx = set()
+    for t in tokenize_text(query):
+        match_idx |= set(oracle.index.get(t, {}))
+    counts: dict[int, int] = {}
+    for i in match_idx:
+        b = (len(pdf["text"].iloc[i]) // interval) * interval
+        counts[b] = counts.get(b, 0) + 1
+    exp = sorted(counts.items())
+    assert list(zip(got.bucket, got.doc_count)) == exp
+    assert (got.bucket.is_monotonic_increasing)
+
+
+def test_histogram_bad_interval(spark, index_dir):
+    from pdf_to_opensearch_spark.boolquery import search_histogram
+
+    with pytest.raises(ValueError):
+        search_histogram(spark, index_dir, [(1, "spark")], interval=0)
