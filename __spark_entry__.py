@@ -248,8 +248,46 @@ def _phrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "doc_id", F.round("score", 4).alias("score")))
 
 
+PHRASE_SLOP = 2
+
+
+def _phrase_slop_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """match_phrase with slop (ordered-window contract, documented on
+    query._phrase_kernel): terms in order within a p0+(n-1)+slop window,
+    tf = matching anchors — same BM25 phrase scoring as phrase_topk but
+    with the slop-widened match set; engine over-fetches for the rounded
+    re-rank like every expansion entry."""
+    _ensure_pkg(spark)
+    from pdf_to_opensearch_spark.query import phrase_search
+
+    out = _ensure_engine_index(spark, sf_dir)
+    return _rerank_rounded(phrase_search(
+        spark, out, list(PHRASE_QUERIES.items()),
+        k=BM25_K + _RERANK_MARGIN, slop=PHRASE_SLOP), BM25_K)
+
+
+def _slop_pf_expr(ts: list[str], slop: int) -> str:
+    """DuckDB anchor-count expression for the ordered-window slop
+    contract: count positions i with t[i]=t0 and an in-order assignment
+    of the remaining terms at positions ≤ i + (n-1) + slop (nested
+    list_filter EXISTS chain; out-of-bounds t[j] is NULL → false)."""
+    n = len(ts)
+    expr = None
+    for m in range(n - 1, 0, -1):
+        var = f"p{m}"
+        prev = "i" if m == 1 else f"p{m - 1}"
+        cond = f"t[{var}] = '{ts[m]}'"
+        if expr is not None:
+            cond += f" AND {expr}"
+        expr = (f"len(list_filter(range({prev} + 1, i + {n - 1 + slop} + 1),"
+                f" {var} -> {cond})) > 0")
+    return (f"len(list_filter(range(1, len(t) + 1), "
+            f"i -> t[i] = '{ts[0]}' AND {expr}))")
+
+
 def _phrase_oracle_sql(cand_where: str = "",
-                       docs_src: str | None = None) -> str:
+                       docs_src: str | None = None,
+                       slop: int = 0) -> str:
     """match_phrase oracle; ``cand_where`` restricts candidate docs only —
     phrase idf / avgdl stay corpus-global (filter-context semantics, same
     contract as the ``cand_where`` of :func:`_bm25_oracle_sql`).
@@ -263,12 +301,16 @@ def _phrase_oracle_sql(cand_where: str = "",
     parts = []
     for qid, phrase in sorted(PHRASE_QUERIES.items()):
         ts = phrase.split()
-        cond = " AND ".join(f"t[i+{j}] = '{t}'" for j, t in enumerate(ts))
+        if slop == 0:
+            cond = " AND ".join(f"t[i+{j}] = '{t}'" for j, t in enumerate(ts))
+            pf_expr = (f"len(list_filter(range(1, len(t) - {len(ts) - 2}),"
+                       f" i -> {cond}))")
+        else:
+            pf_expr = _slop_pf_expr(ts, slop)
         terms_arr = ", ".join(f"'{t}'" for t in ts)
         parts.append(f"""
   SELECT {qid} AS query_id, doc_id, len(t)::DOUBLE AS dl,
-         len(list_filter(range(1, len(t) - {len(ts) - 2}),
-                         i -> {cond}))::DOUBLE AS pf,
+         {pf_expr}::DOUBLE AS pf,
          [{terms_arr}] AS qterms
   FROM toks""")
     body = "\n  UNION ALL\n".join(parts)
@@ -3592,6 +3634,7 @@ def queries():  # noqa: F811 — extend the registry with the spatial/misc ops
         "multi_match_topk": _multi_match_topk,
         "multi_match_best_topk": _multi_match_best_topk,
         "histogram_facets": _histogram_facets,
+        "phrase_slop_topk": _phrase_slop_topk,
     })
     return _reorder(out)
 
@@ -3618,5 +3661,6 @@ def oracle_sql():  # noqa: F811
         "multi_match_topk": _mm_oracle_sql("most_fields"),
         "multi_match_best_topk": _mm_oracle_sql("best_fields"),
         "histogram_facets": _histogram_oracle_sql(),
+        "phrase_slop_topk": _phrase_oracle_sql(slop=PHRASE_SLOP),
     })
     return _reorder(out)

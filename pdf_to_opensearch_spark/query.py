@@ -388,11 +388,24 @@ _POS_SHIFT = np.uint64(24)  # doc_id<<24 | position keys: dl < 2^24 tokens,
 
 
 def _phrase_kernel(qinfo: dict, k: int, stats: IndexStats,
-                   filtered: bool = False):
+                   filtered: bool = False, slop: int = 0):
     """Per-doc-range phrase scorer (match_phrase semantics,
     opensearch_loader.py:386-408 / Lucene PhraseQuery):
     tf = exact-phrase frequency, idf = Σ per-term idfs,
     score = idf · tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)).
+
+    ``slop > 0`` is the ``match_phrase`` slop option under an ORDERED
+    WINDOW contract: an anchor position p₀ of the first term matches iff
+    the remaining terms occur IN ORDER at positions
+    p₀ < p₁ < … < pₙ₋₁ ≤ p₀ + (n−1) + slop; tf = count of matching
+    anchors, each match weighing 1 (slop=0 degenerates to the exact
+    contiguous phrase). This is deliberately simpler than Lucene's
+    SloppyPhraseScorer (which admits reordering within an edit budget
+    and weighs matches 1/(distance+1)) — the ordered-window form has a
+    closed relational statement the SQL oracle reproduces exactly, and
+    out-of-order matches at slop ≤ 2 are corner cases of repeated terms.
+    The existence test per anchor is a greedy minimal-next-occurrence
+    chain (greedy succeeds iff any in-order assignment exists).
 
     qinfo: {query_id: {"terms": [t0, t1, ...], "idf": float}}.
 
@@ -431,11 +444,38 @@ def _phrase_kernel(qinfo: dict, k: int, stats: IndexStats,
                 decoded[t] = (doc_ids, tfs, dls, keys)
             # anchor: (doc, pos) pairs of the first term
             d0, t0f, dl0, keys0 = decoded[terms[0]]
-            cand = keys0
-            for i, t in enumerate(terms[1:], start=1):
-                if cand.size == 0:
-                    break
-                cand = cand[np.isin(cand + np.uint64(i), decoded[t][3])]
+            if slop == 0:
+                cand = keys0
+                for i, t in enumerate(terms[1:], start=1):
+                    if cand.size == 0:
+                        break
+                    cand = cand[np.isin(cand + np.uint64(i), decoded[t][3])]
+            else:
+                # greedy chain: for each anchor, repeatedly take the
+                # SMALLEST next-term occurrence after the previous one
+                # (searchsorted over the sorted doc<<S|pos keys — the
+                # codec emits doc_ids and per-doc positions ascending);
+                # anchor survives iff the chain stays in-doc and within
+                # the p0 + (n-1) + slop window
+                pos_mask = (np.uint64(1) << _POS_SHIFT) - np.uint64(1)
+                docs_a = keys0 >> _POS_SHIFT
+                p0 = keys0 & pos_mask
+                limit = p0 + np.uint64(len(terms) - 1 + slop)
+                prev = p0.copy()
+                alive = np.ones(keys0.size, dtype=bool)
+                for t in terms[1:]:
+                    if not alive.any():
+                        break
+                    keys_t = decoded[t][3]
+                    lookup = (docs_a << _POS_SHIFT) | (prev + np.uint64(1))
+                    idx = np.searchsorted(keys_t, lookup, side="left")
+                    ok = idx < keys_t.size
+                    found = keys_t[np.minimum(idx, keys_t.size - 1)]
+                    fdoc = found >> _POS_SHIFT
+                    fpos = found & pos_mask
+                    alive &= ok & (fdoc == docs_a) & (fpos <= limit)
+                    prev = np.where(alive, fpos, prev)
+                cand = keys0[alive]
             if cand.size == 0:
                 continue
             cand_docs = (cand >> _POS_SHIFT).astype(np.int64)
@@ -468,8 +508,12 @@ def _phrase_kernel(qinfo: dict, k: int, stats: IndexStats,
 def phrase_search(spark: SparkSession, index_dir: str,
                   queries: list[tuple[int, str]], k: int = 10,
                   doc_filter: str | None = None,
-                  filter_root: str | None = None) -> DataFrame:
+                  filter_root: str | None = None,
+                  slop: int = 0) -> DataFrame:
     """Exact-phrase top-k (the match_phrase surface of the reference).
+
+    ``slop``: the match_phrase slop option under the ordered-window
+    contract documented on :func:`_phrase_kernel` (0 = exact phrase).
 
     Same physical shape as :func:`search`: dictionary point-lookup →
     bucket/term-pruned postings scan → per-range vectorized kernel →
@@ -510,11 +554,13 @@ def phrase_search(spark: SparkSession, index_dir: str,
         per_range = (postings.groupBy("range_id")
                      .cogroup(allowed.groupBy("range_id"))
                      .applyInPandas(
-                         _phrase_kernel(qinfo, k, stats, filtered=True),
+                         _phrase_kernel(qinfo, k, stats, filtered=True,
+                                        slop=slop),
                          schema=RESULT_SCHEMA))
     else:
         per_range = (postings.groupBy("range_id")
-                     .applyInPandas(_phrase_kernel(qinfo, k, stats),
+                     .applyInPandas(_phrase_kernel(qinfo, k, stats,
+                                                   slop=slop),
                                     schema=RESULT_SCHEMA))
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("doc_id").asc())

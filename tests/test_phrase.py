@@ -120,3 +120,73 @@ def test_searcher_parity_with_module_functions(spark, phrase_setup):
               .toPandas().sort_values(["query_id", "rank"],
                                       ignore_index=True))
         assert ap.equals(bp), f"phrase mismatch (filter={flt})"
+
+
+# ------------------------------------------------ slop (ordered window)
+
+def _slop_tf(toks: list[str], terms: list[str], slop: int) -> int:
+    """Pure-python ordered-window anchor count (the slop contract)."""
+    n = len(terms)
+    count = 0
+    for i, tok in enumerate(toks):
+        if tok != terms[0]:
+            continue
+        prev, ok = i, True
+        for t in terms[1:]:
+            nxt = next((j for j in range(prev + 1, min(i + n + slop,
+                                                       len(toks)))
+                        if toks[j] == t), None)
+            if nxt is None:
+                ok = False
+                break
+            prev = nxt
+        count += ok
+    return count
+
+
+def test_phrase_slop_vs_brute(spark, phrase_setup):
+    """slop ∈ {1, 3}: engine matches the pure-python ordered-window
+    reimplementation doc-for-doc and score-for-score."""
+    from pdf_to_opensearch_spark.oracle import idf as idf_fn
+    from pdf_to_opensearch_spark.query import phrase_search
+
+    root, oracle = phrase_setup
+    cases = [(1, "duplicate row"), (2, "spark posting"),
+             (3, "content duplicate")]
+    for slop in (1, 3):
+        got = (phrase_search(spark, root, cases, k=20, slop=slop)
+               .toPandas().sort_values(["query_id", "rank"],
+                                       ignore_index=True))
+        for qid, phrase in cases:
+            terms = phrase.split()
+            idf_sum = sum(float(idf_fn(oracle.N,
+                                       np.array([len(oracle.index.get(
+                                           t, {}))]))[0])
+                          for t in terms)
+            scores = []
+            for d, toks in enumerate(oracle.doc_tokens):
+                tf = _slop_tf(toks, terms, slop)
+                if tf == 0:
+                    continue
+                dl = float(oracle.dl[d])
+                tn = tf * 2.2 / (tf + 1.2 * (1 - 0.75
+                                             + 0.75 * dl / oracle.avgdl))
+                scores.append((d, idf_sum * tn))
+            want = sorted(scores, key=lambda kv: (-kv[1], kv[0]))[:20]
+            sub = got[got["query_id"] == qid]
+            assert list(sub["doc_id"]) == [d for d, _ in want], \
+                (slop, phrase)
+            np.testing.assert_allclose(sub["score"].to_numpy(),
+                                       [s for _, s in want], atol=1e-6)
+
+
+def test_phrase_slop_widens_match_set(spark, phrase_setup):
+    """A slop window can only ADD matches relative to exact phrase."""
+    from pdf_to_opensearch_spark.query import phrase_search
+
+    root, _ = phrase_setup
+    q = [(1, "duplicate content row")]
+    exact = set(phrase_search(spark, root, q, k=200).toPandas().doc_id)
+    sloppy = set(phrase_search(spark, root, q, k=200, slop=4)
+                 .toPandas().doc_id)
+    assert exact <= sloppy
