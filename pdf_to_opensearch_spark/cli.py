@@ -61,6 +61,48 @@ def main(argv: list[str] | None = None, keep_session: bool = False) -> int:
                     help="phrase-match this analyzed field's posting "
                          "space (built with build-field) instead of the "
                          "root")
+    ph.add_argument("--slop", type=int, default=0,
+                    help="match_phrase slop (ordered-window contract)")
+
+    fz = sub.add_parser("fuzzy", help="FuzzyQuery top-k (Levenshtein "
+                                      "dictionary expansion)")
+    fz.add_argument("--index", required=True)
+    fz.add_argument("-q", "--query", action="append", required=True)
+    fz.add_argument("-k", type=int, default=10)
+    fz.add_argument("--max-edits", type=int, default=2)
+    fz.add_argument("--max-expansions", type=int, default=50)
+
+    wc = sub.add_parser("wildcard", help="WildcardQuery top-k (*/? "
+                                         "patterns, scoring_boolean)")
+    wc.add_argument("--index", required=True)
+    wc.add_argument("-q", "--query", action="append", required=True)
+    wc.add_argument("-k", type=int, default=10)
+    wc.add_argument("--max-expansions", type=int, default=50)
+
+    ml = sub.add_parser("mlt", help="more_like_this top-k seeded by an "
+                                    "indexed doc_id")
+    ml.add_argument("--index", required=True)
+    ml.add_argument("--seed", action="append", type=int, required=True)
+    ml.add_argument("-k", type=int, default=10)
+    ml.add_argument("--max-query-terms", type=int, default=25)
+
+    mm = sub.add_parser("multimatch", help="multi_match over root + "
+                                           "field posting spaces")
+    mm.add_argument("--index", required=True)
+    mm.add_argument("-q", "--query", action="append", required=True)
+    mm.add_argument("--fields", required=True,
+                    help="comma list of field:boost, e.g. "
+                         "text:1.0,text_prev:0.5")
+    mm.add_argument("--mode", default="most_fields",
+                    choices=["most_fields", "best_fields"])
+    mm.add_argument("-k", type=int, default=10)
+
+    hg = sub.add_parser("histogram", help="numeric histogram aggregation "
+                                          "over the match hit set")
+    hg.add_argument("--index", required=True)
+    hg.add_argument("-q", "--query", action="append", required=True)
+    hg.add_argument("--expr", default="length(text)")
+    hg.add_argument("--interval", type=int, default=500)
 
     bf = sub.add_parser("build-field", help="build the posting space for "
                                             "one analyzed field of the "
@@ -158,12 +200,60 @@ def main(argv: list[str] | None = None, keep_session: bool = False) -> int:
 
             qs = list(enumerate(args.query, 1))
             res = search_field(spark, args.index, args.field, qs, k=args.k,
-                               mode="phrase", doc_filter=args.filter)
+                               mode="phrase", doc_filter=args.filter,
+                               slop=args.slop)
             for row in res.collect():
                 print(json.dumps({"query_id": row["query_id"],
                                   "rank": row["rank"],
                                   "doc_id": row["doc_id"],
                                   "score": round(row["score"], 6)}))
+        elif args.cmd in ("fuzzy", "wildcard", "mlt"):
+            from . import boolquery
+
+            if args.cmd == "fuzzy":
+                res = boolquery.fuzzy_search(
+                    spark, args.index, list(enumerate(args.query, 1)),
+                    k=args.k, max_edits=args.max_edits,
+                    max_expansions=args.max_expansions)
+            elif args.cmd == "wildcard":
+                res = boolquery.wildcard_search(
+                    spark, args.index, list(enumerate(args.query, 1)),
+                    k=args.k, max_expansions=args.max_expansions)
+            else:
+                res = boolquery.more_like_this(
+                    spark, args.index, list(enumerate(args.seed, 1)),
+                    k=args.k, max_query_terms=args.max_query_terms)
+            for row in res.collect():
+                print(json.dumps({"query_id": row["query_id"],
+                                  "rank": row["rank"],
+                                  "doc_id": row["doc_id"],
+                                  "score": round(row["score"], 6)}))
+        elif args.cmd == "multimatch":
+            from .multimatch import multi_match
+
+            fields = {}
+            for part in args.fields.split(","):
+                name, _, boost = part.partition(":")
+                fields[name.strip()] = float(boost) if boost else 1.0
+            res = multi_match(spark, args.index,
+                              list(enumerate(args.query, 1)), fields,
+                              k=args.k, mode=args.mode)
+            for row in res.collect():
+                print(json.dumps({"query_id": row["query_id"],
+                                  "rank": row["rank"],
+                                  "doc_id": row["doc_id"],
+                                  "score": round(row["score"], 6)}))
+        elif args.cmd == "histogram":
+            from .boolquery import search_histogram
+
+            res = search_histogram(spark, args.index,
+                                   list(enumerate(args.query, 1)),
+                                   value_expr=args.expr,
+                                   interval=args.interval)
+            for row in res.limit(1000).collect():
+                print(json.dumps({"query_id": row["query_id"],
+                                  "bucket": row["bucket"],
+                                  "doc_count": row["doc_count"]}))
         elif args.cmd == "build-field":
             from .fields import build_field_index
 

@@ -173,7 +173,7 @@ def build_field_index(spark: SparkSession, index_dir: str, field: str,
 def search_field(spark: SparkSession, index_dir: str, field: str,
                  queries: list[tuple[int, str]], k: int = 10,
                  prune: bool = True, mode: str = "match",
-                 doc_filter: str | None = None) -> DataFrame:
+                 doc_filter: str | None = None, slop: int = 0) -> DataFrame:
     """``match`` / ``match_phrase`` on one analyzed field: the unchanged
     BM25 / phrase engine pointed at the field's posting space — the
     reference's schema-typed per-field query surface
@@ -196,5 +196,6 @@ def search_field(spark: SparkSession, index_dir: str, field: str,
                       doc_filter=doc_filter, filter_root=froot)
     if mode == "phrase":
         return phrase_search(spark, root, queries, k=k,
-                             doc_filter=doc_filter, filter_root=froot)
+                             doc_filter=doc_filter, filter_root=froot,
+                             slop=slop)
     raise ValueError(f"mode must be 'match' or 'phrase', got {mode!r}")
