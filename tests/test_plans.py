@@ -146,3 +146,70 @@ def test_ann_lsh_has_no_bucket_rejoin_shuffle(spark):
         plan = _plan(df)
         assert "SortMergeJoin" not in plan, plan
         assert "ShuffledHashJoin" not in plan, plan
+
+
+def test_multi_match_single_shuffle_no_cross_field_join(spark, index_dir):
+    """multi_match unions all fields' term-pruned postings scans and
+    groups them ONCE by range_id into the scoring kernel: the plan must
+    contain exactly one exchange below the kernel (the range group) and
+    no join between per-field match sets; the global top-k window adds
+    its own exchange above. Field postings scans carry pushed term
+    filters like the single-field engine."""
+    from pdf_to_opensearch_spark.fields import build_field_index
+    from pdf_to_opensearch_spark.multimatch import multi_match
+    from pdf_to_opensearch_spark.indexer import IndexPaths
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    docs = (spark.read.parquet(IndexPaths(index_dir).docs))
+    if "text_prev" not in docs.columns:
+        # plan fixture index has no extra field; build one from lag(text)
+        import shutil
+        # rebuild a tiny index that carries the field column
+        from pdf_to_opensearch_spark.extract import extract_docs as ed
+        root = index_dir + "_mm"
+        pages = make_pages(spark, n_docs=80, seed=6, partitions=2)
+        d = ed(pages).withColumn(
+            "text_prev",
+            F.coalesce(F.lag("text").over(Window.orderBy("url")),
+                       F.lit("")))
+        build_index(spark, d, root, num_ranges=3, n_buckets=8,
+                    id_partitions=2)
+        build_field_index(spark, root, "text_prev")
+    else:
+        root = index_dir
+    res = multi_match(spark, root, [(1, "spark index")],
+                      {"text": 1.0, "text_prev": 0.5}, k=5)
+    plan = _plan(res)
+    # no SortMergeJoin/BroadcastHashJoin anywhere: fields combine inside
+    # the kernel, never via a relational join of match sets
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" not in plan
+    # exactly two exchanges: postings->range group + global top-k window
+    # (count tree nodes only — the formatted details section repeats
+    # every node name once more)
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Exchange") == 2, tree
+    assert "PushedFilters" in plan
+
+
+def test_fuzzy_expansion_is_one_scan(spark, index_dir):
+    """The fuzzy dictionary expansion joins the broadcast token list
+    against ONE dictionary scan — len(tokens) scans would read a
+    100-TB-scale term dictionary once per token."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    dictionary = spark.read.parquet(f"{index_dir}/dictionary")
+    src_df = spark.createDataFrame([("spark",), ("posting",)],
+                                   "src string")
+    wexp = Window.partitionBy("src").orderBy("dist", "term")
+    exp = (dictionary.join(F.broadcast(src_df))
+           .withColumn("dist", F.levenshtein(F.col("term"), F.col("src")))
+           .filter(F.col("dist") <= 2)
+           .withColumn("rn", F.row_number().over(wexp))
+           .filter(F.col("rn") <= 50))
+    plan = _plan(exp)
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Scan parquet") == 1, tree
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
