@@ -248,6 +248,65 @@ def _phrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "doc_id", F.round("score", 4).alias("score")))
 
 
+SIG_MIN_DOC_COUNT = 5
+
+
+def _significant_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """significant_terms aggregation (JLH score) next to a match query:
+    terms overrepresented in the ANY-term hit set vs the corpus df —
+    boolquery.significant_terms."""
+    _ensure_pkg(spark)
+    from pdf_to_opensearch_spark.boolquery import significant_terms
+
+    out = _ensure_engine_index(spark, sf_dir)
+    return significant_terms(spark, out, list(BM25_QUERIES.items()),
+                             n=10, min_doc_count=SIG_MIN_DOC_COUNT)
+
+
+def _significant_terms_oracle_sql() -> str:
+    """significant_terms oracle: hit set as in the facet oracle; fg =
+    docs in the hit set containing the term (distinct per doc), bg = the
+    corpus df; JLH = (fg_rate - bg_rate) * (fg_rate / bg_rate), gated on
+    fg >= min_doc_count AND fg_rate > bg_rate, top-10 by (rounded score
+    desc, term asc)."""
+    return f"""
+WITH docs0 AS (SELECT * FROM documents),
+q(query_id, term) AS (VALUES {_qvals(BM25_QUERIES)}),
+toks AS (
+  SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM docs0
+),
+matches AS (
+  SELECT DISTINCT q.query_id, toks.doc_id
+  FROM toks JOIN q USING (term)
+),
+sizes AS (SELECT query_id, count(*)::DOUBLE AS fg_total
+          FROM matches GROUP BY 1),
+stats AS (SELECT count(*)::DOUBLE AS n FROM docs0),
+doc_terms AS (SELECT DISTINCT doc_id, term FROM toks),
+fg AS (
+  SELECT m.query_id, dt.term, count(*)::BIGINT AS fg
+  FROM matches m JOIN doc_terms dt USING (doc_id)
+  GROUP BY 1, 2
+),
+bg AS (SELECT term, count(*)::BIGINT AS df FROM doc_terms GROUP BY 1),
+sig AS (
+  SELECT fg.query_id, fg.term, fg.fg, bg.df,
+         round( (fg.fg / z.fg_total - bg.df / s.n)
+                * ((fg.fg / z.fg_total) / (bg.df / s.n)), 6) AS score
+  FROM fg JOIN bg USING (term)
+  JOIN sizes z USING (query_id) CROSS JOIN stats s
+  WHERE fg.fg >= {SIG_MIN_DOC_COUNT}
+    AND fg.fg / z.fg_total > bg.df / s.n
+)
+SELECT query_id, term, fg, df, score, rank FROM (
+  SELECT query_id, term, fg, df, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, term)::INTEGER AS rank
+  FROM sig
+) WHERE rank <= 10
+"""
+
+
 PHRASE_SLOP = 2
 
 
@@ -3635,6 +3694,7 @@ def queries():  # noqa: F811 — extend the registry with the spatial/misc ops
         "multi_match_best_topk": _multi_match_best_topk,
         "histogram_facets": _histogram_facets,
         "phrase_slop_topk": _phrase_slop_topk,
+        "significant_terms": _significant_terms,
     })
     return _reorder(out)
 
@@ -3662,5 +3722,6 @@ def oracle_sql():  # noqa: F811
         "multi_match_best_topk": _mm_oracle_sql("best_fields"),
         "histogram_facets": _histogram_oracle_sql(),
         "phrase_slop_topk": _phrase_oracle_sql(slop=PHRASE_SLOP),
+        "significant_terms": _significant_terms_oracle_sql(),
     })
     return _reorder(out)

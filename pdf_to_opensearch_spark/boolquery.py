@@ -535,6 +535,73 @@ def search_histogram(spark: SparkSession, index_dir: str,
             .orderBy("query_id", "bucket"))
 
 
+def significant_terms(spark: SparkSession, index_dir: str,
+                      queries: list[tuple[int, str]], n: int = 10,
+                      min_doc_count: int = 3) -> DataFrame:
+    """OpenSearch ``significant_terms`` aggregation: terms statistically
+    overrepresented in the match-query hit set vs the background corpus,
+    scored with the JLH heuristic (the agg's default):
+    ``(fg_rate − bg_rate) · (fg_rate / bg_rate)`` where
+    ``fg_rate = fg/|hits|`` (docs in the hit set containing the term)
+    and ``bg_rate = df/N`` (the dictionary's corpus df). Terms need
+    ``fg ≥ min_doc_count`` and ``fg_rate > bg_rate``; top-``n`` per
+    query by (score desc, term asc), score rounded to 6 dp (identical
+    f64 expression on both engines, so the rounding is stable).
+
+    Physical shape: the shared distributed hit set joins the docs scan
+    (pruned to doc_id + text), hit docs are RE-ANALYZED with the frozen
+    Arrow tokenizer and exploded to distinct (query, doc, term) — the
+    scan cost is the HIT SET's text, never the corpus (OpenSearch pays
+    the same per-shard term-vector walk, bounded by shard_size). The
+    foreground counts then join the dictionary for background df — fg's
+    vocabulary is small, AQE broadcasts it against the big dictionary.
+
+    Returns DataFrame(query_id, term, fg, df, score, rank).
+    """
+    from .analyzer import with_tokens
+
+    paths = IndexPaths(index_dir)
+    stats = load_stats(spark, index_dir)
+    out_schema = ("query_id int, term string, fg long, df long, "
+                  "score double, rank int")
+    matches = _match_docs(spark, paths, stats, queries)
+    if matches is None:
+        return spark.createDataFrame([], out_schema)
+    matches = matches.persist()
+    try:
+        sizes = (matches.groupBy("query_id")
+                 .agg(F.count("*").alias("fg_total")))
+        hit_docs = matches.join(
+            spark.read.parquet(paths.docs).select("doc_id", "text"),
+            "doc_id")
+        fg = (with_tokens(hit_docs)
+              .select("query_id",
+                      F.explode(F.array_distinct("tokens")).alias("term"))
+              .groupBy("query_id", "term")
+              .agg(F.count("*").alias("fg")))
+        bg = spark.read.parquet(paths.dictionary).select("term", "df")
+        fg_rate = F.col("fg") / F.col("fg_total")
+        bg_rate = F.col("df") / F.lit(float(stats.N))
+        sig = (fg.join(bg, "term")
+               .join(F.broadcast(sizes), "query_id")
+               .filter(F.col("fg") >= min_doc_count)
+               .filter(fg_rate > bg_rate)
+               .withColumn("score", F.round(
+                   (fg_rate - bg_rate) * (fg_rate / bg_rate), 6)))
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("score").desc(), F.col("term").asc())
+        res = (sig.withColumn("rank", F.row_number().over(w))
+               .filter(F.col("rank") <= n)
+               .select("query_id", "term", "fg", "df", "score",
+                       F.col("rank").cast("int").alias("rank")))
+        # materialize (tiny: ≤ n rows per query) so the hit-set cache can
+        # be released deterministically before returning
+        res = res.localCheckpoint(eager=True)
+    finally:
+        matches.unpersist()
+    return res
+
+
 # ------------------------------------------------------------- highlighting
 
 def highlight_snippets(spark: SparkSession, index_dir: str,

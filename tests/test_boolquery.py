@@ -310,3 +310,45 @@ def test_histogram_bad_interval(spark, index_dir):
 
     with pytest.raises(ValueError):
         search_histogram(spark, index_dir, [(1, "spark")], interval=0)
+
+
+def test_significant_terms_vs_brute(spark, index_dir, corpus):
+    """JLH-scored significant_terms: engine matches a pure-python
+    reimplementation over the brute index (hit set -> fg counts vs
+    corpus df), term-for-term and score-for-score."""
+    from pdf_to_opensearch_spark.boolquery import significant_terms
+
+    _, oracle = corpus
+    query, n, min_dc = "spark document", 10, 3
+    got = (significant_terms(spark, index_dir, [(1, query)], n=n,
+                             min_doc_count=min_dc)
+           .toPandas().sort_values("rank", ignore_index=True))
+    hits = set()
+    for t in tokenize_text(query):
+        hits |= set(oracle.index.get(t, {}))
+    fg_total = float(len(hits))
+    scores = []
+    for term, postings in oracle.index.items():
+        fg = sum(1 for i in postings if i in hits)
+        df = len(postings)
+        if fg < min_dc:
+            continue
+        fg_rate, bg_rate = fg / fg_total, df / oracle.N
+        if fg_rate <= bg_rate:
+            continue
+        scores.append((round((fg_rate - bg_rate) * (fg_rate / bg_rate), 6),
+                       term, fg, df))
+    scores.sort(key=lambda x: (-x[0], x[1]))
+    want = scores[:n]
+    assert list(got.term) == [t for _s, t, _f, _d in want]
+    assert list(got.fg) == [f for _s, _t, f, _d in want]
+    assert list(got.df) == [d for _s, _t, _f, d in want]
+    np.testing.assert_allclose(got.score.to_numpy(),
+                               [s for s, *_ in want], rtol=1e-12)
+
+
+def test_significant_terms_empty_query(spark, index_dir):
+    from pdf_to_opensearch_spark.boolquery import significant_terms
+
+    got = significant_terms(spark, index_dir, [(1, "...!!")]).toPandas()
+    assert len(got) == 0
