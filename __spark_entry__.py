@@ -114,7 +114,7 @@ def _brute_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bm25_oracle_sql(docs_where: str = "", cand_where: str = "",
-                     docs_src: str | None = None) -> str:
+                     docs_src: str | None = None, page: int = 1) -> str:
     """Brute-force BM25 oracle; ``docs_where`` restricts the corpus (the
     J8 delete-requery twin scores only surviving docs — N/avgdl/df all
     recompute over the filtered corpus, matching delete_from_index).
@@ -159,13 +159,14 @@ scores AS (
   {cand_clause}
   GROUP BY 1, 2
 )
-SELECT query_id, rank, doc_id, score FROM (
+SELECT query_id, (rank - {(page - 1) * BM25_K})::INTEGER AS rank,
+       doc_id, score FROM (
   SELECT query_id,
          row_number() OVER (PARTITION BY query_id
                             ORDER BY score DESC, doc_id)::INTEGER AS rank,
          doc_id, score
   FROM scores
-) WHERE rank <= {BM25_K}
+) WHERE rank > {(page - 1) * BM25_K} AND rank <= {page * BM25_K}
 """
 
 
@@ -246,6 +247,29 @@ def _phrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (res.withColumn("rank2", F.row_number().over(w))
             .select("query_id", F.col("rank2").cast("int").alias("rank"),
                     "doc_id", F.round("score", 4).alias("score")))
+
+
+def _bm25_page2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page 2 of the ranked BM25 list (the search_after surface in the
+    deterministic rounded total order): ranks 11-20 renumbered 1-10.
+    The kernel-level cursor path (query.search(after=...): range-local
+    strictly-after filter, prune off) is pinned by pytest in the raw
+    domain; this entry pins the page CONTENT against the oracle's full
+    ranking."""
+    _ensure_pkg(spark)
+    from pdf_to_opensearch_spark.query import search
+
+    out = _ensure_engine_index(spark, sf_dir)
+    res = search(spark, out, list(BM25_QUERIES.items()),
+                 k=2 * BM25_K + _RERANK_MARGIN, prune=True)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_r").desc(), F.col("doc_id").asc())
+    return (res.withColumn("score_r", F.round("score", 4))
+            .withColumn("rk", F.row_number().over(w))
+            .filter((F.col("rk") > BM25_K) & (F.col("rk") <= 2 * BM25_K))
+            .select("query_id",
+                    (F.col("rk") - BM25_K).cast("int").alias("rank"),
+                    "doc_id", F.col("score_r").alias("score")))
 
 
 SIG_MIN_DOC_COUNT = 5
@@ -3695,6 +3719,7 @@ def queries():  # noqa: F811 — extend the registry with the spatial/misc ops
         "histogram_facets": _histogram_facets,
         "phrase_slop_topk": _phrase_slop_topk,
         "significant_terms": _significant_terms,
+        "bm25_page2": _bm25_page2,
     })
     return _reorder(out)
 
@@ -3723,5 +3748,6 @@ def oracle_sql():  # noqa: F811
         "histogram_facets": _histogram_oracle_sql(),
         "phrase_slop_topk": _phrase_oracle_sql(slop=PHRASE_SLOP),
         "significant_terms": _significant_terms_oracle_sql(),
+        "bm25_page2": _bm25_oracle_sql(page=2),
     })
     return _reorder(out)

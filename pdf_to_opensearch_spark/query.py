@@ -95,7 +95,8 @@ def load_stats(spark: SparkSession, index_dir: str) -> IndexStats:
 
 
 def _score_kernel(qinfo: dict, k: int, stats: IndexStats, prune: bool,
-                  filtered: bool = False, bool_spec: dict | None = None):
+                  filtered: bool = False, bool_spec: dict | None = None,
+                  after_spec: dict | None = None):
     """Per-doc-range scorer. qinfo: {query_id: {term: weight}} where
     weight = idf · (occurrences of the term in the query) — BM25 accumulates
     per query-term occurrence (Lucene BooleanQuery / BruteForceBM25.search
@@ -106,6 +107,16 @@ def _score_kernel(qinfo: dict, k: int, stats: IndexStats, prune: bool,
     pass the metadata filter in this range (the Lucene bool/filter context:
     scores are corpus-global, the filter only restricts the candidate set —
     opensearch_loader.py:873-884 semantics).
+
+    ``after_spec``: {query_id: (score, doc_id)} — the search_after
+    cursor: only docs sorting STRICTLY AFTER the cursor in the
+    (score desc, doc_id asc) total order compete for the page's top-k.
+    The filter runs range-locally before selection, so a deep page
+    never materializes more than k rows per range (the OpenSearch
+    search_after contract, vs the from+size deep-paging trap). Cursor
+    scores must come from the same engine (bit-identical f64); callers
+    pass ``prune=False`` — block-max thresholds assume the
+    unconstrained top-k, and the after-page lives below it.
 
     ``bool_spec``: {query_id: (must_terms, must_not_terms)} — Lucene
     BooleanQuery clause constraints (the reference's bool query builder,
@@ -216,6 +227,13 @@ def _score_kernel(qinfo: dict, k: int, stats: IndexStats, prune: bool,
                 uniq, acc = uniq[keep], acc[keep]
                 if uniq.size == 0:
                     continue
+            aft = after_spec.get(query_id) if after_spec else None
+            if aft is not None:
+                a_s, a_d = aft
+                keep = (acc < a_s) | ((acc == a_s) & (uniq > a_d))
+                uniq, acc = uniq[keep], acc[keep]
+                if uniq.size == 0:
+                    continue
             top = min(k, uniq.size)
             if uniq.size > top:
                 # tie-safe selection: keep every doc scoring >= the k-th
@@ -323,8 +341,17 @@ def _allowed_docs(spark: SparkSession, paths: IndexPaths,
 def search(spark: SparkSession, index_dir: str, queries: list[tuple[int, str]],
            k: int = 10, prune: bool = True,
            doc_filter: str | None = None,
-           filter_root: str | None = None) -> DataFrame:
+           filter_root: str | None = None,
+           after: dict[int, tuple[float, int]] | None = None) -> DataFrame:
     """queries: [(query_id, text)] → DataFrame(query_id, rank, doc_id, score).
+
+    ``after``: {query_id: (score, doc_id)} — search_after cursor
+    pagination: return the top-k among docs sorting STRICTLY AFTER the
+    cursor in (score desc, doc_id asc) order. Cursor values must be the
+    engine's own previous-page last-row values (bit-identical f64).
+    Forces ``prune=False`` (block-max thresholds assume the
+    unconstrained top-k; the after-page lives below it). Queries without
+    a cursor entry page from the top.
 
     ``doc_filter``: optional SQL predicate over the ``docs`` table columns
     (url, lang, ...) — the bool/filter context of the reference's search
@@ -339,6 +366,9 @@ def search(spark: SparkSession, index_dir: str, queries: list[tuple[int, str]],
     against the ROOT index's docs — doc_ids and ranges are shared."""
     paths = IndexPaths(index_dir)
     stats = load_stats(spark, index_dir)
+    if after:
+        prune = False
+        after = {int(q): (float(s), int(d)) for q, (s, d) in after.items()}
 
     q_terms = {qid: tokenize_text(text) for qid, text in queries}
     terms = sorted({t for toks in q_terms.values() for t in toks})
@@ -366,12 +396,14 @@ def search(spark: SparkSession, index_dir: str, queries: list[tuple[int, str]],
         per_range = (postings.groupBy("range_id")
                      .cogroup(allowed.groupBy("range_id"))
                      .applyInPandas(
-                         _score_kernel(qinfo, k, stats, prune, filtered=True),
+                         _score_kernel(qinfo, k, stats, prune, filtered=True,
+                                       after_spec=after),
                          schema=RESULT_SCHEMA))
     else:
         per_range = (postings
                      .groupBy("range_id")
-                     .applyInPandas(_score_kernel(qinfo, k, stats, prune),
+                     .applyInPandas(_score_kernel(qinfo, k, stats, prune,
+                                                  after_spec=after),
                                     schema=RESULT_SCHEMA))
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("doc_id").asc())

@@ -176,3 +176,51 @@ def test_empty_and_punct_queries(spark, index_dir):
     res = search(spark, index_dir, [(1, ""), (2, "!!! ..."), (3, "   ")],
                  k=5)
     assert res.count() == 0
+
+
+def test_search_after_cursor_pagination(spark, index_dir, corpus):
+    """search_after: paging with the previous page's (score, doc_id)
+    cursor reproduces the single deep query exactly — three 10-row pages
+    stitched together == one k=30 query, scores bit-identical."""
+    deep = (search(spark, index_dir, QUERIES, k=30, prune=True)
+            .toPandas().sort_values(["query_id", "rank"],
+                                    ignore_index=True))
+    pages = []
+    cursors: dict[int, tuple[float, int]] = {}
+    live = list(QUERIES)
+    for _page in range(3):
+        got = (search(spark, index_dir, live, k=10,
+                      after=cursors or None)
+               .toPandas().sort_values(["query_id", "rank"],
+                                       ignore_index=True))
+        pages.append(got)
+        cursors = {}
+        for qid, _text in live:
+            sub = got[got.query_id == qid]
+            if len(sub):
+                last = sub.iloc[-1]
+                cursors[int(qid)] = (float(last.score), int(last.doc_id))
+        # a query whose page came back empty (or short) is exhausted —
+        # drop it, or the next unfiltered round restarts it from the top
+        live = [(qid, t) for qid, t in live
+                if int(qid) in cursors
+                and len(got[got.query_id == qid]) == 10]
+        if not live:
+            break
+    import pandas as pd
+
+    stitched = pd.concat(pages, ignore_index=True)
+    for qid in deep.query_id.unique():
+        d = deep[deep.query_id == qid].reset_index(drop=True)
+        s = stitched[stitched.query_id == qid].reset_index(drop=True)
+        assert list(s.doc_id) == list(d.doc_id), qid
+        np.testing.assert_array_equal(s.score.to_numpy(),
+                                      d.score.to_numpy())
+
+
+def test_search_after_exhausted_cursor_is_empty(spark, index_dir):
+    """A cursor below every scoring doc returns an empty page, not an
+    error."""
+    got = search(spark, index_dir, [(1, "spark")], k=10,
+                 after={1: (-1.0, 0)}).toPandas()
+    assert len(got) == 0
