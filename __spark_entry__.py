@@ -272,6 +272,76 @@ def _bm25_page2(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "doc_id", F.col("score_r").alias("score")))
 
 
+EXPLAIN_K = 5
+
+
+def _explain_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explain=true parity: per-term BM25 contribution rows for the
+    rounded top-EXPLAIN_K hits of each query (hits pinned to the same
+    rounded total order as bm25_engine_topk so the oracle and engine
+    explain identical pairs) — query.explain_scores."""
+    _ensure_pkg(spark)
+    from pdf_to_opensearch_spark.query import explain_scores, search
+
+    out = _ensure_engine_index(spark, sf_dir)
+    raw = search(spark, out, list(BM25_QUERIES.items()),
+                 k=EXPLAIN_K + _RERANK_MARGIN, prune=True)
+    hits = _rerank_rounded(raw, EXPLAIN_K).select("query_id", "doc_id")
+    res = explain_scores(spark, out, list(BM25_QUERIES.items()),
+                         hits=hits)
+    return (res.withColumn("contribution", F.round("contribution", 4))
+            .select("query_id", "doc_id", "term",
+                    F.col("tf").cast("long").alias("tf"), "contribution"))
+
+
+def _explain_oracle_sql() -> str:
+    """explain oracle: the bm25 ranking CTE picks the rounded top-K
+    (query, doc) pairs; each pair explodes into its per-term rows with
+    contribution = idf * tfnorm rounded to 4 dp."""
+    qvals = ", ".join(
+        f"({qid}, '{t}')"
+        for qid, t in sorted({(qid, t) for qid, q in BM25_QUERIES.items()
+                              for t in q.split()}))
+    return f"""
+WITH docs0 AS (SELECT * FROM documents),
+toks AS (
+  SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM docs0
+),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, len({_TOKS_SQL})::DOUBLE AS dl FROM docs0),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+q(query_id, term) AS (VALUES {qvals}),
+dfreq AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tf
+  WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY 1
+),
+contrib AS (
+  SELECT q.query_id, tf.doc_id, tf.term, tf.tf,
+         ln(1.0 + (s.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+         * tf.tf * 2.2
+         / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) AS c
+  FROM tf
+  JOIN q USING (term) JOIN dfreq USING (term) JOIN dl USING (doc_id)
+  CROSS JOIN stats s
+),
+scores AS (
+  SELECT query_id, doc_id, round(sum(c), 4) AS score
+  FROM contrib GROUP BY 1, 2
+),
+hits AS (
+  SELECT query_id, doc_id FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, doc_id) AS rank
+    FROM scores
+  ) WHERE rank <= {EXPLAIN_K}
+)
+SELECT c.query_id, c.doc_id, c.term, c.tf::BIGINT AS tf,
+       round(c.c, 4) AS contribution
+FROM contrib c JOIN hits USING (query_id, doc_id)
+"""
+
+
 SIG_MIN_DOC_COUNT = 5
 
 
@@ -3720,6 +3790,7 @@ def queries():  # noqa: F811 — extend the registry with the spatial/misc ops
         "phrase_slop_topk": _phrase_slop_topk,
         "significant_terms": _significant_terms,
         "bm25_page2": _bm25_page2,
+        "explain_topk": _explain_topk,
     })
     return _reorder(out)
 
@@ -3749,5 +3820,6 @@ def oracle_sql():  # noqa: F811
         "phrase_slop_topk": _phrase_oracle_sql(slop=PHRASE_SLOP),
         "significant_terms": _significant_terms_oracle_sql(),
         "bm25_page2": _bm25_oracle_sql(page=2),
+        "explain_topk": _explain_oracle_sql(),
     })
     return _reorder(out)

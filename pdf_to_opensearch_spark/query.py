@@ -602,6 +602,80 @@ def phrase_search(spark: SparkSession, index_dir: str,
             .select("query_id", "rank", "doc_id", "score"))
 
 
+def explain_scores(spark: SparkSession, index_dir: str,
+                   queries: list[tuple[int, str]], k: int = 10,
+                   hits: DataFrame | None = None) -> DataFrame:
+    """The ``explain=true`` surface: per-term BM25 contribution breakdown
+    for each of the query's top-k hits —
+    ``contribution = idf(t) · qcount(t) · tfnorm(tf, dl)`` with
+    Σ contributions over terms == the hit's :func:`search` score (the
+    invariant pytest pins bit-for-bit).
+
+    Physical shape: :func:`search` produces the top-k (query, doc) pairs;
+    only THOSE docs' text is re-analyzed (frozen Arrow tokenizer — tf
+    identical to the postings by construction) via a join-pruned docs
+    scan, then one explode + filter to the query's terms and a codegen
+    formula. Cost is bounded by k·|queries| docs, never the corpus.
+
+    ``hits``: optional (query_id, doc_id) frame naming the exact pairs
+    to explain (the ``/_explain/{id}`` endpoint shape); default is the
+    engine's own top-k.
+
+    Returns DataFrame(query_id, doc_id, term, tf, contribution), ordered
+    (query_id, doc_id, contribution desc, term).
+    """
+    from .analyzer import token_count_udf, with_tokens
+
+    paths = IndexPaths(index_dir)
+    stats = load_stats(spark, index_dir)
+    q_terms = {int(qid): tokenize_text(text) for qid, text in queries}
+    terms = sorted({t for ts in q_terms.values() for t in ts})
+    out_schema = ("query_id int, doc_id long, term string, tf long, "
+                  "contribution double")
+    if not terms:
+        return spark.createDataFrame([], out_schema)
+    dict_rows = _filter_in(spark.read.parquet(paths.dictionary),
+                           "term", terms).collect()
+    dfs = {r["term"]: int(r["df"]) for r in dict_rows}
+    # per-(query, term) weight = idf · occurrence count (search semantics)
+    from collections import Counter
+
+    wrows = []
+    for qid, ts in q_terms.items():
+        for t, c in Counter(ts).items():
+            if t in dfs:
+                idf = float(idf_fn(stats.N, np.array([dfs[t]]))[0])
+                wrows.append((qid, t, idf * c))
+    if not wrows:
+        return spark.createDataFrame([], out_schema)
+    weights = spark.createDataFrame(
+        sorted(wrows), "query_id int, term string, w double")
+
+    if hits is None:
+        hits = search(spark, index_dir, queries, k=k).select("query_id",
+                                                             "doc_id")
+    else:
+        hits = hits.select("query_id", "doc_id")
+    docs = spark.read.parquet(paths.docs).select("doc_id", "text")
+    hit_docs = (hits.join(docs, "doc_id")
+                .withColumn("dl", token_count_udf(F.col("text"))
+                            .cast("double")))
+    toks = (with_tokens(hit_docs)
+            .select("query_id", "doc_id", "dl",
+                    F.explode("tokens").alias("term")))
+    tf = (toks.join(F.broadcast(weights), ["query_id", "term"])
+          .groupBy("query_id", "doc_id", "term")
+          .agg(F.count("*").alias("tf"), F.first("dl").alias("dl"),
+               F.first("w").alias("w")))
+    k1, b, avgdl = stats.k1, stats.b, stats.avgdl
+    contrib = (F.col("w") * F.col("tf") * (k1 + 1)
+               / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / avgdl)))
+    return (tf.withColumn("contribution", contrib)
+            .select("query_id", "doc_id", "term", "tf", "contribution")
+            .orderBy("query_id", "doc_id",
+                     F.col("contribution").desc(), "term"))
+
+
 class Searcher:
     """Reusable query handle: caches stats + (optionally) the dictionary.
 

@@ -224,3 +224,22 @@ def test_search_after_exhausted_cursor_is_empty(spark, index_dir):
     got = search(spark, index_dir, [(1, "spark")], k=10,
                  after={1: (-1.0, 0)}).toPandas()
     assert len(got) == 0
+
+
+def test_explain_contributions_sum_to_score(spark, index_dir):
+    """explain=true parity: Σ per-term contributions == the hit's BM25
+    score (within float-summation-order tolerance), and every explained
+    pair is one of the query's top-k hits."""
+    from pdf_to_opensearch_spark.query import explain_scores
+
+    got = search(spark, index_dir, QUERIES, k=5).toPandas()
+    exp = explain_scores(spark, index_dir, QUERIES, k=5).toPandas()
+    sums = (exp.groupby(["query_id", "doc_id"])["contribution"].sum()
+            .reset_index())
+    merged = got.merge(sums, on=["query_id", "doc_id"], how="left")
+    assert merged.contribution.notna().all()
+    np.testing.assert_allclose(merged.contribution.to_numpy(),
+                               merged.score.to_numpy(), rtol=1e-9)
+    pairs_exp = set(map(tuple, exp[["query_id", "doc_id"]].values))
+    pairs_got = set(map(tuple, got[["query_id", "doc_id"]].values))
+    assert pairs_exp == pairs_got
