@@ -104,6 +104,26 @@ def main(argv: list[str] | None = None, keep_session: bool = False) -> int:
     hg.add_argument("--expr", default="length(text)")
     hg.add_argument("--interval", type=int, default=500)
 
+    fa = sub.add_parser("facets", help="terms aggregation over the match "
+                                       "hit set")
+    fa.add_argument("--index", required=True)
+    fa.add_argument("-q", "--query", action="append", required=True)
+    fa.add_argument("--col", default="lang")
+    fa.add_argument("-n", type=int, default=10)
+
+    sg = sub.add_parser("sigterms", help="significant_terms aggregation "
+                                         "(JLH) over the match hit set")
+    sg.add_argument("--index", required=True)
+    sg.add_argument("-q", "--query", action="append", required=True)
+    sg.add_argument("-n", type=int, default=10)
+    sg.add_argument("--min-doc-count", type=int, default=3)
+
+    ex = sub.add_parser("explain", help="per-term BM25 contribution "
+                                        "breakdown of the top-k hits")
+    ex.add_argument("--index", required=True)
+    ex.add_argument("-q", "--query", action="append", required=True)
+    ex.add_argument("-k", type=int, default=5)
+
     bf = sub.add_parser("build-field", help="build the posting space for "
                                             "one analyzed field of the "
                                             "indexed unit (per-field "
@@ -254,6 +274,41 @@ def main(argv: list[str] | None = None, keep_session: bool = False) -> int:
                 print(json.dumps({"query_id": row["query_id"],
                                   "bucket": row["bucket"],
                                   "doc_count": row["doc_count"]}))
+        elif args.cmd == "facets":
+            from .boolquery import search_facets
+
+            res = search_facets(spark, args.index,
+                                list(enumerate(args.query, 1)),
+                                facet_col=args.col, n=args.n)
+            for row in res.collect():
+                print(json.dumps({"query_id": row["query_id"],
+                                  "facet_value": row["facet_value"],
+                                  "doc_count": row["doc_count"],
+                                  "rank": row["rank"]}))
+        elif args.cmd == "sigterms":
+            from .boolquery import significant_terms
+
+            res = significant_terms(spark, args.index,
+                                    list(enumerate(args.query, 1)),
+                                    n=args.n,
+                                    min_doc_count=args.min_doc_count)
+            for row in res.collect():
+                print(json.dumps({"query_id": row["query_id"],
+                                  "term": row["term"], "fg": row["fg"],
+                                  "df": row["df"],
+                                  "score": row["score"],
+                                  "rank": row["rank"]}))
+        elif args.cmd == "explain":
+            from .query import explain_scores
+
+            res = explain_scores(spark, args.index,
+                                 list(enumerate(args.query, 1)), k=args.k)
+            for row in res.collect():
+                print(json.dumps({"query_id": row["query_id"],
+                                  "doc_id": row["doc_id"],
+                                  "term": row["term"], "tf": row["tf"],
+                                  "contribution":
+                                      round(row["contribution"], 6)}))
         elif args.cmd == "build-field":
             from .fields import build_field_index
 
