@@ -114,7 +114,8 @@ def _brute_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bm25_oracle_sql(docs_where: str = "", cand_where: str = "",
-                     docs_src: str | None = None, page: int = 1) -> str:
+                     docs_src: str | None = None, page: int = 1,
+                     msm: dict[int, int] | None = None) -> str:
     """Brute-force BM25 oracle; ``docs_where`` restricts the corpus (the
     J8 delete-requery twin scores only surviving docs — N/avgdl/df all
     recompute over the filtered corpus, matching delete_from_index).
@@ -123,10 +124,20 @@ def _bm25_oracle_sql(docs_where: str = "", cand_where: str = "",
     (opensearch_loader.py:873-884): a filter narrows the result set, it
     does not change the scoring statistics. ``docs_src`` replaces the
     corpus SELECT entirely (the per-field entry scores a DERIVED text
-    column with that field's own N/avgdl/df — Lucene per-field norms)."""
+    column with that field's own N/avgdl/df — Lucene per-field norms).
+    ``msm`` maps query_id → resolved minimum_should_match floor: a doc
+    only scores if it matches ≥ m distinct query terms (resolved by the
+    same :func:`~pdf_to_opensearch_spark.query.resolve_msm` the engine
+    uses, so the two sides can never disagree on rounding)."""
     cand_clause = (
         f"WHERE tf.doc_id IN (SELECT doc_id FROM docs0 WHERE {cand_where})"
         if cand_where else "")
+    msm_cte = msm_join = msm_having = ""
+    if msm:
+        mvals = ", ".join(f"({qid}, {m})" for qid, m in sorted(msm.items()))
+        msm_cte = f"msmv(query_id, m) AS (VALUES {mvals}),"
+        msm_join = "JOIN msmv ON msmv.query_id = q.query_id"
+        msm_having = "HAVING count(DISTINCT tf.term) >= max(msmv.m)"
     qvals = ", ".join(
         f"({qid}, '{t}')"
         for qid, t in sorted({(qid, t) for qid, q in BM25_QUERIES.items()
@@ -143,6 +154,7 @@ tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2),
 dl AS (SELECT doc_id, len({_TOKS_SQL})::DOUBLE AS dl FROM docs0),
 stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
 q(query_id, term) AS (VALUES {qvals}),
+{msm_cte}
 dfreq AS (
   SELECT term, count(*)::DOUBLE AS df FROM tf
   WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY 1
@@ -156,8 +168,10 @@ scores AS (
   FROM tf
   JOIN q USING (term) JOIN dfreq USING (term) JOIN dl USING (doc_id)
   CROSS JOIN stats s
+  {msm_join}
   {cand_clause}
   GROUP BY 1, 2
+  {msm_having}
 )
 SELECT query_id, (rank - {(page - 1) * BM25_K})::INTEGER AS rank,
        doc_id, score FROM (
@@ -527,6 +541,32 @@ def _bm25_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("rank2", F.row_number().over(w))
             .select("query_id", F.col("rank2").cast("int").alias("rank"),
                     "doc_id", F.col("score_r").alias("score")))
+
+
+MSM_SPEC = "75%"  # floors to 2-of-3 / 3-of-4 over BM25_QUERIES
+
+
+def _resolved_msm() -> dict[int, int]:
+    """The engine's own resolution of MSM_SPEC per query — shared with
+    the oracle VALUES table so rounding can never diverge."""
+    from pdf_to_opensearch_spark.query import resolve_msm
+    return {qid: resolve_msm(MSM_SPEC, len(set(q.split())))
+            for qid, q in BM25_QUERIES.items()}
+
+
+def _msm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Match query under ``minimum_should_match`` (the OpenSearch match
+    option, resolved per query by the Lucene positive-percentage floor):
+    a doc competes only if it matches ≥ m distinct query terms. The
+    tally falls out of the kernel's TAAT segment lengths — no extra
+    pass, no extra shuffle (query.py _score_kernel msm_spec)."""
+    _ensure_pkg(spark)
+    from pdf_to_opensearch_spark.query import search
+
+    out = _ensure_engine_index(spark, sf_dir)
+    res = search(spark, out, list(BM25_QUERIES.items()),
+                 k=BM25_K + _RERANK_MARGIN, minimum_should_match=MSM_SPEC)
+    return _rerank_rounded(res, BM25_K)
 
 
 def _phrase_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3791,6 +3831,7 @@ def queries():  # noqa: F811 — extend the registry with the spatial/misc ops
         "significant_terms": _significant_terms,
         "bm25_page2": _bm25_page2,
         "explain_topk": _explain_topk,
+        "msm_topk": _msm_topk,
     })
     return _reorder(out)
 
@@ -3800,6 +3841,7 @@ def oracle_sql():  # noqa: F811
     out.update(_extra_oracles())
     out.update({
         "bm25_filtered_topk": _bm25_oracle_sql(cand_where=FILTER_PRED),
+        "msm_topk": _bm25_oracle_sql(msm=_resolved_msm()),
         "phrase_topk_filtered": _phrase_oracle_sql(cand_where=FILTER_PRED),
         "bm25_field_topk": _bm25_oracle_sql(docs_src=_FIELD_DOCS_SRC),
         "phrase_field_topk": _phrase_oracle_sql(docs_src=_FIELD_DOCS_SRC),

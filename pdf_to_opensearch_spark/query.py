@@ -96,7 +96,8 @@ def load_stats(spark: SparkSession, index_dir: str) -> IndexStats:
 
 def _score_kernel(qinfo: dict, k: int, stats: IndexStats, prune: bool,
                   filtered: bool = False, bool_spec: dict | None = None,
-                  after_spec: dict | None = None):
+                  after_spec: dict | None = None,
+                  msm_spec: dict | None = None):
     """Per-doc-range scorer. qinfo: {query_id: {term: weight}} where
     weight = idf · (occurrences of the term in the query) — BM25 accumulates
     per query-term occurrence (Lucene BooleanQuery / BruteForceBM25.search
@@ -128,6 +129,17 @@ def _score_kernel(qinfo: dict, k: int, stats: IndexStats, prune: bool,
     computed over unconstrained candidates, and clause filtering can push
     the true k-th score below that threshold (same soundness argument as
     the metadata-filter path).
+
+    ``msm_spec``: {query_id: m} — the ``minimum_should_match`` parameter
+    of the reference's match queries (the OpenSearch search body the
+    repo's verify step issues, opensearch_loader.py:873-884): a doc
+    qualifies only if it matches ≥ m DISTINCT query terms. The matched
+    count per doc falls out of the TAAT combine for free (one
+    contribution segment per distinct matched term — reduceat segment
+    lengths), so this is a vectorized mask, not a second pass. Requires
+    ``prune=False`` for the same soundness reason as bool_spec: block-max
+    masks drop low-scoring postings, which would undercount a doc's
+    matched-term tally.
     """
     k1, b, avgdl = stats.k1, stats.b, stats.avgdl
 
@@ -177,6 +189,9 @@ def _score_kernel(qinfo: dict, k: int, stats: IndexStats, prune: bool,
                 live = {t for t, _w, _rec in hits}
                 if any(t not in live for t in spec[0]):
                     continue  # a must term has no postings in this range
+            m_req = msm_spec.get(query_id) if msm_spec else None
+            if m_req is not None and len(hits) < m_req:
+                continue  # fewer live terms than the floor: nothing matches
             contribs = {}
             for t, w, _rec in hits:
                 c = norm_cache.get(t)
@@ -217,6 +232,13 @@ def _score_kernel(qinfo: dict, k: int, stats: IndexStats, prune: bool,
             starts = np.flatnonzero(chg)
             acc = np.add.reduceat(sc_s, starts)
             uniq = ids_s[starts]
+            if m_req is not None and m_req > 1:
+                # contribution segments per doc = distinct matched terms
+                seglen = np.diff(np.append(starts, ids_s.size))
+                keep = seglen >= m_req
+                uniq, acc = uniq[keep], acc[keep]
+                if uniq.size == 0:
+                    continue
             if spec:
                 keep = np.ones(uniq.size, dtype=bool)
                 for t in spec[0]:           # must: intersect posting sets
@@ -338,11 +360,23 @@ def _allowed_docs(spark: SparkSession, paths: IndexPaths,
                     .alias("range_id")))
 
 
+def resolve_msm(spec: int | str, n_terms: int) -> int:
+    """Resolve a ``minimum_should_match`` spec against a query's distinct
+    analyzed-term count: an int is taken as-is (clamped to ≥1), a
+    percentage string like ``"75%"`` floors (Lucene's rounding for
+    positive percentages) over the distinct-term clause count."""
+    if isinstance(spec, str):
+        pct = float(spec.rstrip("%"))
+        return max(1, int(n_terms * pct / 100.0))
+    return max(1, int(spec))
+
+
 def search(spark: SparkSession, index_dir: str, queries: list[tuple[int, str]],
            k: int = 10, prune: bool = True,
            doc_filter: str | None = None,
            filter_root: str | None = None,
-           after: dict[int, tuple[float, int]] | None = None) -> DataFrame:
+           after: dict[int, tuple[float, int]] | None = None,
+           minimum_should_match: int | str | None = None) -> DataFrame:
     """queries: [(query_id, text)] → DataFrame(query_id, rank, doc_id, score).
 
     ``after``: {query_id: (score, doc_id)} — search_after cursor
@@ -363,7 +397,12 @@ def search(spark: SparkSession, index_dir: str, queries: list[tuple[int, str]],
     ``filter_root``: index root whose DOCS table resolves ``doc_filter``
     (default ``index_dir``). Field posting spaces project their docs down
     to (doc_id, text, range_id, dl), so metadata predicates must resolve
-    against the ROOT index's docs — doc_ids and ranges are shared."""
+    against the ROOT index's docs — doc_ids and ranges are shared.
+
+    ``minimum_should_match``: int or ``"N%"`` — a doc must match at least
+    that many DISTINCT query terms (OpenSearch match-query semantics;
+    percentage resolves per query by Lucene's positive-percentage floor).
+    Forces ``prune=False`` when the resolved floor exceeds 1."""
     paths = IndexPaths(index_dir)
     stats = load_stats(spark, index_dir)
     if after:
@@ -371,6 +410,17 @@ def search(spark: SparkSession, index_dir: str, queries: list[tuple[int, str]],
         after = {int(q): (float(s), int(d)) for q, (s, d) in after.items()}
 
     q_terms = {qid: tokenize_text(text) for qid, text in queries}
+    msm_spec = None
+    if minimum_should_match is not None:
+        # clause count = DISTINCT analyzed terms; terms absent from the
+        # dictionary still count as clauses (Lucene builds the TermQuery
+        # regardless — it just never matches), so resolve BEFORE the df
+        # lookup. m > live-term count ⇒ the query legitimately matches
+        # nothing.
+        msm_spec = {qid: resolve_msm(minimum_should_match, len(set(toks)))
+                    for qid, toks in q_terms.items()}
+        if any(m > 1 for m in msm_spec.values()):
+            prune = False  # block-max masks would undercount match tallies
     terms = sorted({t for toks in q_terms.values() for t in toks})
     if not terms:
         return spark.createDataFrame([], "query_id int, rank int, doc_id long, score double")
@@ -397,13 +447,14 @@ def search(spark: SparkSession, index_dir: str, queries: list[tuple[int, str]],
                      .cogroup(allowed.groupBy("range_id"))
                      .applyInPandas(
                          _score_kernel(qinfo, k, stats, prune, filtered=True,
-                                       after_spec=after),
+                                       after_spec=after, msm_spec=msm_spec),
                          schema=RESULT_SCHEMA))
     else:
         per_range = (postings
                      .groupBy("range_id")
                      .applyInPandas(_score_kernel(qinfo, k, stats, prune,
-                                                  after_spec=after),
+                                                  after_spec=after,
+                                                  msm_spec=msm_spec),
                                     schema=RESULT_SCHEMA))
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("doc_id").asc())

@@ -243,3 +243,46 @@ def test_explain_contributions_sum_to_score(spark, index_dir):
     pairs_exp = set(map(tuple, exp[["query_id", "doc_id"]].values))
     pairs_got = set(map(tuple, got[["query_id", "doc_id"]].values))
     assert pairs_exp == pairs_got
+
+
+def test_minimum_should_match_vs_bruteforce(spark, index_dir, corpus):
+    """minimum_should_match rank-identity: the engine's TAAT segment-count
+    mask equals a brute-force 'docs with >= m distinct query terms'
+    candidate restriction (OpenSearch match-query msm semantics; scores
+    are the unchanged corpus-global BM25 sums)."""
+    from pdf_to_opensearch_spark.analyzer import tokenize_text
+    from pdf_to_opensearch_spark.query import resolve_msm
+
+    _, oracle = corpus
+    msm = "67%"  # 3 terms -> 2, 4 terms -> 2, 6 terms -> 4
+    got = search(spark, index_dir, QUERIES, k=K,
+                 minimum_should_match=msm).toPandas()
+    got = got.sort_values(["query_id", "rank"], ignore_index=True)
+    for qid, qtext in QUERIES:
+        terms = set(tokenize_text(qtext))
+        m = resolve_msm(msm, len(terms))
+        tally: dict[int, int] = {}
+        for t in terms:
+            for d in oracle.index.get(t, {}):
+                tally[d] = tally.get(d, 0) + 1
+        allowed = {int(oracle.doc_ids[d]) for d, c in tally.items()
+                   if c >= m}
+        want = oracle.search(qtext, K, allowed=allowed) if allowed else []
+        sub = got[got["query_id"] == qid]
+        assert list(sub["doc_id"]) == [d for d, _ in want], qtext
+        np.testing.assert_allclose(
+            sub["score"].to_numpy(), [s for _, s in want], rtol=0, atol=1e-6)
+
+
+def test_msm_int_and_unmatchable_floor(spark, index_dir):
+    """An integer msm above the live-term count matches nothing; msm=1 is
+    a no-op vs the plain match query."""
+    plain = search(spark, index_dir, [(1, "spark index")], k=K).toPandas()
+    one = search(spark, index_dir, [(1, "spark index")], k=K,
+                 minimum_should_match=1).toPandas()
+    assert list(plain.doc_id) == list(one.doc_id)
+    # 'nonexistentterm12345' never matches -> no doc can reach m=2
+    none = search(spark, index_dir,
+                  [(1, "spark nonexistentterm12345")], k=K,
+                  minimum_should_match=2).toPandas()
+    assert len(none) == 0
