@@ -1010,6 +1010,62 @@ def _fuzzy_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_edits=FUZZY_MAX_EDITS, max_expansions=FUZZY_MAX_EXP), BM25_K)
 
 
+# term suggester: misspellings of corpus vocabulary + one in-dictionary
+# token ('merge') that suggest_mode=missing must skip
+SUGGEST_TEXT = "sprak qery batsh prt windoe merge"
+SUGGEST_SIZE = 5
+SUGGEST_MAX_EDITS = 2
+
+
+def _term_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OpenSearch ``term`` suggester (did-you-mean): per-token dictionary
+    candidates within edit distance 2, Lucene DirectSpellChecker scoring
+    1 − dist/min(len), ranked (score desc, df desc, term asc), size-cut;
+    suggest_mode=missing skips in-dictionary tokens. One broadcast
+    dictionary pass — boolquery.term_suggest."""
+    _ensure_pkg(spark)
+    from pdf_to_opensearch_spark.boolquery import term_suggest
+
+    out = _ensure_engine_index(spark, sf_dir)
+    return term_suggest(spark, out, SUGGEST_TEXT, size=SUGGEST_SIZE,
+                        max_edits=SUGGEST_MAX_EDITS, mode="missing")
+
+
+def _suggest_oracle_sql() -> str:
+    """Term-suggester oracle: vocab+df from the corpus tokens, candidates
+    within SUGGEST_MAX_EDITS of each source token that is NOT itself in
+    the vocab, DirectSpellChecker similarity 1 − d/min(len), ranked
+    (score desc, df desc, term asc), first SUGGEST_SIZE per token."""
+    src_vals = ", ".join(f"('{t}')" for t in
+                         sorted(set(SUGGEST_TEXT.split())))
+    return f"""
+WITH docs0 AS (SELECT * FROM documents),
+srcs(src) AS (VALUES {src_vals}),
+toks AS (
+  SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM docs0
+),
+vocab AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df
+          FROM toks GROUP BY 1),
+missing AS (
+  SELECT src FROM srcs WHERE src NOT IN (SELECT term FROM vocab)
+),
+cand AS (
+  SELECT m.src, v.term, v.df,
+         levenshtein(v.term, m.src) AS dist,
+         round(1.0 - levenshtein(v.term, m.src)::DOUBLE
+               / least(length(m.src), length(v.term)), 4) AS score
+  FROM missing m JOIN vocab v
+    ON levenshtein(v.term, m.src) BETWEEN 1 AND {SUGGEST_MAX_EDITS}
+)
+SELECT src, term AS suggestion, dist::INTEGER AS dist, score, df,
+       rank::INTEGER AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY src
+                               ORDER BY score DESC, df DESC, term) AS rank
+  FROM cand
+) WHERE rank <= {SUGGEST_SIZE}
+"""
+
+
 def _wildcard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WildcardQuery under the scoring_boolean rewrite: LIKE-pushdown
     dictionary expansion in term order, idf-weighted disjunction —
@@ -3832,6 +3888,7 @@ def queries():  # noqa: F811 — extend the registry with the spatial/misc ops
         "bm25_page2": _bm25_page2,
         "explain_topk": _explain_topk,
         "msm_topk": _msm_topk,
+        "term_suggest": _term_suggest,
     })
     return _reorder(out)
 
@@ -3842,6 +3899,7 @@ def oracle_sql():  # noqa: F811
     out.update({
         "bm25_filtered_topk": _bm25_oracle_sql(cand_where=FILTER_PRED),
         "msm_topk": _bm25_oracle_sql(msm=_resolved_msm()),
+        "term_suggest": _suggest_oracle_sql(),
         "phrase_topk_filtered": _phrase_oracle_sql(cand_where=FILTER_PRED),
         "bm25_field_topk": _bm25_oracle_sql(docs_src=_FIELD_DOCS_SRC),
         "phrase_field_topk": _phrase_oracle_sql(docs_src=_FIELD_DOCS_SRC),

@@ -643,3 +643,60 @@ def highlight_snippets(spark: SparkSession, index_dir: str,
                       f"{2 * width})"))
         .otherwise(F.lit("")))
         .select("query_id", "rank", "doc_id", "score", "snippet"))
+
+
+# ------------------------------------------------------------ term suggester
+
+def term_suggest(spark: SparkSession, index_dir: str, text: str,
+                 size: int = 5, max_edits: int = 2,
+                 mode: str = "missing") -> DataFrame:
+    """The OpenSearch ``term`` suggester (did-you-mean) over the index's
+    term dictionary — the suggest block a reference user attaches to the
+    search body the repo issues (opensearch_loader.py:873-884 is the
+    query entry point; suggestions come from the same Lucene term dict).
+
+    Lucene DirectSpellChecker semantics: for each analyzed token, the
+    candidates are dictionary terms within ``max_edits`` Levenshtein
+    distance, scored by LevensteinDistance similarity
+    ``1 − dist / min(len(src), len(term))`` and ranked
+    (score desc, df desc, term asc) — the suggester's default
+    ``sort=score`` order — cut at ``size`` per token.
+
+    ``mode='missing'`` (the suggester default) only suggests for tokens
+    absent from the dictionary; ``'always'`` suggests for every token
+    (the exact term itself is never a candidate — dist ≥ 1).
+
+    Physical shape: ONE distributed dictionary pass for the whole token
+    set (broadcast the tiny token list against the scan, per-token
+    ranked-window cut) — the same single-scan expansion contract as
+    :func:`fuzzy_search`; nothing is collected to the driver.
+    """
+    if mode not in ("missing", "always"):
+        raise ValueError(f"mode must be 'missing' or 'always': {mode!r}")
+    paths = IndexPaths(index_dir)
+    srcs = sorted(set(tokenize_text(text)))
+    out_schema = ("src string, suggestion string, dist int, "
+                  "score double, df bigint, rank int")
+    if not srcs:
+        return spark.createDataFrame([], out_schema)
+    dictionary = spark.read.parquet(paths.dictionary)
+    src_df = spark.createDataFrame([(s,) for s in srcs], "src string")
+    if mode == "missing":
+        # skip tokens the dictionary already knows (suggest only for
+        # misspellings) — a broadcast anti-join, not a collect
+        src_df = src_df.join(dictionary.select(F.col("term").alias("src")),
+                             "src", "left_anti")
+    cand = (dictionary.join(F.broadcast(src_df))
+            .withColumn("dist", F.levenshtein(F.col("term"), F.col("src"),
+                                              max_edits).cast("int"))
+            .filter((F.col("dist") >= 1) & (F.col("dist") <= max_edits))
+            .withColumn("score",
+                        F.round(1.0 - F.col("dist") /
+                                F.least(F.length("src"), F.length("term")),
+                                4)))
+    w = Window.partitionBy("src").orderBy(
+        F.col("score").desc(), F.col("df").desc(), F.col("term").asc())
+    return (cand.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= size)
+            .select("src", F.col("term").alias("suggestion"), "dist",
+                    "score", "df", "rank"))

@@ -124,6 +124,15 @@ def main(argv: list[str] | None = None, keep_session: bool = False) -> int:
     ex.add_argument("-q", "--query", action="append", required=True)
     ex.add_argument("-k", type=int, default=5)
 
+    su = sub.add_parser("suggest", help="term suggester (did-you-mean) "
+                                        "over the term dictionary")
+    su.add_argument("--index", required=True)
+    su.add_argument("-q", "--query", required=True)
+    su.add_argument("--size", type=int, default=5)
+    su.add_argument("--max-edits", type=int, default=2)
+    su.add_argument("--mode", choices=["missing", "always"],
+                    default="missing")
+
     bf = sub.add_parser("build-field", help="build the posting space for "
                                             "one analyzed field of the "
                                             "indexed unit (per-field "
@@ -309,6 +318,18 @@ def main(argv: list[str] | None = None, keep_session: bool = False) -> int:
                                   "term": row["term"], "tf": row["tf"],
                                   "contribution":
                                       round(row["contribution"], 6)}))
+        elif args.cmd == "suggest":
+            from .boolquery import term_suggest
+
+            res = term_suggest(spark, args.index, args.query,
+                               size=args.size, max_edits=args.max_edits,
+                               mode=args.mode)
+            for row in res.collect():
+                print(json.dumps({"src": row["src"],
+                                  "suggestion": row["suggestion"],
+                                  "dist": row["dist"],
+                                  "score": row["score"],
+                                  "df": row["df"], "rank": row["rank"]}))
         elif args.cmd == "build-field":
             from .fields import build_field_index
 

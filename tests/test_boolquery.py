@@ -352,3 +352,56 @@ def test_significant_terms_empty_query(spark, index_dir):
 
     got = significant_terms(spark, index_dir, [(1, "...!!")]).toPandas()
     assert len(got) == 0
+
+
+def _py_lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_term_suggest_vs_brute(spark, index_dir, corpus):
+    """Did-you-mean parity: engine suggestions == brute-force
+    DirectSpellChecker ranking (1 − d/min(len), score desc, df desc,
+    term asc) over the oracle's own vocabulary."""
+    from pdf_to_opensearch_spark.boolquery import term_suggest
+
+    _, oracle = corpus
+    text = "sprak postin zzz merge"
+    size, max_edits = 5, 2
+    got = (term_suggest(spark, index_dir, text, size=size,
+                        max_edits=max_edits).toPandas()
+           .sort_values(["src", "rank"], ignore_index=True))
+    vocab = {t: len(p) for t, p in oracle.index.items()}
+    want_rows = []
+    for src in sorted({"sprak", "postin", "zzz", "merge"}):
+        if src in vocab:
+            continue  # suggest_mode=missing
+        cands = []
+        for term, df in vocab.items():
+            d = _py_lev(term, src)
+            if 1 <= d <= max_edits:
+                score = round(1.0 - d / min(len(src), len(term)), 4)
+                cands.append((-score, -df, term, d, df))
+        cands.sort()
+        for rk, (ns, _nd, term, d, df) in enumerate(cands[:size], 1):
+            want_rows.append((src, term, d, -ns, df, rk))
+    assert [tuple(r) for r in got[["src", "suggestion", "dist", "score",
+                                   "df", "rank"]].itertuples(index=False)] \
+        == want_rows
+
+
+def test_term_suggest_always_mode_excludes_self(spark, index_dir):
+    """mode='always' suggests for in-dictionary tokens too, but the token
+    itself (dist 0) is never a candidate."""
+    from pdf_to_opensearch_spark.boolquery import term_suggest
+
+    got = term_suggest(spark, index_dir, "merge", size=5,
+                       mode="always").toPandas()
+    assert (got["dist"] >= 1).all()
+    assert "merge" not in set(got["suggestion"])
