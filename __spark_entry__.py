@@ -208,11 +208,19 @@ def _ensure_engine_index(spark: SparkSession, sf_dir: str) -> str:
         docs = _docs(spark, sf_dir)
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         w_prev = Window.orderBy(docs.doc_id)
+        # warc_ts: deterministic synthetic crawl timestamp (the
+        # input_hint's (url, warc_ts, ...) shape) — derivable identically
+        # in the DuckDB oracle, so date_histogram is hash-gateable
+        warc_ts = F.expr(
+            "timestamp'2025-01-01 00:00:00'"
+            " + make_interval(0, 0, 0, CAST(doc_id % 90 AS INT),"
+            "                 CAST(doc_id % 24 AS INT), 0, 0)")
         unit = (docs.join(emb, docs.doc_id == emb.vec_id, "left")
                 .select(F.concat(F.lit("doc://"),
                                  F.lpad(docs.doc_id.cast("string"), 10, "0")
                                  ).alias("url"),
-                        "text", "lang", "embedding",
+                        "text", "lang", "source",
+                        warc_ts.alias("warc_ts"), "embedding",
                         F.coalesce(F.lag(docs.text).over(w_prev), F.lit(""))
                         .alias("text_prev")))
         build_index(spark, unit, out, num_ranges=8, n_buckets=8,
@@ -747,6 +755,181 @@ SELECT m.query_id,
 FROM matches m JOIN docs0 d USING (doc_id)
 GROUP BY 1, 2
 ORDER BY 1, 2
+"""
+
+
+# ------------------------------------------------ metric aggregations
+# stats / percentiles / cardinality / date_histogram / top_hits — the
+# remaining OpenSearch aggregation types over the same ANY-term hit set.
+
+def _matches_cte() -> str:
+    """Shared oracle scaffold: distinct (query_id, doc_id) ANY-term
+    matches for BM25_QUERIES — the aggregation scope every agg oracle
+    starts from (mirrors boolquery._match_docs)."""
+    return f"""
+WITH docs0 AS (SELECT * FROM documents),
+q(query_id, term) AS (VALUES {_qvals(BM25_QUERIES)}),
+toks AS (
+  SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM docs0
+),
+matches AS (
+  SELECT DISTINCT q.query_id, toks.doc_id
+  FROM toks JOIN q USING (term)
+)"""
+
+
+def _stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``stats`` aggregation: count/min/max/sum/avg of length(text)
+    over the full match hit set — boolquery.search_stats."""
+    _ensure_pkg(spark)
+    from pdf_to_opensearch_spark.boolquery import search_stats
+
+    out = _ensure_engine_index(spark, sf_dir)
+    return search_stats(spark, out, list(BM25_QUERIES.items()),
+                        value_expr="length(text)")
+
+
+def _stats_agg_oracle_sql() -> str:
+    return f"""{_matches_cte()}
+SELECT m.query_id, count(*)::BIGINT AS doc_count,
+       min(length(d.text))::DOUBLE AS vmin,
+       max(length(d.text))::DOUBLE AS vmax,
+       round(sum(length(d.text))::DOUBLE, 4) AS vsum,
+       round(avg(length(d.text)::DOUBLE), 4) AS vavg
+FROM matches m JOIN docs0 d USING (doc_id)
+GROUP BY 1 ORDER BY 1
+"""
+
+
+PCT_LIST = [25.0, 50.0, 75.0, 95.0]
+
+
+def _percentiles_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``percentiles`` aggregation (exact linear interpolation —
+    Spark percentile ≡ DuckDB quantile_cont) of length(text) over the
+    hit set — boolquery.search_percentiles."""
+    _ensure_pkg(spark)
+    from pdf_to_opensearch_spark.boolquery import search_percentiles
+
+    out = _ensure_engine_index(spark, sf_dir)
+    return search_percentiles(spark, out, list(BM25_QUERIES.items()),
+                              value_expr="length(text)", percents=PCT_LIST)
+
+
+def _percentiles_oracle_sql() -> str:
+    pcts = ", ".join(str(p) for p in PCT_LIST)
+    fracs = ", ".join(str(p / 100.0) for p in PCT_LIST)
+    return f"""{_matches_cte()},
+vals AS (
+  SELECT m.query_id, length(d.text)::DOUBLE AS v
+  FROM matches m JOIN docs0 d USING (doc_id)
+)
+SELECT query_id, percent, round(val, 4) AS value FROM (
+  SELECT query_id,
+         unnest([{pcts}]::DOUBLE[]) AS percent,
+         unnest(quantile_cont(v, [{fracs}])) AS val
+  FROM vals GROUP BY query_id
+) ORDER BY 1, 2
+"""
+
+
+def _cardinality_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``cardinality`` aggregation over the hit set (exact twin;
+    approx=True is the HLL++ scale path, tolerance-tested in pytest) —
+    boolquery.search_cardinality."""
+    _ensure_pkg(spark)
+    from pdf_to_opensearch_spark.boolquery import search_cardinality
+
+    out = _ensure_engine_index(spark, sf_dir)
+    return search_cardinality(spark, out, list(BM25_QUERIES.items()),
+                              col="source")
+
+
+def _cardinality_oracle_sql() -> str:
+    return f"""{_matches_cte()}
+SELECT m.query_id, count(DISTINCT d.source)::BIGINT AS cardinality
+FROM matches m JOIN docs0 d USING (doc_id)
+GROUP BY 1 ORDER BY 1
+"""
+
+
+DATE_HIST_INTERVAL = "week"
+# the oracle twin of the engine unit's synthetic warc_ts (see
+# _ensure_engine_index): 2025-01-01 + (doc_id%90) days + (doc_id%24) h
+_WARC_TS_SQL = ("TIMESTAMP '2025-01-01 00:00:00'"
+                " + ((doc_id % 90)::INT) * INTERVAL 1 DAY"
+                " + ((doc_id % 24)::INT) * INTERVAL 1 HOUR")
+
+
+def _date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``date_histogram`` aggregation (calendar_interval=week, ISO
+    Monday truncation) over the crawl timestamp of the hit set —
+    boolquery.search_date_histogram."""
+    _ensure_pkg(spark)
+    from pdf_to_opensearch_spark.boolquery import search_date_histogram
+
+    out = _ensure_engine_index(spark, sf_dir)
+    return search_date_histogram(spark, out, list(BM25_QUERIES.items()),
+                                 ts_col="warc_ts",
+                                 calendar_interval=DATE_HIST_INTERVAL)
+
+
+def _date_histogram_oracle_sql() -> str:
+    return f"""{_matches_cte()},
+ts AS (SELECT doc_id, {_WARC_TS_SQL} AS warc_ts FROM docs0)
+SELECT m.query_id,
+       date_trunc('{DATE_HIST_INTERVAL}', t.warc_ts) AS bucket_start,
+       count(*)::BIGINT AS doc_count
+FROM matches m JOIN ts t USING (doc_id)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+TOPHITS_PER_BUCKET = 3
+
+
+def _top_hits_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``terms`` + ``top_hits`` sub-aggregation: best 3 BM25 hits inside
+    every lang bucket (full hit set scored through the standard kernel,
+    rounded-then-ranked) — boolquery.search_top_hits."""
+    _ensure_pkg(spark)
+    from pdf_to_opensearch_spark.boolquery import search_top_hits
+
+    out = _ensure_engine_index(spark, sf_dir)
+    return search_top_hits(spark, out, list(BM25_QUERIES.items()),
+                           facet_col="lang",
+                           per_bucket=TOPHITS_PER_BUCKET)
+
+
+def _top_hits_oracle_sql() -> str:
+    """Brute-force BM25 over ALL matching docs (no top-k cut), joined to
+    lang, ranked per (query, bucket) by (rounded score desc, doc_id)."""
+    return f"""{_matches_cte()},
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, len({_TOKS_SQL})::DOUBLE AS dl FROM docs0),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+dfreq AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tf
+  WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY 1
+),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         round(sum( ln(1.0 + (s.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                    * tf.tf * 2.2
+                    / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) ),
+               4) AS score
+  FROM tf
+  JOIN q USING (term) JOIN dfreq USING (term) JOIN dl USING (doc_id)
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+)
+SELECT query_id, facet_value, rank, doc_id, score FROM (
+  SELECT sc.query_id, d.lang::VARCHAR AS facet_value, sc.doc_id, sc.score,
+         row_number() OVER (PARTITION BY sc.query_id, d.lang
+                            ORDER BY sc.score DESC, sc.doc_id)::INTEGER
+             AS rank
+  FROM scores sc JOIN docs0 d USING (doc_id)
+) WHERE rank <= {TOPHITS_PER_BUCKET}
 """
 
 
@@ -3889,6 +4072,11 @@ def queries():  # noqa: F811 — extend the registry with the spatial/misc ops
         "explain_topk": _explain_topk,
         "msm_topk": _msm_topk,
         "term_suggest": _term_suggest,
+        "stats_agg": _stats_agg,
+        "percentiles_agg": _percentiles_agg,
+        "cardinality_agg": _cardinality_agg,
+        "date_histogram": _date_histogram,
+        "top_hits_agg": _top_hits_agg,
     })
     return _reorder(out)
 
@@ -3900,6 +4088,11 @@ def oracle_sql():  # noqa: F811
         "bm25_filtered_topk": _bm25_oracle_sql(cand_where=FILTER_PRED),
         "msm_topk": _bm25_oracle_sql(msm=_resolved_msm()),
         "term_suggest": _suggest_oracle_sql(),
+        "stats_agg": _stats_agg_oracle_sql(),
+        "percentiles_agg": _percentiles_oracle_sql(),
+        "cardinality_agg": _cardinality_oracle_sql(),
+        "date_histogram": _date_histogram_oracle_sql(),
+        "top_hits_agg": _top_hits_oracle_sql(),
         "phrase_topk_filtered": _phrase_oracle_sql(cand_where=FILTER_PRED),
         "bm25_field_topk": _bm25_oracle_sql(docs_src=_FIELD_DOCS_SRC),
         "phrase_field_topk": _phrase_oracle_sql(docs_src=_FIELD_DOCS_SRC),

@@ -700,3 +700,177 @@ def term_suggest(spark: SparkSession, index_dir: str, text: str,
             .filter(F.col("rank") <= size)
             .select("src", F.col("term").alias("suggestion"), "dist",
                     "score", "df", "rank"))
+
+
+# ------------------------------------------------- metric aggregations
+# The remaining OpenSearch aggregation types a reference user attaches to
+# the search body (opensearch_loader.py:873-884 is the search entry
+# point): stats, percentiles, cardinality, date_histogram, top_hits.
+# All share the :func:`_match_docs` distributed hit set — the agg scope
+# is ALL matching docs, never the top-k page — joined against the
+# column-pruned docs scan; everything downstream is codegen'd built-ins
+# (one shuffle per agg, map-side combined where commutative).
+
+def search_stats(spark: SparkSession, index_dir: str,
+                 queries: list[tuple[int, str]],
+                 value_expr: str = "length(text)") -> DataFrame:
+    """The ``stats`` aggregation: count/min/max/sum/avg of a numeric
+    expression over the match hit set. sum/avg are rounded to 4 dp at
+    the surface (float-associativity-stable comparison contract).
+
+    Returns DataFrame(query_id, doc_count, vmin, vmax, vsum, vavg)."""
+    paths = IndexPaths(index_dir)
+    stats = load_stats(spark, index_dir)
+    out_schema = ("query_id int, doc_count long, vmin double, "
+                  "vmax double, vsum double, vavg double")
+    matches = _match_docs(spark, paths, stats, queries)
+    if matches is None:
+        return spark.createDataFrame([], out_schema)
+    vals = (spark.read.parquet(paths.docs)
+            .select("doc_id", F.expr(value_expr).cast("double").alias("v")))
+    return (matches.join(vals, "doc_id")
+            .groupBy("query_id")
+            .agg(F.count("*").alias("doc_count"),
+                 F.min("v").alias("vmin"), F.max("v").alias("vmax"),
+                 F.round(F.sum("v"), 4).alias("vsum"),
+                 F.round(F.avg("v"), 4).alias("vavg"))
+            .orderBy("query_id"))
+
+
+def search_percentiles(spark: SparkSession, index_dir: str,
+                       queries: list[tuple[int, str]],
+                       value_expr: str = "length(text)",
+                       percents: list[float] | None = None) -> DataFrame:
+    """The ``percentiles`` aggregation, exact linear-interpolation
+    variant (Spark ``percentile`` ≡ DuckDB/Postgres ``quantile_cont`` —
+    the same estimator OpenSearch's TDigest converges to; at 100-TB
+    scale swap in ``percentile_approx`` per workload, same plan shape).
+
+    Returns DataFrame(query_id, percent, value) ordered by percent."""
+    ps = percents if percents is not None else [25.0, 50.0, 75.0, 95.0]
+    fracs = ", ".join(f"{p / 100.0!r}D" for p in ps)
+    paths = IndexPaths(index_dir)
+    stats = load_stats(spark, index_dir)
+    out_schema = "query_id int, percent double, value double"
+    matches = _match_docs(spark, paths, stats, queries)
+    if matches is None:
+        return spark.createDataFrame([], out_schema)
+    vals = (spark.read.parquet(paths.docs)
+            .select("doc_id", F.expr(value_expr).cast("double").alias("v")))
+    pct = F.array(*[F.lit(float(p)) for p in ps])
+    return (matches.join(vals, "doc_id")
+            .groupBy("query_id")
+            .agg(F.expr(f"percentile(v, array({fracs}))").alias("qs"))
+            .select("query_id",
+                    F.posexplode(F.arrays_zip(pct.alias("p"),
+                                              F.col("qs").alias("q"))))
+            .select("query_id", F.col("col.p").alias("percent"),
+                    F.round(F.col("col.q"), 4).alias("value"))
+            .orderBy("query_id", "percent"))
+
+
+def search_cardinality(spark: SparkSession, index_dir: str,
+                       queries: list[tuple[int, str]],
+                       col: str = "lang",
+                       approx: bool = False, rsd: float = 0.05) -> DataFrame:
+    """The ``cardinality`` aggregation: distinct values of ``col`` over
+    the hit set. ``approx=True`` switches to HyperLogLog++
+    (``approx_count_distinct``, relative error ``rsd``) — the estimator
+    OpenSearch always uses; exact is the oracle-comparable default here
+    (one extra shuffle; at 10^12 docs always pass approx=True).
+
+    Returns DataFrame(query_id, cardinality)."""
+    paths = IndexPaths(index_dir)
+    stats = load_stats(spark, index_dir)
+    out_schema = "query_id int, cardinality long"
+    matches = _match_docs(spark, paths, stats, queries)
+    if matches is None:
+        return spark.createDataFrame([], out_schema)
+    vals = (spark.read.parquet(paths.docs)
+            .select("doc_id", F.col(col).alias("v")))
+    agg = (F.approx_count_distinct("v", rsd) if approx
+           else F.countDistinct("v"))
+    return (matches.join(vals, "doc_id")
+            .groupBy("query_id").agg(agg.alias("cardinality"))
+            .orderBy("query_id"))
+
+
+def search_date_histogram(spark: SparkSession, index_dir: str,
+                          queries: list[tuple[int, str]],
+                          ts_col: str = "warc_ts",
+                          calendar_interval: str = "day") -> DataFrame:
+    """The ``date_histogram`` aggregation with a calendar interval
+    (day/week/month — ISO week, Monday start, the same truncation rule
+    in Spark and DuckDB/OpenSearch): bucket counts of a timestamp column
+    over the hit set, key order, empty buckets omitted
+    (min_doc_count=1 — densifying the range is a driver-side anti-pattern
+    at corpus scale).
+
+    Returns DataFrame(query_id, bucket_start timestamp, doc_count)."""
+    if calendar_interval not in ("day", "week", "month"):
+        raise ValueError(f"unsupported interval: {calendar_interval!r}")
+    paths = IndexPaths(index_dir)
+    stats = load_stats(spark, index_dir)
+    out_schema = "query_id int, bucket_start timestamp, doc_count long"
+    matches = _match_docs(spark, paths, stats, queries)
+    if matches is None:
+        return spark.createDataFrame([], out_schema)
+    vals = (spark.read.parquet(paths.docs)
+            .select("doc_id", F.date_trunc(calendar_interval,
+                                           F.col(ts_col))
+                    .alias("bucket_start")))
+    return (matches.join(vals, "doc_id")
+            .filter(F.col("bucket_start").isNotNull())
+            .groupBy("query_id", "bucket_start")
+            .agg(F.count("*").alias("doc_count"))
+            .orderBy("query_id", "bucket_start"))
+
+
+def search_top_hits(spark: SparkSession, index_dir: str,
+                    queries: list[tuple[int, str]],
+                    facet_col: str = "lang",
+                    per_bucket: int = 3) -> DataFrame:
+    """``terms`` aggregation with a ``top_hits`` sub-aggregation: the
+    best ``per_bucket`` hits BY BM25 SCORE inside every facet bucket.
+
+    Physically this scores the FULL hit set (k=∞ through the standard
+    per-range kernel — same cost class as the other whole-hit-set aggs,
+    which also materialize every (query, doc) match), joins the
+    column-pruned facet, and takes a per-(query, bucket) ranked window.
+    Scores are rounded to 4 dp BEFORE ranking so the order (and the
+    DuckDB twin) is float-representation-stable; ties break by doc_id.
+
+    Returns DataFrame(query_id, facet_value, rank, doc_id, score)."""
+    paths = IndexPaths(index_dir)
+    stats = load_stats(spark, index_dir)
+    out_schema = ("query_id int, facet_value string, rank int, "
+                  "doc_id long, score double")
+    q_terms = {qid: tokenize_text(text) for qid, text in queries}
+    terms = sorted({t for toks in q_terms.values() for t in toks})
+    if not terms:
+        return spark.createDataFrame([], out_schema)
+    dict_rows = _filter_in(spark.read.parquet(paths.dictionary),
+                           "term", terms).collect()
+    dfs = {r["term"]: int(r["df"]) for r in dict_rows}
+    idfs = {t: float(idf_fn(stats.N, np.array([dfs[t]]))[0])
+            for t in terms if t in dfs}
+    from .query import _weighted_qinfo
+    qinfo = _weighted_qinfo(q_terms, idfs)
+    if not qinfo:
+        return spark.createDataFrame([], out_schema)
+    live = sorted({t for ti in qinfo.values() for t in ti})
+    postings = _pruned_postings(spark, paths, stats.n_buckets, live)
+    scored = (postings.groupBy("range_id")
+              .applyInPandas(_score_kernel(qinfo, 1 << 31, stats,
+                                           prune=False),
+                             schema=RESULT_SCHEMA))
+    facets = (spark.read.parquet(paths.docs)
+              .select("doc_id", F.col(facet_col).cast("string")
+                      .alias("facet_value")))
+    w = Window.partitionBy("query_id", "facet_value").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc())
+    return (scored.withColumn("score", F.round("score", 4))
+            .join(facets, "doc_id")
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= per_bucket)
+            .select("query_id", "facet_value", "rank", "doc_id", "score"))

@@ -405,3 +405,88 @@ def test_term_suggest_always_mode_excludes_self(spark, index_dir):
                        mode="always").toPandas()
     assert (got["dist"] >= 1).all()
     assert "merge" not in set(got["suggestion"])
+
+
+def _match_set(oracle, query):
+    idx = set()
+    for t in tokenize_text(query):
+        idx |= set(oracle.index.get(t, {}))
+    return idx
+
+
+def test_stats_and_percentiles_vs_brute(spark, index_dir, corpus):
+    """stats + percentiles agg scope/estimator parity: hit set from the
+    brute index, values from the docs table, numpy linear interpolation
+    (the same estimator as Spark's exact percentile)."""
+    from pdf_to_opensearch_spark.boolquery import (search_percentiles,
+                                                   search_stats)
+
+    _, oracle = corpus
+    query = "spark document"
+    lens = (spark.read.parquet(f"{index_dir}/docs")
+            .selectExpr("doc_id", "length(text) AS v").toPandas()
+            .set_index("doc_id")["v"])
+    vals = lens.loc[sorted(_match_set(oracle, query))].to_numpy(float)
+
+    st = search_stats(spark, index_dir, [(1, query)]).toPandas()
+    assert int(st.doc_count[0]) == vals.size
+    assert st.vmin[0] == vals.min() and st.vmax[0] == vals.max()
+    assert st.vsum[0] == round(vals.sum(), 4)
+    assert st.vavg[0] == round(vals.mean(), 4)
+
+    ps = [25.0, 50.0, 75.0, 95.0]
+    pc = (search_percentiles(spark, index_dir, [(1, query)], percents=ps)
+          .toPandas().sort_values("percent", ignore_index=True))
+    want = np.percentile(vals, ps, method="linear")
+    np.testing.assert_allclose(pc.value.to_numpy(), np.round(want, 4),
+                               atol=1e-9)
+
+
+def test_cardinality_exact_and_approx(spark, index_dir, corpus):
+    """Exact cardinality equals the brute distinct count; the HLL++
+    approx path lands within its declared relative error."""
+    from pdf_to_opensearch_spark.boolquery import search_cardinality
+
+    pdf, oracle = corpus
+    query = "spark document"
+    urls = pdf["url"].to_numpy()
+    want = len({urls[i] for i in _match_set(oracle, query)})
+    exact = search_cardinality(spark, index_dir, [(1, query)],
+                               col="url").toPandas()
+    assert int(exact.cardinality[0]) == want
+    approx = search_cardinality(spark, index_dir, [(1, query)], col="url",
+                                approx=True, rsd=0.05).toPandas()
+    assert abs(int(approx.cardinality[0]) - want) <= max(3, 0.15 * want)
+
+
+def test_top_hits_vs_brute(spark, index_dir, corpus):
+    """top_hits sub-agg: per-lang best-3 by (rounded score desc, doc_id)
+    over ALL matching docs equals the brute-force grouping."""
+    from pdf_to_opensearch_spark.boolquery import search_top_hits
+
+    pdf, oracle = corpus
+    query = "spark posting merge"
+    got = (search_top_hits(spark, index_dir, [(1, query)],
+                           facet_col="lang", per_bucket=3)
+           .toPandas()
+           .sort_values(["facet_value", "rank"], ignore_index=True))
+    scored = oracle.search(query, k=len(pdf))
+    langs = pdf["lang"].to_numpy()
+    buckets: dict[str, list] = {}
+    for d, s in scored:
+        buckets.setdefault(langs[d], []).append((-round(s, 4), d))
+    want_rows = []
+    for lang in sorted(buckets):
+        for rk, (ns, d) in enumerate(sorted(buckets[lang])[:3], 1):
+            want_rows.append((lang, rk, d, -ns))
+    assert [tuple(r) for r in got[["facet_value", "rank", "doc_id",
+                                   "score"]].itertuples(index=False)] \
+        == want_rows
+
+
+def test_date_histogram_rejects_bad_interval(spark, index_dir):
+    from pdf_to_opensearch_spark.boolquery import search_date_histogram
+
+    with pytest.raises(ValueError):
+        search_date_histogram(spark, index_dir, [(1, "spark")],
+                              calendar_interval="fortnight")
