@@ -1310,6 +1310,27 @@ def _multi_match_best_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=BM25_K + _RERANK_MARGIN, mode="best_fields"), BM25_K)
 
 
+DISMAX_TB = 0.3
+
+
+def _dismax_tb_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DisjunctionMaxQuery with a non-zero tie_breaker (the dis_max
+    query type): best field's score plus 0.3 × the runner-up fields'
+    total — multimatch.multi_match(mode='best_fields', tie_breaker)."""
+    _ensure_pkg(spark)
+    from pdf_to_opensearch_spark.fields import build_field_index
+    from pdf_to_opensearch_spark.multimatch import multi_match
+
+    out = _ensure_engine_index(spark, sf_dir)
+    if out not in _FIELD_INDEXES:
+        build_field_index(spark, out, "text_prev")
+        _FIELD_INDEXES.add(out)
+    return _rerank_rounded(multi_match(
+        spark, out, list(BM25_QUERIES.items()), dict(MULTI_FIELDS),
+        k=BM25_K + _RERANK_MARGIN, mode="best_fields",
+        tie_breaker=DISMAX_TB), BM25_K)
+
+
 def _fuzzy_oracle_sql() -> str:
     """FuzzyQuery oracle: expansion = corpus vocab within FUZZY_MAX_EDITS
     of each source token, ranked (levenshtein asc, term asc), first
@@ -1477,12 +1498,16 @@ SELECT query_id, rank, doc_id, score FROM (
 """
 
 
-def _mm_oracle_sql(mode: str) -> str:
+def _mm_oracle_sql(mode: str, tie_breaker: float = 0.0) -> str:
     """multi_match oracle: one UNROUNDED weight-1 BM25 stack per field
     (current text; derived lag(text) with its own stats), boosted and
     combined per (query_id, doc_id) by sum (most_fields) or max
-    (best_fields), rounded once at the end."""
-    agg = "max" if mode == "best_fields" else "sum"
+    (best_fields; with ``tie_breaker`` the DisjunctionMaxQuery blend
+    max + tb·(sum − max)), rounded once at the end."""
+    if mode == "best_fields" and tie_breaker > 0.0:
+        agg = (f"max(score) + {tie_breaker!r} * (sum(score) - max(score))")
+    else:
+        agg = ("max(score)" if mode == "best_fields" else "sum(score)")
     b_cur, b_prev = MULTI_FIELDS["text"], MULTI_FIELDS["text_prev"]
 
     def field_stack(tag: str, src: str) -> str:
@@ -1524,7 +1549,7 @@ uni AS (
   SELECT query_id, doc_id, {b_prev} * score AS score FROM scores2
 ),
 comb AS (
-  SELECT query_id, doc_id, round({agg}(score), 4) AS score
+  SELECT query_id, doc_id, round({agg}, 4) AS score
   FROM uni GROUP BY 1, 2
 )
 SELECT query_id, rank, doc_id, score FROM (
@@ -4077,6 +4102,7 @@ def queries():  # noqa: F811 — extend the registry with the spatial/misc ops
         "cardinality_agg": _cardinality_agg,
         "date_histogram": _date_histogram,
         "top_hits_agg": _top_hits_agg,
+        "dismax_tb_topk": _dismax_tb_topk,
     })
     return _reorder(out)
 
@@ -4109,6 +4135,8 @@ def oracle_sql():  # noqa: F811
         "mlt_topk": _mlt_oracle_sql(),
         "multi_match_topk": _mm_oracle_sql("most_fields"),
         "multi_match_best_topk": _mm_oracle_sql("best_fields"),
+        "dismax_tb_topk": _mm_oracle_sql("best_fields",
+                                         tie_breaker=DISMAX_TB),
         "histogram_facets": _histogram_oracle_sql(),
         "phrase_slop_topk": _phrase_oracle_sql(slop=PHRASE_SLOP),
         "significant_terms": _significant_terms_oracle_sql(),

@@ -41,12 +41,15 @@ from .query import RESULT_SCHEMA, _filter_in, load_stats
 _ROOT_NAMES = (None, "current", "text")
 
 
-def _mm_kernel(qinfos: dict, boosts: dict, fparams: dict, k: int, mode: str):
+def _mm_kernel(qinfos: dict, boosts: dict, fparams: dict, k: int, mode: str,
+               tie_breaker: float = 0.0):
     """Per-range multi-field scorer. ``qinfos``: {field: {query_id: {term:
     idf·count}}}; ``fparams``: {field: (avgdl, k1, b)} — per-field norms,
-    exactly Lucene's per-field similarity state."""
+    exactly Lucene's per-field similarity state. ``tie_breaker`` (best
+    mode only) is DisjunctionMaxQuery's: max + tie_breaker·(sum − max)."""
 
     best = mode == "best_fields"
+    tb = float(tie_breaker)
 
     def _segment(ids: np.ndarray, sc: np.ndarray, combine) -> tuple:
         order = np.argsort(ids, kind="stable")
@@ -98,8 +101,17 @@ def _mm_kernel(qinfos: dict, boosts: dict, fparams: dict, k: int, mode: str):
                 f_sc.append(a)
             if not f_ids:
                 continue
-            combine = ((lambda s, st: np.maximum.reduceat(s, st)) if best
-                       else (lambda s, st: np.add.reduceat(s, st)))
+            if best and tb > 0.0:
+                # DisjunctionMaxQuery with tie_breaker: the max field
+                # score plus tb times the runner-up fields' total
+                def combine(s, st):
+                    mx = np.maximum.reduceat(s, st)
+                    sm = np.add.reduceat(s, st)
+                    return mx + tb * (sm - mx)
+            else:
+                combine = ((lambda s, st: np.maximum.reduceat(s, st))
+                           if best
+                           else (lambda s, st: np.add.reduceat(s, st)))
             uniq, acc = _segment(np.concatenate(f_ids),
                                  np.concatenate(f_sc), combine)
             top = min(k, uniq.size)
@@ -127,17 +139,22 @@ def _mm_kernel(qinfos: dict, boosts: dict, fparams: dict, k: int, mode: str):
 
 def multi_match(spark: SparkSession, index_dir: str,
                 queries: list[tuple[int, str]], fields: dict[str, float],
-                k: int = 10, mode: str = "most_fields") -> DataFrame:
+                k: int = 10, mode: str = "most_fields",
+                tie_breaker: float = 0.0) -> DataFrame:
     """``multi_match`` over the root index and its field posting spaces.
 
     ``fields``: {field_name: boost} — ``'text'``/``'current'`` (or None)
     addresses the root index; any other name must have been built with
     :func:`.fields.build_field_index`. ``mode``: ``most_fields`` (sum of
-    per-field BM25) or ``best_fields`` (max, tie_breaker 0).
+    per-field BM25) or ``best_fields`` (DisjunctionMaxQuery: max over
+    fields plus ``tie_breaker`` × the runner-up fields' total — 0 is
+    Lucene's pure dis_max default).
     """
     if mode not in ("most_fields", "best_fields"):
         raise ValueError(
             f"mode must be 'most_fields' or 'best_fields', got {mode!r}")
+    if not 0.0 <= tie_breaker <= 1.0:
+        raise ValueError(f"tie_breaker must be in [0, 1]: {tie_breaker}")
     if not fields:
         raise ValueError("fields must name at least one analyzed field")
     froots = {f: (index_dir if f in _ROOT_NAMES else field_root(index_dir, f))
@@ -179,7 +196,7 @@ def multi_match(spark: SparkSession, index_dir: str,
         postings = postings.unionByName(s)
     kern = _mm_kernel(qinfos, dict(fields),
                       {f: (s.avgdl, s.k1, s.b) for f, s in stats.items()},
-                      k, mode)
+                      k, mode, tie_breaker=tie_breaker)
     per_range = (postings.groupBy("range_id")
                  .applyInPandas(kern, schema=RESULT_SCHEMA))
     return _ranked_topk(per_range, k)

@@ -94,3 +94,40 @@ def test_bad_mode_and_empty_fields_raise(spark, mm_index):
         multi_match(spark, mm_index, QUERIES, dict(BOOSTS), mode="phrase")
     with pytest.raises(ValueError):
         multi_match(spark, mm_index, QUERIES, {})
+
+
+def test_dismax_tie_breaker_blend(spark, mm_index):
+    """tie_breaker semantics: best_fields(tb) == max + tb·(sum − max),
+    reconstructed from the most_fields (sum) and best_fields (max) runs
+    on the same queries."""
+    import numpy as np
+
+    from pdf_to_opensearch_spark.multimatch import multi_match
+
+    qs = [(1, "spark index posting"), (2, "merge block")]
+    fields = {"text": 1.0, "text_prev": 0.5}
+    big = 10_000
+    sm = (multi_match(spark, mm_index, qs, fields, k=big,
+                      mode="most_fields").toPandas()
+          .set_index(["query_id", "doc_id"])["score"])
+    mx = (multi_match(spark, mm_index, qs, fields, k=big,
+                      mode="best_fields").toPandas()
+          .set_index(["query_id", "doc_id"])["score"])
+    tb = 0.3
+    got = (multi_match(spark, mm_index, qs, fields, k=big,
+                       mode="best_fields", tie_breaker=tb).toPandas()
+           .set_index(["query_id", "doc_id"])["score"])
+    want = mx + tb * (sm - mx)
+    joined = got.to_frame("got").join(want.to_frame("want"), how="outer")
+    assert not joined.isna().any().any()
+    np.testing.assert_allclose(joined["got"], joined["want"], rtol=1e-9)
+
+
+def test_dismax_tb_validation(spark, mm_index):
+    import pytest
+
+    from pdf_to_opensearch_spark.multimatch import multi_match
+
+    with pytest.raises(ValueError):
+        multi_match(spark, mm_index, [(1, "spark")], {"text": 1.0},
+                    tie_breaker=1.5)
