@@ -1263,6 +1263,75 @@ def _wildcard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_expansions=WILDCARD_MAX_EXP), BM25_K)
 
 
+# RegexpQuery patterns (portable RE2/Java core: classes, alternation,
+# repetition) — full-term anchored on both sides
+REGEXP_QUERIES: dict[int, str] = {1: "s(can|ort|park)", 2: "[bf]a.*",
+                                  3: "w.ndow|qu.ry"}
+REGEXP_MAX_EXP = 50
+
+
+def _regexp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RegexpQuery under the scoring_boolean rewrite: one anchored
+    column-valued-RLIKE dictionary pass, term-order cut, idf-weighted
+    disjunction — boolquery.regexp_search."""
+    _ensure_pkg(spark)
+    from pdf_to_opensearch_spark.boolquery import regexp_search
+
+    out = _ensure_engine_index(spark, sf_dir)
+    return _rerank_rounded(regexp_search(
+        spark, out, list(REGEXP_QUERIES.items()),
+        k=BM25_K + _RERANK_MARGIN,
+        max_expansions=REGEXP_MAX_EXP), BM25_K)
+
+
+def _regexp_oracle_sql() -> str:
+    """RegexpQuery oracle: regexp_full_match expansion of the pattern
+    over the corpus vocab in term order, first REGEXP_MAX_EXP, weight-1
+    idf disjunction (same core as wildcard)."""
+    pat_vals = ", ".join(f"({qid}, '{p}')"
+                         for qid, p in sorted(REGEXP_QUERIES.items()))
+    return f"""
+WITH docs0 AS (SELECT * FROM documents),
+pats(query_id, pat) AS (VALUES {pat_vals}),
+toks0 AS (
+  SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM docs0
+),
+vocab AS (SELECT DISTINCT term FROM toks0),
+exp AS (
+  SELECT p.query_id, v.term,
+         row_number() OVER (PARTITION BY p.query_id
+                            ORDER BY v.term) AS rn
+  FROM pats p JOIN vocab v ON regexp_full_match(v.term, p.pat)
+),
+q AS (SELECT query_id, term FROM exp WHERE rn <= {REGEXP_MAX_EXP}),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks0 GROUP BY 1, 2),
+dl AS (SELECT doc_id, len({_TOKS_SQL})::DOUBLE AS dl FROM docs0),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+dfreq AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tf
+  WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY 1
+),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         round(sum( ln(1.0 + (s.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                    * tf.tf * 2.2
+                    / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) ),
+               4) AS score
+  FROM tf
+  JOIN q USING (term) JOIN dfreq USING (term) JOIN dl USING (doc_id)
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+)
+SELECT query_id, rank, doc_id, score FROM (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id)::INTEGER AS rank,
+         doc_id, score
+  FROM scores
+) WHERE rank <= {BM25_K}
+"""
+
+
 def _mlt_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """more_like_this seeded by an indexed doc: top tf·idf terms of the
     seed (min_term_freq/min_doc_freq gates) run as a TermQuery
@@ -4103,6 +4172,7 @@ def queries():  # noqa: F811 — extend the registry with the spatial/misc ops
         "date_histogram": _date_histogram,
         "top_hits_agg": _top_hits_agg,
         "dismax_tb_topk": _dismax_tb_topk,
+        "regexp_topk": _regexp_topk,
     })
     return _reorder(out)
 
@@ -4137,6 +4207,7 @@ def oracle_sql():  # noqa: F811
         "multi_match_best_topk": _mm_oracle_sql("best_fields"),
         "dismax_tb_topk": _mm_oracle_sql("best_fields",
                                          tie_breaker=DISMAX_TB),
+        "regexp_topk": _regexp_oracle_sql(),
         "histogram_facets": _histogram_oracle_sql(),
         "phrase_slop_topk": _phrase_oracle_sql(slop=PHRASE_SLOP),
         "significant_terms": _significant_terms_oracle_sql(),

@@ -335,6 +335,58 @@ def wildcard_search(spark: SparkSession, index_dir: str,
                        doc_filter, filter_root)
 
 
+# -------------------------------------------------------------- regexp query
+
+def regexp_search(spark: SparkSession, index_dir: str,
+                  queries: list[tuple[int, str]], k: int = 10,
+                  max_expansions: int = 50,
+                  doc_filter: str | None = None,
+                  filter_root: str | None = None) -> DataFrame:
+    """Lucene RegexpQuery under the ``scoring_boolean`` rewrite: expand
+    the pattern against the term dictionary in term order, cut at
+    ``max_expansions``, score the expansion as an idf-weighted TermQuery
+    disjunction — the same rewrite contract as :func:`wildcard_search`.
+
+    Lucene regexp semantics are FULL-term match (the automaton accepts
+    the whole term), so the pattern is anchored as ``^(?:pat)$`` before
+    the dictionary scan. Stick to the portable core (character classes,
+    alternation, repetition) — the reference's OpenSearch regexp query
+    documents the same subset.
+
+    Physical shape: ONE dictionary pass for all patterns (broadcast
+    pattern table, column-valued ``rlike``, per-query term-order cut);
+    Lucene's FST automaton walk is the single-node analogue of this
+    pruned distributed scan.
+    """
+    paths = IndexPaths(index_dir)
+    stats = load_stats(spark, index_dir)
+    pats: dict[int, str] = {}
+    for qid, raw in queries:
+        p = (raw or "").strip().lower()
+        if p:
+            pats[int(qid)] = f"^(?:{p})$"
+    if not pats:
+        return spark.createDataFrame([], RANKED)
+    dictionary = spark.read.parquet(paths.dictionary)
+    pat_df = spark.createDataFrame(sorted(pats.items()),
+                                   "query_id int, pat string")
+    wexp = Window.partitionBy("query_id").orderBy("term")
+    rows = (dictionary.join(F.broadcast(pat_df))
+            .filter(F.expr("term RLIKE pat"))
+            .withColumn("rn", F.row_number().over(wexp))
+            .filter(F.col("rn") <= max_expansions)
+            .select("query_id", "term", "df").collect())
+    qinfo: dict[int, dict] = {}
+    for r in rows:
+        qinfo.setdefault(int(r["query_id"]), {})[r["term"]] = float(
+            idf_fn(stats.N, np.array([int(r["df"])]))[0])
+    if not qinfo:
+        return spark.createDataFrame([], RANKED)
+    live = sorted({t for ti in qinfo.values() for t in ti})
+    return _run_kernel(spark, paths, stats, qinfo, k, True, live,
+                       doc_filter, filter_root)
+
+
 # ------------------------------------------------------------ more_like_this
 
 def more_like_this(spark: SparkSession, index_dir: str,

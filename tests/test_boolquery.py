@@ -490,3 +490,28 @@ def test_date_histogram_rejects_bad_interval(spark, index_dir):
     with pytest.raises(ValueError):
         search_date_histogram(spark, index_dir, [(1, "spark")],
                               calendar_interval="fortnight")
+
+
+def test_regexp_equals_expanded_search(spark, index_dir, corpus):
+    """RegexpQuery == the hand-expanded term disjunction (same rewrite
+    contract as wildcard/prefix), and anchoring is full-term."""
+    from pdf_to_opensearch_spark.boolquery import regexp_search
+
+    _, oracle = corpus
+    pat = "pos.*|mer.e"
+    import re
+    exp_terms = sorted(t for t in oracle.index
+                       if re.fullmatch(pat, t))
+    assert exp_terms, "fixture vocabulary must match the pattern"
+    got = (regexp_search(spark, index_dir, [(1, pat)], k=K)
+           .toPandas().sort_values("rank", ignore_index=True))
+    want = (search(spark, index_dir, [(1, " ".join(exp_terms))], k=K,
+                   prune=False)
+            .toPandas().sort_values("rank", ignore_index=True))
+    assert list(got.doc_id) == list(want.doc_id)
+    np.testing.assert_allclose(got.score, want.score, rtol=1e-12)
+    # full-term anchoring: 'ost' is a substring of 'posting' but a full
+    # match of no term, so an unanchored engine would return hits here
+    assert "ost" not in oracle.index and "posting" in oracle.index
+    none = regexp_search(spark, index_dir, [(1, "ost")], k=K).toPandas()
+    assert len(none) == 0
