@@ -1263,6 +1263,89 @@ def _wildcard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_expansions=WILDCARD_MAX_EXP), BM25_K)
 
 
+BOOSTING_QUERIES: dict[int, dict] = {
+    1: {"positive": "spark join filter", "negative": "slow"},
+    2: {"positive": "vector stream window batch", "negative": "scan sort"},
+    3: {"positive": "customer the", "negative": "dup"},
+}
+NEG_BOOST = 0.5
+
+
+def _boosting_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``boosting`` query: positive BM25 hits demoted (×0.5, not
+    excluded) when they also match the negative query — full positive
+    hit set scored, range-local negative flagging, ranked after
+    demotion (boolquery.boosting_search)."""
+    _ensure_pkg(spark)
+    from pdf_to_opensearch_spark.boolquery import boosting_search
+
+    out = _ensure_engine_index(spark, sf_dir)
+    res = boosting_search(spark, out, list(BOOSTING_QUERIES.items()),
+                          k=BM25_K + _RERANK_MARGIN,
+                          negative_boost=NEG_BOOST)
+    return _rerank_rounded(res, BM25_K)
+
+
+def _boosting_oracle_sql() -> str:
+    """Boosting-query oracle: unrounded positive BM25 sums, demoted by
+    NEG_BOOST where the doc contains ANY negative term, rounded once,
+    ranked (score desc, doc_id)."""
+    pos_vals = ", ".join(
+        f"({qid}, '{t}')"
+        for qid, t in sorted({(qid, t)
+                              for qid, s in BOOSTING_QUERIES.items()
+                              for t in s["positive"].split()}))
+    neg_vals = ", ".join(
+        f"({qid}, '{t}')"
+        for qid, t in sorted({(qid, t)
+                              for qid, s in BOOSTING_QUERIES.items()
+                              for t in s["negative"].split()}))
+    return f"""
+WITH docs0 AS (SELECT * FROM documents),
+q(query_id, term) AS (VALUES {pos_vals}),
+nq(query_id, term) AS (VALUES {neg_vals}),
+toks AS (
+  SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM docs0
+),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, len({_TOKS_SQL})::DOUBLE AS dl FROM docs0),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+dfreq AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tf
+  WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY 1
+),
+neg AS (
+  SELECT DISTINCT nq.query_id, tf.doc_id
+  FROM tf JOIN nq USING (term)
+),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         sum( ln(1.0 + (s.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+              * tf.tf * 2.2
+              / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) )
+         AS score
+  FROM tf
+  JOIN q USING (term) JOIN dfreq USING (term) JOIN dl USING (doc_id)
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+demoted AS (
+  SELECT sc.query_id, sc.doc_id,
+         round(sc.score * CASE WHEN n.doc_id IS NULL THEN 1.0
+                               ELSE {NEG_BOOST!r} END, 4) AS score
+  FROM scores sc
+  LEFT JOIN neg n ON n.query_id = sc.query_id AND n.doc_id = sc.doc_id
+)
+SELECT query_id, rank, doc_id, score FROM (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id)::INTEGER AS rank,
+         doc_id, score
+  FROM demoted
+) WHERE rank <= {BM25_K}
+"""
+
+
 # RegexpQuery patterns (portable RE2/Java core: classes, alternation,
 # repetition) — full-term anchored on both sides
 REGEXP_QUERIES: dict[int, str] = {1: "s(can|ort|park)", 2: "[bf]a.*",
@@ -4173,6 +4256,7 @@ def queries():  # noqa: F811 — extend the registry with the spatial/misc ops
         "top_hits_agg": _top_hits_agg,
         "dismax_tb_topk": _dismax_tb_topk,
         "regexp_topk": _regexp_topk,
+        "boosting_topk": _boosting_topk,
     })
     return _reorder(out)
 
@@ -4208,6 +4292,7 @@ def oracle_sql():  # noqa: F811
         "dismax_tb_topk": _mm_oracle_sql("best_fields",
                                          tie_breaker=DISMAX_TB),
         "regexp_topk": _regexp_oracle_sql(),
+        "boosting_topk": _boosting_oracle_sql(),
         "histogram_facets": _histogram_oracle_sql(),
         "phrase_slop_topk": _phrase_oracle_sql(slop=PHRASE_SLOP),
         "significant_terms": _significant_terms_oracle_sql(),

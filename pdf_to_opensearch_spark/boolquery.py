@@ -926,3 +926,83 @@ def search_top_hits(spark: SparkSession, index_dir: str,
             .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= per_bucket)
             .select("query_id", "facet_value", "rank", "doc_id", "score"))
+
+
+# ------------------------------------------------------------ boosting query
+
+def boosting_search(spark: SparkSession, index_dir: str,
+                    queries: list[tuple[int, dict]], k: int = 10,
+                    negative_boost: float = 0.5) -> DataFrame:
+    """The OpenSearch ``boosting`` query: hits of the ``positive`` match
+    query keep their BM25 score unless they ALSO match the ``negative``
+    query, in which case the score is multiplied by ``negative_boost``
+    (demotion, not exclusion — the difference from bool must_not).
+
+    ``queries``: [(query_id, {"positive": text, "negative": text})].
+
+    Demotion reorders the tail, so the top-k cannot be taken from a
+    positive-only top-k page: the kernel scores the FULL positive hit
+    set per range (same cost class as the aggregation scopes), the
+    negative match set flags range-locally (each doc lives in exactly
+    one range — no shuffle beyond the shared postings scan), and the
+    global ranked window runs on the demoted scores.
+    """
+    if not 0.0 <= negative_boost <= 1.0:
+        raise ValueError(f"negative_boost must be in [0, 1]: "
+                         f"{negative_boost}")
+    paths = IndexPaths(index_dir)
+    stats = load_stats(spark, index_dir)
+    pos_q, neg_q = {}, {}
+    for qid, spec in queries:
+        pos = tokenize_text(spec.get("positive", ""))
+        if not pos:
+            continue
+        pos_q[int(qid)] = pos
+        neg_q[int(qid)] = tokenize_text(spec.get("negative", ""))
+    if not pos_q:
+        return spark.createDataFrame([], RANKED)
+    all_terms = sorted({t for ts in pos_q.values() for t in ts}
+                       | {t for ts in neg_q.values() for t in ts})
+    dict_rows = _filter_in(spark.read.parquet(paths.dictionary),
+                           "term", all_terms).collect()
+    dfs = {r["term"]: int(r["df"]) for r in dict_rows}
+    idfs = {t: float(idf_fn(stats.N, np.array([dfs[t]]))[0])
+            for t in all_terms if t in dfs}
+    from .query import _weighted_qinfo
+    qinfo = _weighted_qinfo(pos_q, idfs)
+    if not qinfo:
+        return spark.createDataFrame([], RANKED)
+    neg_terms = {qid: sorted({t for t in ts if t in dfs})
+                 for qid, ts in neg_q.items()}
+    live = sorted({t for ti in qinfo.values() for t in ti}
+                  | {t for ts in neg_terms.values() for t in ts})
+    nb = float(negative_boost)
+
+    base = _score_kernel(qinfo, 1 << 31, stats, prune=False)
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        by_term = {rec["term"]: rec for rec in pdf.to_dict("records")}
+        out = base(pdf)
+        if not len(out):
+            return out
+        neg_ids: dict[int, np.ndarray] = {}
+        for qid, ts in neg_terms.items():
+            parts = [decode_postings(by_term[t])[0]
+                     for t in ts if t in by_term]
+            if parts:
+                neg_ids[qid] = np.unique(np.concatenate(parts))
+        if neg_ids:
+            sc = out["score"].to_numpy().copy()
+            qs = out["query_id"].to_numpy()
+            ds = out["doc_id"].to_numpy()
+            for qid, ids in neg_ids.items():
+                m = (qs == qid) & np.isin(ds, ids)
+                sc[m] *= nb
+            out = out.assign(score=sc)
+        return out
+
+    postings = _pruned_postings(spark, paths, stats.n_buckets, live)
+    per_range = (postings.groupBy("range_id")
+                 .applyInPandas(lambda pdf: kernel(pdf),
+                                schema=RESULT_SCHEMA))
+    return _ranked_topk(per_range, k)

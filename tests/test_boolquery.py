@@ -515,3 +515,33 @@ def test_regexp_equals_expanded_search(spark, index_dir, corpus):
     assert "ost" not in oracle.index and "posting" in oracle.index
     none = regexp_search(spark, index_dir, [(1, "ost")], k=K).toPandas()
     assert len(none) == 0
+
+
+def test_boosting_demotes_not_excludes(spark, index_dir, corpus):
+    """Boosting-query semantics vs brute force: positive hits containing
+    a negative term keep competing at negative_boost × score; with
+    boost 1.0 the result equals the plain match query."""
+    from pdf_to_opensearch_spark.boolquery import boosting_search
+
+    _, oracle = corpus
+    spec = {"positive": "spark posting merge", "negative": "duplicate"}
+    nb = 0.4
+    got = (boosting_search(spark, index_dir, [(1, spec)], k=K,
+                           negative_boost=nb)
+           .toPandas().sort_values("rank", ignore_index=True))
+    neg_docs = set()
+    for t in tokenize_text(spec["negative"]):
+        neg_docs |= set(oracle.index.get(t, {}))
+    scored = oracle.search(spec["positive"], k=oracle.N)
+    demoted = sorted(((-(s * nb if d in neg_docs else s), d)
+                      for d, s in scored))
+    want = [(d, -ns) for ns, d in demoted[:K]]
+    assert list(got.doc_id) == [d for d, _ in want]
+    np.testing.assert_allclose(got.score,
+                               [s for _, s in want], rtol=1e-9)
+    # negative_boost=1.0 is a no-op
+    plain = search(spark, index_dir, [(1, spec["positive"])], k=K,
+                   prune=False).toPandas()
+    noop = boosting_search(spark, index_dir, [(1, spec)], k=K,
+                           negative_boost=1.0).toPandas()
+    assert list(plain.doc_id) == list(noop.doc_id)
