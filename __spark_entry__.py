@@ -2362,6 +2362,38 @@ SELECT query_id, rank, vec_id FROM (
 """
 
 
+def _ann_l2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN under the reference mapping's DEFAULT space_type — l2
+    (opensearch_loader.py:201-216 method_config): score 1/(1+d²), rank
+    ≡ euclidean distance ascending; same one-GEMM-per-batch kernel."""
+    from pdf_to_opensearch_spark.ops.similarity import cosine_topk
+
+    _ensure_pkg(spark)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return cosine_topk(emb, ANN_QUERY_IDS, k=ANN_K, space="l2").select(
+        "query_id", "rank", "vec_id")
+
+
+_ANN_L2_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+  WHERE vec_id IN ({', '.join(map(str, ANN_QUERY_IDS))})
+),
+sims AS (
+  SELECT q.query_id, e.vec_id,
+         list_distance(q.qv, e.embedding) AS d
+  FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+)
+SELECT query_id, rank, vec_id FROM (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY d ASC, vec_id)::INTEGER AS rank,
+         vec_id
+  FROM sims
+) WHERE rank <= {ANN_K}
+"""
+
+
 CHUNK_CS = 120  # small chunk budget so sf docs exercise real packing
 
 
@@ -2663,6 +2695,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs_md5": _minhash_pairs_md5,
         "simhash_pairs_md5": _simhash_pairs_md5,
         "ann_cosine_topk": _ann_topk,
+        "ann_l2_topk": _ann_l2_topk,
         "ann_lsh_topk": _lsh_topk,
         "embedding_near_dups": _embedding_near_dups,
         "chunk_stats": _chunk_stats,
@@ -2696,6 +2729,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_scores": quality_scores_oracle_sql(),
         "lang_id": lang_id_oracle_sql(),
         "ann_cosine_topk": _ANN_SQL,
+        "ann_l2_topk": _ANN_L2_SQL,
         "ann_lsh_topk": _lsh_oracle_sql(),
         "embedding_near_dups": _EMB_DUPS_SQL,
         "chunk_stats": _chunk_stats_oracle_sql(),

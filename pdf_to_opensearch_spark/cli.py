@@ -50,6 +50,9 @@ def main(argv: list[str] | None = None, keep_session: bool = False) -> int:
     s.add_argument("--field", default=None,
                    help="score this analyzed field's posting space "
                         "(built with build-field) instead of the root")
+    s.add_argument("--msm", default=None,
+                   help="minimum_should_match: int or 'N%%' of distinct "
+                        "query terms a doc must match")
 
     ph = sub.add_parser("phrase", help="match_phrase top-k")
     ph.add_argument("--index", required=True)
@@ -77,6 +80,37 @@ def main(argv: list[str] | None = None, keep_session: bool = False) -> int:
     wc.add_argument("--index", required=True)
     wc.add_argument("-q", "--query", action="append", required=True)
     wc.add_argument("-k", type=int, default=10)
+
+    rx = sub.add_parser("regexp", help="RegexpQuery top-k (full-term "
+                                       "anchored, scoring_boolean)")
+    rx.add_argument("--index", required=True)
+    rx.add_argument("-q", "--query", action="append", required=True)
+    rx.add_argument("-k", type=int, default=10)
+    rx.add_argument("--max-expansions", type=int, default=50)
+
+    bo = sub.add_parser("boosting", help="boosting query: positive hits "
+                                         "demoted by negative matches")
+    bo.add_argument("--index", required=True)
+    bo.add_argument("--positive", action="append", required=True)
+    bo.add_argument("--negative", action="append", required=True)
+    bo.add_argument("-k", type=int, default=10)
+    bo.add_argument("--negative-boost", type=float, default=0.5)
+
+    ag = sub.add_parser("aggs", help="aggregations over the full match "
+                                     "hit set")
+    ag.add_argument("--index", required=True)
+    ag.add_argument("-q", "--query", action="append", required=True)
+    ag.add_argument("--type", required=True,
+                    choices=["stats", "percentiles", "cardinality",
+                             "date_histogram", "top_hits"])
+    ag.add_argument("--value-expr", default="length(text)")
+    ag.add_argument("--col", default="lang",
+                    help="facet/cardinality column or timestamp column")
+    ag.add_argument("--interval", default="day",
+                    help="date_histogram calendar interval")
+    ag.add_argument("--per-bucket", type=int, default=3)
+    ag.add_argument("--approx", action="store_true",
+                    help="cardinality: HLL++ instead of exact")
     wc.add_argument("--max-expansions", type=int, default=50)
 
     ml = sub.add_parser("mlt", help="more_like_this top-k seeded by an "
@@ -216,9 +250,13 @@ def main(argv: list[str] | None = None, keep_session: bool = False) -> int:
             # silently matched field text for predicates on `text`)
             from .fields import search_field
 
+            msm = args.msm
+            if msm is not None and not msm.endswith("%"):
+                msm = int(msm)
             qs = list(enumerate(args.query, 1))
             res = search_field(spark, args.index, args.field, qs, k=args.k,
-                               doc_filter=args.filter)
+                               doc_filter=args.filter,
+                               minimum_should_match=msm)
             for row in res.collect():
                 print(json.dumps({"query_id": row["query_id"],
                                   "rank": row["rank"],
@@ -236,7 +274,7 @@ def main(argv: list[str] | None = None, keep_session: bool = False) -> int:
                                   "rank": row["rank"],
                                   "doc_id": row["doc_id"],
                                   "score": round(row["score"], 6)}))
-        elif args.cmd in ("fuzzy", "wildcard", "mlt"):
+        elif args.cmd in ("fuzzy", "wildcard", "regexp", "boosting", "mlt"):
             from . import boolquery
 
             if args.cmd == "fuzzy":
@@ -248,6 +286,20 @@ def main(argv: list[str] | None = None, keep_session: bool = False) -> int:
                 res = boolquery.wildcard_search(
                     spark, args.index, list(enumerate(args.query, 1)),
                     k=args.k, max_expansions=args.max_expansions)
+            elif args.cmd == "regexp":
+                res = boolquery.regexp_search(
+                    spark, args.index, list(enumerate(args.query, 1)),
+                    k=args.k, max_expansions=args.max_expansions)
+            elif args.cmd == "boosting":
+                if len(args.positive) != len(args.negative):
+                    raise SystemExit(
+                        "--positive and --negative counts must match")
+                qs = [(i, {"positive": p, "negative": n})
+                      for i, (p, n) in enumerate(
+                          zip(args.positive, args.negative), 1)]
+                res = boolquery.boosting_search(
+                    spark, args.index, qs, k=args.k,
+                    negative_boost=args.negative_boost)
             else:
                 res = boolquery.more_like_this(
                     spark, args.index, list(enumerate(args.seed, 1)),
@@ -318,6 +370,32 @@ def main(argv: list[str] | None = None, keep_session: bool = False) -> int:
                                   "term": row["term"], "tf": row["tf"],
                                   "contribution":
                                       round(row["contribution"], 6)}))
+        elif args.cmd == "aggs":
+            from . import boolquery
+
+            qs = list(enumerate(args.query, 1))
+            if args.type == "stats":
+                res = boolquery.search_stats(spark, args.index, qs,
+                                             value_expr=args.value_expr)
+            elif args.type == "percentiles":
+                res = boolquery.search_percentiles(
+                    spark, args.index, qs, value_expr=args.value_expr)
+            elif args.type == "cardinality":
+                res = boolquery.search_cardinality(
+                    spark, args.index, qs, col=args.col,
+                    approx=args.approx)
+            elif args.type == "date_histogram":
+                res = boolquery.search_date_histogram(
+                    spark, args.index, qs, ts_col=args.col,
+                    calendar_interval=args.interval)
+            else:
+                res = boolquery.search_top_hits(
+                    spark, args.index, qs, facet_col=args.col,
+                    per_bucket=args.per_bucket)
+            for row in res.collect():
+                print(json.dumps({k: (str(v) if not isinstance(
+                    v, (int, float, str, type(None))) else v)
+                    for k, v in row.asDict().items()}))
         elif args.cmd == "suggest":
             from .boolquery import term_suggest
 

@@ -173,7 +173,8 @@ def build_field_index(spark: SparkSession, index_dir: str, field: str,
 def search_field(spark: SparkSession, index_dir: str, field: str,
                  queries: list[tuple[int, str]], k: int = 10,
                  prune: bool = True, mode: str = "match",
-                 doc_filter: str | None = None, slop: int = 0) -> DataFrame:
+                 doc_filter: str | None = None, slop: int = 0,
+                 minimum_should_match: int | str | None = None) -> DataFrame:
     """``match`` / ``match_phrase`` on one analyzed field: the unchanged
     BM25 / phrase engine pointed at the field's posting space — the
     reference's schema-typed per-field query surface
@@ -193,7 +194,8 @@ def search_field(spark: SparkSession, index_dir: str, field: str,
     froot = None if is_root else index_dir
     if mode == "match":
         return search(spark, root, queries, k=k, prune=prune,
-                      doc_filter=doc_filter, filter_root=froot)
+                      doc_filter=doc_filter, filter_root=froot,
+                      minimum_should_match=minimum_should_match)
     if mode == "phrase":
         return phrase_search(spark, root, queries, k=k,
                              doc_filter=doc_filter, filter_root=froot,

@@ -35,25 +35,46 @@ def _spread(df: DataFrame) -> DataFrame:
 
 
 def cosine_topk(embeddings: DataFrame, query_ids: list[int], k: int = 10,
-                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """Exact top-k cosine neighbors for each query id (excluding self).
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                space: str = "cosinesimil") -> DataFrame:
+    """Exact top-k neighbors for each query id (excluding self) under an
+    OpenSearch knn ``space_type`` — the reference's knn_vector mapping
+    exposes exactly these (opensearch_loader.py:201-216; its
+    method_config defaults to ``l2``):
+
+    * ``cosinesimil`` — raw cosine similarity (rank desc);
+    * ``l2`` — score ``1 / (1 + d²)`` (the OpenSearch l2 score
+      translation; rank desc ≡ distance asc);
+    * ``innerproduct`` — raw dot product (rank desc; OpenSearch's
+      piecewise ip translation is monotonic in it, so ranks agree).
+
+    Every space is one BLAS GEMM per Arrow batch: l2 via
+    ``‖a‖² + ‖b‖² − 2·a·b`` on the same dot-product matrix.
 
     Returns (query_id, rank, vec_id, sim) with rank by sim desc, vec_id asc.
     """
+    if space not in ("cosinesimil", "l2", "innerproduct"):
+        raise ValueError(f"unsupported space_type: {space!r}")
     q_rows = (embeddings.filter(F.col(id_col).isin(query_ids))
               .select(id_col, vec_col).collect())
     qids = np.array([r[id_col] for r in q_rows], dtype=np.int64)
     qm = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in q_rows])
-    qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    qn = (qm / np.linalg.norm(qm, axis=1, keepdims=True)
+          if space == "cosinesimil" else qm)
 
     def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             if len(pdf) == 0:
                 continue
             m = _as_matrix(pdf[vec_col])
-            m = m / np.linalg.norm(m, axis=1, keepdims=True)
+            if space == "cosinesimil":
+                m = m / np.linalg.norm(m, axis=1, keepdims=True)
             ids = pdf[id_col].to_numpy(np.int64)
             sims = qn @ m.T  # (n_queries, batch)
+            if space == "l2":
+                d2 = ((qn * qn).sum(axis=1)[:, None]
+                      + (m * m).sum(axis=1)[None, :] - 2.0 * sims)
+                sims = 1.0 / (1.0 + np.maximum(d2, 0.0))
             out_q, out_v, out_s = [], [], []
             for qi in range(qids.size):
                 s = sims[qi]

@@ -405,3 +405,39 @@ def test_duplicate_clusters_long_chain_converges_logarithmically(spark):
     assert out._cc_rounds <= 2 * math.log2(n)
     assert {int(r["doc_id"]) for r in rows} == set(range(n))
     assert {int(r["cluster_id"]) for r in rows} == {0}
+
+
+def test_ann_space_types(spark):
+    """knn space_type parity (the reference mapping's l2 default and ip
+    option): l2 ranks == brute euclidean asc with score 1/(1+d²);
+    innerproduct ranks == brute dot desc; cosine unchanged."""
+    import numpy as np
+    import pandas as pd
+
+    from pdf_to_opensearch_spark.ops.similarity import cosine_topk
+
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(60, 16))
+    pdf = pd.DataFrame({"vec_id": np.arange(60),
+                        "embedding": [v.tolist() for v in vecs]})
+    emb = spark.createDataFrame(pdf)
+    qids = [0, 5]
+    for space in ("l2", "innerproduct"):
+        got = (cosine_topk(emb, qids, k=5, space=space).toPandas()
+               .sort_values(["query_id", "rank"], ignore_index=True))
+        for q in qids:
+            if space == "l2":
+                d = np.linalg.norm(vecs - vecs[q], axis=1)
+                score = 1.0 / (1.0 + d * d)
+            else:
+                score = vecs @ vecs[q]
+            order = [i for i in np.lexsort((np.arange(60), -score))
+                     if i != q][:5]
+            sub = got[got.query_id == q]
+            assert list(sub.vec_id) == order, space
+            np.testing.assert_allclose(
+                sub.sim.to_numpy(),
+                np.round(score[order], 6), atol=1e-6)
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        cosine_topk(emb, qids, k=5, space="hamming")

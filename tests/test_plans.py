@@ -213,3 +213,55 @@ def test_fuzzy_expansion_is_one_scan(spark, index_dir):
     tree = plan.split("\n\n")[0]
     assert tree.count("Scan parquet") == 1, tree
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_term_suggest_single_dictionary_expansion_scan(spark, index_dir):
+    """term_suggest expands every source token against ONE broadcast-join
+    dictionary scan (plus at most one more scan for the missing-mode
+    anti-join) — never a per-token scan loop, and nothing joins back to
+    postings or docs."""
+    from pdf_to_opensearch_spark.boolquery import term_suggest
+
+    res = term_suggest(spark, index_dir, "sprak postin merge", size=5)
+    plan = _plan(res)
+    tree = plan.split("\n\n")[0]
+    # candidate scan + missing-mode anti-join scan, both on dictionary
+    assert tree.count("Scan parquet") <= 2, tree
+    assert "SortMergeJoin" not in plan
+
+
+def test_stats_agg_prunes_docs_scan_columns(spark, index_dir):
+    """search_stats must read only (doc_id, text) from the docs table —
+    url/lang/embedding never leave the parquet reader (ReadSchema), and
+    the hit-set aggregation is partial (map-side combined) before its
+    single exchange."""
+    from pdf_to_opensearch_spark.boolquery import search_stats
+
+    res = search_stats(spark, index_dir, [(1, "spark index")],
+                       value_expr="length(text)")
+    plan = _plan(res)
+    schemas = [seg.split("\n")[0] for seg in plan.split("ReadSchema: ")[1:]]
+    docs_schemas = [s for s in schemas if "text" in s]
+    assert docs_schemas, plan
+    for s in docs_schemas:
+        assert "url" not in s and "lang" not in s, s
+    assert "partial_count" in plan or "HashAggregate" in plan
+
+
+def test_top_hits_no_extra_shuffle_beyond_group_join_window(spark,
+                                                            index_dir):
+    """search_top_hits: postings scan grouped once into the kernel, one
+    join against the column-pruned facet scan, one ranked window — no
+    stray exchanges (facet side may broadcast)."""
+    from pdf_to_opensearch_spark.boolquery import search_top_hits
+
+    res = search_top_hits(spark, index_dir, [(1, "spark index")],
+                          facet_col="lang", per_bucket=2)
+    plan = _plan(res)
+    tree = plan.split("\n\n")[0]
+    # range group + (join exchanges if SMJ) + window partition exchange:
+    # allow at most 4, and the docs scan must be pruned to id+facet
+    assert tree.count("Exchange") <= 4, tree
+    schemas = [seg.split("\n")[0] for seg in plan.split("ReadSchema: ")[1:]]
+    facet_schemas = [s for s in schemas if "lang" in s]
+    assert facet_schemas and all("text" not in s for s in facet_schemas)
