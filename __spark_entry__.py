@@ -3329,6 +3329,62 @@ def _j8_delete_requery(spark, sf_dir):
                     "doc_id", F.round("score", 4).alias("score")))
 
 
+# force_merge fixture batch: deterministic appended docs that HIT the
+# reference queries, so compaction visibly changes the ranked lists
+FM_APPEND_TEXTS = [
+    "appended spark join filter merge doc zero",
+    "appended vector stream window batch doc one",
+    "appended customer the slow doc two",
+    "appended spark filter doc three",
+    "appended window batch doc four",
+]
+
+
+def _force_merge_requery(spark, sf_dir):
+    """Segment-compaction round-trip (maintenance.force_merge — the
+    Lucene force-merge analogue for append_batch's trailing micro-ranges):
+    copy the engine index, append a deterministic 5-doc batch (fresh
+    sparse range), compact, and run the BM25 reference queries against
+    the merged snapshot. The oracle scores the appended corpus from
+    scratch — doc_ids, N/avgdl/df and ranks must all survive the
+    re-ranging."""
+    import shutil
+
+    from pdf_to_opensearch_spark.maintenance import force_merge
+    from pdf_to_opensearch_spark.query import search
+    from pdf_to_opensearch_spark.streaming import append_batch
+
+    _ensure_pkg(spark)
+    src = _ensure_engine_index(spark, sf_dir)
+    merged = src + "_fmerged"
+    if merged not in _BUILT_INDEXES:
+        work = src + "_fmwork"
+        shutil.rmtree(work, ignore_errors=True)
+        shutil.rmtree(merged, ignore_errors=True)
+        shutil.copytree(src, work)
+        batch = spark.createDataFrame(
+            [(f"zzz://fm/d{i}", t, "en")
+             for i, t in enumerate(FM_APPEND_TEXTS)],
+            "url string, text string, lang string")
+        append_batch(spark, batch, work, batch_id=0)
+        force_merge(spark, work, merged)
+        _BUILT_INDEXES.add(merged)
+    res = search(spark, merged, list(BM25_QUERIES.items()),
+                 k=BM25_K + _RERANK_MARGIN, prune=True)
+    return _rerank_rounded(res, BM25_K)
+
+
+def _fm_docs_src_sql() -> str:
+    """Oracle corpus for the force-merge entry: documents plus the
+    appended batch at engine-assigned ids (append_batch bases at
+    max(doc_id)+1, batch urls sort in list order)."""
+    vals = ", ".join(f"({i}, '{t}')"
+                     for i, t in enumerate(FM_APPEND_TEXTS))
+    return ("SELECT doc_id, text FROM documents "
+            "UNION ALL SELECT (SELECT max(doc_id) + 1 FROM documents) "
+            f"+ v.i, v.text FROM (VALUES {vals}) AS v(i, text)")
+
+
 def _f4b_overlap_anti(spark, sf_dir):
     from pdf_to_opensearch_spark.ops.spatial import overlap_anti_filter
 
@@ -4291,6 +4347,7 @@ def queries():  # noqa: F811 — extend the registry with the spatial/misc ops
         "dismax_tb_topk": _dismax_tb_topk,
         "regexp_topk": _regexp_topk,
         "boosting_topk": _boosting_topk,
+        "force_merge_requery": _force_merge_requery,
     })
     return _reorder(out)
 
@@ -4327,6 +4384,7 @@ def oracle_sql():  # noqa: F811
                                          tie_breaker=DISMAX_TB),
         "regexp_topk": _regexp_oracle_sql(),
         "boosting_topk": _boosting_oracle_sql(),
+        "force_merge_requery": _bm25_oracle_sql(docs_src=_fm_docs_src_sql()),
         "histogram_facets": _histogram_oracle_sql(),
         "phrase_slop_topk": _phrase_oracle_sql(slop=PHRASE_SLOP),
         "significant_terms": _significant_terms_oracle_sql(),

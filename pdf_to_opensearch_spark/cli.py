@@ -210,6 +210,12 @@ def main(argv: list[str] | None = None, keep_session: bool = False) -> int:
     ap.add_argument("--docs", required=True)
     ap.add_argument("--batch-id", type=int, default=None)
 
+    fm = sub.add_parser("merge", help="force-merge: compact append-created "
+                                      "micro-ranges (doc_ids preserved)")
+    fm.add_argument("--index", required=True)
+    fm.add_argument("--out", required=True)
+    fm.add_argument("--docs-per-range", type=int, default=None)
+
     de = sub.add_parser("delete", help="snapshot the index minus the given "
                                        "urls (affected ranges rebuilt)")
     de.add_argument("--index", required=True)
@@ -474,6 +480,18 @@ def main(argv: list[str] | None = None, keep_session: bool = False) -> int:
             delete_from_index(spark, args.index, args.out, args.urls)
             n = spark.read.parquet(f"{args.out}/docs").count()
             print(json.dumps({"snapshot": args.out, "docs": n}))
+        elif args.cmd == "merge":
+            from pyspark.sql import functions as FF
+
+            from .maintenance import force_merge
+
+            force_merge(spark, args.index, args.out,
+                        docs_per_range=args.docs_per_range)
+            d = spark.read.parquet(f"{args.out}/docs")
+            g = d.agg(FF.count("*").alias("n"),
+                      FF.countDistinct("range_id").alias("r")).collect()[0]
+            print(json.dumps({"merged": args.out, "docs": int(g["n"]),
+                              "ranges": int(g["r"])}))
         return 0
     finally:
         if not keep_session:

@@ -34,7 +34,9 @@ from .query import load_stats
 
 
 def _snapshot_space(spark: SparkSession, src: IndexPaths, dst: IndexPaths,
-                    survivors, affected: set[int]) -> None:
+                    survivors, affected: set[int],
+                    num_ranges: int | None = None,
+                    docs_per_range: int | None = None) -> None:
     """Copy-on-write snapshot of ONE posting space (the root index or a
     per-field space): write the surviving docs, rebuild postings of the
     affected ranges only (unaffected ranges' parquet rows carry over
@@ -43,7 +45,8 @@ def _snapshot_space(spark: SparkSession, src: IndexPaths, dst: IndexPaths,
     (doc_id, text, range_id, dl)."""
     stats = load_stats(spark, src.root)
     st_row = spark.read.parquet(src.stats).collect()[0]
-    docs_per_range = int(st_row["docs_per_range"])
+    docs_per_range = docs_per_range or int(st_row["docs_per_range"])
+    num_ranges = num_ranges or int(st_row["num_ranges"])
     n_buckets = int(st_row["n_buckets"])
 
     # keep range_id in the snapshot: the ranges remain the SPIMI unit
@@ -87,7 +90,7 @@ def _snapshot_space(spark: SparkSession, src: IndexPaths, dst: IndexPaths,
         "N": N_s, "avgdl": (sum_dl / N_s) if N_s else 0.0,
         "avgdl_build": stats.avgdl_build,
         "docs_per_range": docs_per_range,
-        "num_ranges": int(st_row["num_ranges"]), "n_buckets": n_buckets,
+        "num_ranges": num_ranges, "n_buckets": n_buckets,
         "analyzer_version": ANALYZER_VERSION,
         "k1": stats.k1, "b": stats.b,
     }])
@@ -155,6 +158,75 @@ def delete_from_index(spark: SparkSession, index_dir: str, out_dir: str,
             f_surv = (spark.read.parquet(fsrc.docs)
                       .join(F.broadcast(doomed_ids), "doc_id", "left_anti"))
             _snapshot_space(spark, fsrc, fdst, f_surv, affected)
+    return dst
+
+
+def force_merge(spark: SparkSession, index_dir: str, out_dir: str,
+                docs_per_range: int | None = None) -> IndexPaths:
+    """Lucene force-merge analogue for the :func:`~.streaming.append_batch`
+    path: every micro-batch appends fresh trailing ranges (tiny segments),
+    and a long append history degrades query fan-out exactly like Lucene
+    segment proliferation. Compaction re-assigns ranges densely
+    (``range_id = doc_id // docs_per_range``) while PRESERVING doc_ids —
+    external references stay valid, unlike :func:`reingest`, which
+    renumbers from the source of truth.
+
+    Copy-on-write like :func:`delete_from_index`: only ranges whose doc
+    membership CHANGED are re-SPIMI'd; a range whose membership is
+    identical under the new assignment carries its postings parquet rows
+    over untouched (the common case for the original build's full
+    ranges). Field posting spaces compact the same way — same doc_ids,
+    same new range map, same affected set.
+
+    The changed-range detection is three O(num_ranges) aggregates
+    collected to the driver — at 10^12 docs / 10^6 ranges that is
+    megabytes, not a data-scale collect.
+    """
+    src = IndexPaths(index_dir)
+    dst = IndexPaths(out_dir)
+    st_row = spark.read.parquet(src.stats).collect()[0]
+    dpr = docs_per_range or int(st_row["docs_per_range"])
+
+    docs = spark.read.parquet(src.docs)
+    if "range_id" not in docs.columns:  # legacy fixed-width ranges
+        docs = docs.withColumn(
+            "range_id", (F.col("doc_id") / F.lit(dpr)).cast("int"))
+    remapped = docs.withColumn(
+        "new_range", (F.col("doc_id") / F.lit(dpr)).cast("int"))
+    # a range value r carries over iff its membership is unchanged:
+    # |old r| == |new r| == |docs where old == new == r|
+    pairs = remapped.select("range_id", "new_range").persist()
+    old_c = {int(r["range_id"]): int(r["c"]) for r in
+             pairs.groupBy("range_id").agg(F.count("*").alias("c"))
+             .collect()}
+    new_c = {int(r["new_range"]): int(r["c"]) for r in
+             pairs.groupBy("new_range").agg(F.count("*").alias("c"))
+             .collect()}
+    same_c = {int(r["range_id"]): int(r["c"]) for r in
+              pairs.filter(F.col("range_id") == F.col("new_range"))
+              .groupBy("range_id").agg(F.count("*").alias("c"))
+              .collect()}
+    pairs.unpersist()
+    affected = {r for r in set(old_c) | set(new_c)
+                if not (old_c.get(r, 0) == new_c.get(r, 0)
+                        == same_c.get(r, 0))}
+    n_ranges = max(new_c) + 1 if new_c else 0
+
+    survivors = (remapped.drop("range_id")
+                 .withColumnRenamed("new_range", "range_id"))
+    _snapshot_space(spark, src, dst, survivors, affected,
+                    num_ranges=n_ranges, docs_per_range=dpr)
+
+    from .fields import field_root, list_field_roots
+
+    for fname in list_field_roots(spark, index_dir):
+        fsrc = IndexPaths(field_root(index_dir, fname))
+        fdst = IndexPaths(field_root(out_dir, fname))
+        f_docs = spark.read.parquet(fsrc.docs)
+        f_surv = f_docs.withColumn(
+            "range_id", (F.col("doc_id") / F.lit(dpr)).cast("int"))
+        _snapshot_space(spark, fsrc, fdst, f_surv, affected,
+                        num_ranges=n_ranges, docs_per_range=dpr)
     return dst
 
 

@@ -277,3 +277,107 @@ def test_running_user_totals_state_survives_batches(spark, tmp_path):
     assert final.loc[0, "total"] == 15 and final.loc[0, "batches"] == 2
     assert final.loc[1, "total"] == 15 and final.loc[1, "batches"] == 2
     assert final.loc[2, "total"] == 10 and final.loc[2, "batches"] == 1
+
+
+def test_force_merge_compacts_appends(spark, tmp_path):
+    """force_merge: after micro-batch appends, compaction preserves
+    doc_ids and bit-identical query results while densifying ranges;
+    unchanged original ranges carry their postings rows over."""
+    import numpy as np
+    import pandas as pd
+
+    from pdf_to_opensearch_spark.extract import extract_docs
+    from pdf_to_opensearch_spark.indexer import build_index
+    from pdf_to_opensearch_spark.maintenance import force_merge
+    from pdf_to_opensearch_spark.query import search
+    from pdf_to_opensearch_spark.streaming import append_batch
+    from pdf_to_opensearch_spark.synth import make_pages
+
+    root = str(tmp_path / "fm_idx")
+    pages = make_pages(spark, n_docs=120, seed=3, partitions=4)
+    build_index(spark, extract_docs(pages), root, num_ranges=4,
+                n_buckets=8, id_partitions=4)
+    for b in range(3):  # three tiny appends -> three sparse ranges
+        batch = spark.createDataFrame(pd.DataFrame({
+            "url": [f"app://b{b}/d{i}" for i in range(7)],
+            "text": [f"appended spark batch{b} doc {i} merge index"
+                     for i in range(7)],
+            "lang": ["en"] * 7,
+        }))
+        assert append_batch(spark, batch, root, batch_id=b) == 7
+
+    docs0 = spark.read.parquet(f"{root}/docs")
+    n_ranges_before = docs0.select("range_id").distinct().count()
+    qs = [(1, "spark index"), (2, "appended merge"), (3, "batch1")]
+    before = (search(spark, root, qs, k=20, prune=False).toPandas()
+              .sort_values(["query_id", "rank"], ignore_index=True))
+
+    out = str(tmp_path / "fm_out")
+    force_merge(spark, root, out)
+
+    docs1 = spark.read.parquet(f"{out}/docs")
+    # doc_ids preserved exactly
+    assert sorted(docs1.select("doc_id").toPandas().doc_id) == \
+        sorted(docs0.select("doc_id").toPandas().doc_id)
+    n_ranges_after = docs1.select("range_id").distinct().count()
+    assert n_ranges_after < n_ranges_before
+    # dense assignment
+    st = spark.read.parquet(f"{out}/stats").collect()[0]
+    dpr = int(st["docs_per_range"])
+    got_ranges = docs1.selectExpr(
+        "doc_id", "range_id", f"cast(doc_id / {dpr} as int) AS want")
+    assert got_ranges.filter("range_id <> want").count() == 0
+    # bit-identical query results (N/avgdl/df unchanged by compaction)
+    after = (search(spark, out, qs, k=20, prune=False).toPandas()
+             .sort_values(["query_id", "rank"], ignore_index=True))
+    assert list(before.doc_id) == list(after.doc_id)
+    np.testing.assert_array_equal(before.score.to_numpy(),
+                                  after.score.to_numpy())
+    # range 0's membership is unchanged -> its postings carried over
+    p0_before = (spark.read.parquet(f"{root}/postings")
+                 .filter("range_id = 0").select("term", "n")
+                 .toPandas().sort_values("term", ignore_index=True))
+    p0_after = (spark.read.parquet(f"{out}/postings")
+                .filter("range_id = 0").select("term", "n")
+                .toPandas().sort_values("term", ignore_index=True))
+    pd.testing.assert_frame_equal(p0_before, p0_after)
+
+
+def test_force_merge_carries_field_spaces(spark, tmp_path):
+    """Compaction rebuilds per-field posting spaces consistently:
+    search_field on the merged snapshot equals pre-merge results."""
+    import pandas as pd
+
+    from pdf_to_opensearch_spark.extract import extract_docs
+    from pdf_to_opensearch_spark.fields import build_field_index, search_field
+    from pdf_to_opensearch_spark.indexer import build_index
+    from pdf_to_opensearch_spark.maintenance import force_merge
+    from pdf_to_opensearch_spark.streaming import append_batch
+    from pdf_to_opensearch_spark.synth import make_pages
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "fmf_idx")
+    pages = make_pages(spark, n_docs=80, seed=9, partitions=2)
+    d = extract_docs(pages).withColumn(
+        "text_prev",
+        F.coalesce(F.lag("text").over(Window.orderBy("url")), F.lit("")))
+    build_index(spark, d, root, num_ranges=3, n_buckets=8, id_partitions=2)
+    build_field_index(spark, root, "text_prev")
+    batch = spark.createDataFrame(pd.DataFrame({
+        "url": [f"app://f/d{i}" for i in range(5)],
+        "text": [f"field appended doc {i}" for i in range(5)],
+        "lang": ["en"] * 5,
+    }))
+    append_batch(spark, batch, root, batch_id=0)
+    # appended docs are absent from the field space (built pre-append):
+    # compaction must carry the field's own docs, not invent rows
+    qs = [(1, "spark index")]
+    before = search_field(spark, root, "text_prev", qs, k=10,
+                          prune=False).toPandas()
+    out = str(tmp_path / "fmf_out")
+    force_merge(spark, root, out)
+    after = search_field(spark, out, "text_prev", qs, k=10,
+                         prune=False).toPandas()
+    assert list(before.doc_id) == list(after.doc_id)
+    assert list(before.score) == list(after.score)
