@@ -1263,6 +1263,119 @@ def _wildcard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_expansions=WILDCARD_MAX_EXP), BM25_K)
 
 
+RESCORE_WINDOW = 20
+RESCORE_QW = 1.0
+RESCORE_RQW = 0.5
+# main match query + secondary match_phrase rescore, keyed identically
+RESCORE_QUERIES: dict[int, dict] = {
+    1: {"query": "spark join filter", "rescore": "table hash"},
+    2: {"query": "vector stream window batch", "rescore": "merge group"},
+    3: {"query": "customer the slow", "rescore": "customer join"},
+}
+
+
+def _rescore_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``rescore`` block: top-RESCORE_WINDOW match hits re-ranked by
+    qw·match + rqw·phrase (window on rounded scores — the engine's
+    deterministic contract) — boolquery.rescore."""
+    _ensure_pkg(spark)
+    from pdf_to_opensearch_spark.boolquery import rescore
+
+    out = _ensure_engine_index(spark, sf_dir)
+    res = rescore(spark, out, list(RESCORE_QUERIES.items()), k=BM25_K,
+                  window_size=RESCORE_WINDOW, query_weight=RESCORE_QW,
+                  rescore_weight=RESCORE_RQW)
+    return res.select("query_id", F.col("rank").cast("int").alias("rank"),
+                      "doc_id", "score")
+
+
+def _rescore_oracle_sql() -> str:
+    """Rescore oracle: rounded BM25 window (top-RESCORE_WINDOW by
+    (score desc, doc_id)) left-joined to the rounded phrase scores of
+    the paired match_phrase, combined qw·b + rqw·p, rounded, ranked."""
+    qvals = ", ".join(
+        f"({qid}, '{t}')"
+        for qid, t in sorted({(qid, t)
+                              for qid, s in RESCORE_QUERIES.items()
+                              for t in s["query"].split()}))
+    parts = []
+    for qid, spec in sorted(RESCORE_QUERIES.items()):
+        ts = spec["rescore"].split()
+        cond = " AND ".join(f"t[i+{j}] = '{t}'" for j, t in enumerate(ts))
+        pf_expr = (f"len(list_filter(range(1, len(t) - {len(ts) - 2}),"
+                   f" i -> {cond}))")
+        terms_arr = ", ".join(f"'{t}'" for t in ts)
+        parts.append(f"""
+  SELECT {qid} AS query_id, doc_id, len(t)::DOUBLE AS dl,
+         {pf_expr}::DOUBLE AS pf, [{terms_arr}] AS qterms
+  FROM toksl""")
+    pf_body = "\n  UNION ALL\n".join(parts)
+    return f"""
+WITH docs0 AS (SELECT * FROM documents),
+toksl AS (SELECT doc_id, {_TOKS_SQL} AS t FROM docs0),
+toks AS (SELECT doc_id, unnest(t) AS term FROM toksl),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, len(t)::DOUBLE AS dl FROM toksl),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+q(query_id, term) AS (VALUES {qvals}),
+dfreq AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tf
+  WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY 1
+),
+scores_b AS (
+  SELECT q.query_id, tf.doc_id,
+         round(sum( ln(1.0 + (s.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                    * tf.tf * 2.2
+                    / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) ),
+               4) AS score
+  FROM tf
+  JOIN q USING (term) JOIN dfreq USING (term) JOIN dl USING (doc_id)
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+winw AS (
+  SELECT query_id, doc_id, score FROM (
+    SELECT query_id, doc_id, score,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, doc_id) AS rw
+    FROM scores_b
+  ) WHERE rw <= {RESCORE_WINDOW}
+),
+pf AS ({pf_body}),
+term_df AS (
+  SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM toks GROUP BY 1
+),
+idfs AS (
+  SELECT p.query_id,
+         sum(ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))) AS sum_idf
+  FROM (SELECT DISTINCT query_id, unnest(qterms) AS term FROM pf) p
+  JOIN term_df d USING (term) CROSS JOIN stats s
+  GROUP BY 1
+),
+scores_p AS (
+  SELECT pf.query_id, pf.doc_id,
+         round(i.sum_idf * pf.pf * 2.2
+               / (pf.pf + 1.2 * (1.0 - 0.75 + 0.75 * pf.dl / s.avgdl)),
+               4) AS score
+  FROM pf JOIN idfs i USING (query_id) CROSS JOIN stats s
+  WHERE pf.pf >= 1
+),
+comb AS (
+  SELECT w.query_id, w.doc_id,
+         round({RESCORE_QW!r} * w.score
+               + {RESCORE_RQW!r} * coalesce(p.score, 0.0), 4) AS score
+  FROM winw w LEFT JOIN scores_p p USING (query_id, doc_id)
+)
+SELECT query_id, rank, doc_id, score FROM (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id)::INTEGER AS rank,
+         doc_id, score
+  FROM comb
+) WHERE rank <= {BM25_K}
+"""
+
+
 BOOSTING_QUERIES: dict[int, dict] = {
     1: {"positive": "spark join filter", "negative": "slow"},
     2: {"positive": "vector stream window batch", "negative": "scan sort"},
@@ -4348,6 +4461,7 @@ def queries():  # noqa: F811 — extend the registry with the spatial/misc ops
         "regexp_topk": _regexp_topk,
         "boosting_topk": _boosting_topk,
         "force_merge_requery": _force_merge_requery,
+        "rescore_topk": _rescore_topk,
     })
     return _reorder(out)
 
@@ -4385,6 +4499,7 @@ def oracle_sql():  # noqa: F811
         "regexp_topk": _regexp_oracle_sql(),
         "boosting_topk": _boosting_oracle_sql(),
         "force_merge_requery": _bm25_oracle_sql(docs_src=_fm_docs_src_sql()),
+        "rescore_topk": _rescore_oracle_sql(),
         "histogram_facets": _histogram_oracle_sql(),
         "phrase_slop_topk": _phrase_oracle_sql(slop=PHRASE_SLOP),
         "significant_terms": _significant_terms_oracle_sql(),

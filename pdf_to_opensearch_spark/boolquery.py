@@ -1006,3 +1006,51 @@ def boosting_search(spark: SparkSession, index_dir: str,
                  .applyInPandas(lambda pdf: kernel(pdf),
                                 schema=RESULT_SCHEMA))
     return _ranked_topk(per_range, k)
+
+
+# --------------------------------------------------------------- rescore
+
+def rescore(spark: SparkSession, index_dir: str,
+            queries: list[tuple[int, dict]], k: int = 10,
+            window_size: int = 20, query_weight: float = 1.0,
+            rescore_weight: float = 1.0) -> DataFrame:
+    """The OpenSearch ``rescore`` block: re-rank only the top
+    ``window_size`` hits of the main match query with a secondary
+    match_phrase query — ``score = query_weight · match +
+    rescore_weight · phrase`` inside the window, hits outside the window
+    keep their original order semantics by never entering.
+
+    ``queries``: [(query_id, {"query": text, "rescore": phrase})].
+
+    Determinism contract: the window is selected on 4-dp-ROUNDED match
+    scores (doc_id tie-break) and both legs contribute rounded — the
+    float-representation-stable ordering this engine exposes at every
+    oracle-checked surface (raw-score window boundaries are float-noise
+    races by construction). Physical shape: the match leg is the
+    standard k=window over-fetch, the phrase leg scores its full match
+    set once (same cost class as one phrase query), and the combine is
+    one broadcast-size join over ≤ window_size·queries rows.
+    """
+    from .query import phrase_search, search
+
+    main_qs = [(int(qid), spec.get("query", "")) for qid, spec in queries]
+    ph_qs = [(int(qid), spec.get("rescore", "")) for qid, spec in queries]
+    margin = 50  # rounded-tie over-fetch, same contract as the entries
+    base = search(spark, index_dir, main_qs, k=window_size + margin,
+                  prune=True)
+    w0 = Window.partitionBy("query_id").orderBy(
+        F.col("score_r").desc(), F.col("doc_id").asc())
+    winw = (base.withColumn("score_r", F.round("score", 4))
+            .withColumn("rw", F.row_number().over(w0))
+            .filter(F.col("rw") <= window_size)
+            .select("query_id", "doc_id", "score_r"))
+    ph = (phrase_search(spark, index_dir, ph_qs, k=1 << 30)
+          .select("query_id", "doc_id",
+                  F.round("score", 4).alias("ph_score")))
+    comb = (winw.join(ph, ["query_id", "doc_id"], "left")
+            .withColumn("score",
+                        F.round(F.lit(float(query_weight)) * F.col("score_r")
+                                + F.lit(float(rescore_weight))
+                                * F.coalesce(F.col("ph_score"), F.lit(0.0)),
+                                4)))
+    return _ranked_topk(comb, k)

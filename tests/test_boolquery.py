@@ -545,3 +545,38 @@ def test_boosting_demotes_not_excludes(spark, index_dir, corpus):
     noop = boosting_search(spark, index_dir, [(1, spec)], k=K,
                            negative_boost=1.0).toPandas()
     assert list(plain.doc_id) == list(noop.doc_id)
+
+
+def test_rescore_window_semantics(spark, index_dir, corpus):
+    """rescore: only the top-window docs compete, combined score is
+    qw·rounded(match) + rqw·rounded(phrase), and a doc outside the
+    window never enters even with a strong phrase match."""
+    from pdf_to_opensearch_spark.boolquery import rescore
+
+    _, oracle = corpus
+    spec = {"query": "spark posting merge", "rescore": "spark posting"}
+    W, kk, qw, rqw = 15, 10, 1.0, 0.5
+    got = (rescore(spark, index_dir, [(1, spec)], k=kk, window_size=W,
+                   query_weight=qw, rescore_weight=rqw)
+           .toPandas().sort_values("rank", ignore_index=True))
+    # brute: rounded match scores -> window -> + rounded phrase.
+    # HALF_UP quantization — Spark's F.round, not Python's banker's
+    # round: rqw=0.5 times a 4-dp value lands exactly on the .00005
+    # boundary, so the rounding rule is load-bearing here
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def _r4(v: float) -> float:
+        return float(Decimal(repr(float(v)))
+                     .quantize(Decimal("0.0001"), rounding=ROUND_HALF_UP))
+
+    m = oracle.search(spec["query"], k=oracle.N)
+    m_r = sorted(((-_r4(s), d) for d, s in m))
+    window = [(d, -ns) for ns, d in m_r[:W]]
+    ph = dict(oracle.phrase_search(spec["rescore"], k=oracle.N))
+    comb = sorted(
+        ((-_r4(qw * s + rqw * _r4(ph.get(d, 0.0))), d)
+         for d, s in window))
+    want = [(d, -ns) for ns, d in comb[:kk]]
+    assert list(got.doc_id) == [d for d, _ in want]
+    np.testing.assert_allclose(got.score, [s for _, s in want], atol=1e-9)
+    assert set(got.doc_id) <= {d for d, _ in window}
