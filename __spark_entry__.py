@@ -1263,6 +1263,166 @@ def _wildcard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_expansions=WILDCARD_MAX_EXP), BM25_K)
 
 
+QS_QUERIES: dict[int, str] = {
+    1: '+spark join filter -slow "table hash"',
+    2: 'vector stream +batch wind*',
+    3: '"customer join" -dup merge',
+}
+QS_MAX_EXP = 50
+
+
+def _query_string_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene query_string mini-language — +must / -must_not / "phrase" /
+    wild* / bare should — composed from the engine's own kernels
+    (boolquery.query_string_search): term leg through the TAAT kernel
+    with range-local clause constraints, phrase leg through the phrase
+    kernel, full-outer sum combine."""
+    _ensure_pkg(spark)
+    from pdf_to_opensearch_spark.boolquery import query_string_search
+
+    out = _ensure_engine_index(spark, sf_dir)
+    res = query_string_search(spark, out, list(QS_QUERIES.items()),
+                              k=BM25_K + _RERANK_MARGIN,
+                              max_expansions=QS_MAX_EXP)
+    return _rerank_rounded(res, BM25_K)
+
+
+def _qs_oracle_sql() -> str:
+    """query_string oracle: weight-1 BM25 over bare + wildcard-expanded
+    terms with must/must_not constraints (bool-oracle pattern), plus
+    per-phrase BM25-phrase scores summed per doc, full-outer combined;
+    phrase-only docs qualify only for must-free queries and never past
+    a must_not term."""
+    from pdf_to_opensearch_spark.boolquery import parse_query_string
+
+    parsed = {qid: parse_query_string(q) for qid, q in QS_QUERIES.items()}
+    bare_vals = ", ".join(
+        f"({qid}, '{t}')" for qid in sorted(parsed)
+        for t in sorted(set(parsed[qid][0]) | set(parsed[qid][2]))) \
+        or "(-1, '')"
+    pat_vals = ", ".join(
+        f"({qid}, '{w}')" for qid in sorted(parsed)
+        for w in parsed[qid][3]) or "(-1, '')"
+    must_vals = ", ".join(
+        f"({qid}, '{t}')" for qid in sorted(parsed)
+        for t in sorted(set(parsed[qid][0]))) or "(-1, '')"
+    not_vals = ", ".join(
+        f"({qid}, '{t}')" for qid in sorted(parsed)
+        for t in sorted(set(parsed[qid][1]))) or "(-1, '')"
+    pf_parts = []
+    for qid in sorted(parsed):
+        for pid, phrase in enumerate(parsed[qid][4]):
+            ts = phrase.split()
+            cond = " AND ".join(f"t[i+{j}] = '{t}'"
+                                for j, t in enumerate(ts))
+            pf_expr = (f"len(list_filter(range(1, len(t) - {len(ts) - 2}),"
+                       f" i -> {cond}))")
+            terms_arr = ", ".join(f"'{t}'" for t in ts)
+            pf_parts.append(f"""
+  SELECT {qid} AS query_id, {pid} AS pid, doc_id, len(t)::DOUBLE AS dl,
+         {pf_expr}::DOUBLE AS pf, [{terms_arr}] AS qterms
+  FROM toksl""")
+    pf_body = "\n  UNION ALL\n".join(pf_parts) or """
+  SELECT -1 AS query_id, 0 AS pid, doc_id, len(t)::DOUBLE AS dl,
+         0.0 AS pf, ['x'] AS qterms FROM toksl WHERE false"""
+    return f"""
+WITH docs0 AS (SELECT * FROM documents),
+toksl AS (SELECT doc_id, {_TOKS_SQL} AS t FROM docs0),
+toks AS (SELECT doc_id, unnest(t) AS term FROM toksl),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, len(t)::DOUBLE AS dl FROM toksl),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+vocab AS (SELECT DISTINCT term FROM toks),
+qb(query_id, term) AS (VALUES {bare_vals}),
+pats(query_id, pat) AS (VALUES {pat_vals}),
+expq AS (
+  SELECT p.query_id, v.term,
+         row_number() OVER (PARTITION BY p.query_id, p.pat
+                            ORDER BY v.term) AS rn
+  FROM pats p JOIN vocab v ON v.term LIKE p.pat
+),
+q AS (SELECT query_id, term FROM qb WHERE query_id >= 0
+      UNION ALL
+      SELECT query_id, term FROM expq WHERE rn <= {QS_MAX_EXP}),
+musts(query_id, term) AS (VALUES {must_vals}),
+nots(query_id, term) AS (VALUES {not_vals}),
+dfreq AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tf
+  WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY 1
+),
+scores_b AS (
+  SELECT q.query_id, tf.doc_id,
+         sum( ln(1.0 + (s.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+              * tf.tf * 2.2
+              / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) )
+         AS score
+  FROM tf
+  JOIN q USING (term) JOIN dfreq USING (term) JOIN dl USING (doc_id)
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+must_cnt AS (SELECT query_id, count(DISTINCT term) AS nm
+             FROM musts WHERE query_id >= 0 GROUP BY 1),
+must_ok AS (
+  SELECT m.query_id, tf.doc_id
+  FROM musts m JOIN tf USING (term)
+       JOIN must_cnt mc ON mc.query_id = m.query_id
+  GROUP BY 1, 2
+  HAVING count(DISTINCT term) = max(mc.nm)
+),
+qual_b AS (
+  SELECT s.* FROM scores_b s
+  WHERE (s.query_id NOT IN (SELECT query_id FROM must_cnt)
+         OR EXISTS (SELECT 1 FROM must_ok mo
+                    WHERE mo.query_id = s.query_id
+                      AND mo.doc_id = s.doc_id))
+    AND NOT EXISTS (SELECT 1 FROM nots n JOIN tf t2 ON t2.term = n.term
+                    WHERE n.query_id = s.query_id
+                      AND t2.doc_id = s.doc_id)
+),
+pf AS ({pf_body}),
+term_df AS (
+  SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM toks GROUP BY 1
+),
+idfs AS (
+  SELECT p.query_id, p.pid,
+         sum(ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))) AS sum_idf
+  FROM (SELECT DISTINCT query_id, pid, unnest(qterms) AS term FROM pf) p
+  JOIN term_df d USING (term) CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+pscores AS (
+  SELECT query_id, doc_id, sum(score) AS score FROM (
+    SELECT pf.query_id, pf.doc_id,
+           i.sum_idf * pf.pf * 2.2
+           / (pf.pf + 1.2 * (1.0 - 0.75 + 0.75 * pf.dl / s.avgdl)) AS score
+    FROM pf JOIN idfs i ON i.query_id = pf.query_id AND i.pid = pf.pid
+    CROSS JOIN stats s
+    WHERE pf.pf >= 1
+  ) GROUP BY 1, 2
+),
+comb AS (
+  SELECT coalesce(b.query_id, p.query_id) AS query_id,
+         coalesce(b.doc_id, p.doc_id) AS doc_id,
+         round(coalesce(b.score, 0.0) + coalesce(p.score, 0.0), 4) AS score
+  FROM qual_b b FULL JOIN pscores p
+    ON b.query_id = p.query_id AND b.doc_id = p.doc_id
+  WHERE b.doc_id IS NOT NULL
+     OR (p.query_id NOT IN (SELECT query_id FROM must_cnt)
+         AND NOT EXISTS (SELECT 1 FROM nots n JOIN tf t2 ON t2.term = n.term
+                         WHERE n.query_id = p.query_id
+                           AND t2.doc_id = p.doc_id))
+)
+SELECT query_id, rank, doc_id, score FROM (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id)::INTEGER AS rank,
+         doc_id, score
+  FROM comb
+) WHERE rank <= {BM25_K}
+"""
+
+
 RESCORE_WINDOW = 20
 RESCORE_QW = 1.0
 RESCORE_RQW = 0.5
@@ -4462,6 +4622,7 @@ def queries():  # noqa: F811 — extend the registry with the spatial/misc ops
         "boosting_topk": _boosting_topk,
         "force_merge_requery": _force_merge_requery,
         "rescore_topk": _rescore_topk,
+        "query_string_topk": _query_string_topk,
     })
     return _reorder(out)
 
@@ -4500,6 +4661,7 @@ def oracle_sql():  # noqa: F811
         "boosting_topk": _boosting_oracle_sql(),
         "force_merge_requery": _bm25_oracle_sql(docs_src=_fm_docs_src_sql()),
         "rescore_topk": _rescore_oracle_sql(),
+        "query_string_topk": _qs_oracle_sql(),
         "histogram_facets": _histogram_oracle_sql(),
         "phrase_slop_topk": _phrase_oracle_sql(slop=PHRASE_SLOP),
         "significant_terms": _significant_terms_oracle_sql(),

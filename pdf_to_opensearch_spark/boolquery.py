@@ -1054,3 +1054,172 @@ def rescore(spark: SparkSession, index_dir: str,
                                 * F.coalesce(F.col("ph_score"), F.lit(0.0)),
                                 4)))
     return _ranked_topk(comb, k)
+
+
+# ----------------------------------------------------------- query_string
+
+_QS_PHRASE = __import__("re").compile(r'"([^"]*)"')
+
+
+def parse_query_string(raw: str) -> tuple:
+    """Parse the query_string mini-language into clause lists:
+    ``+tok`` must, ``-tok`` must_not, ``"..."`` phrase (should),
+    ``tok*``/``t?k`` wildcard (should), bare ``tok`` should. Tokens run
+    through the frozen analyzer; a raw token that analyzes to several
+    terms contributes them all to its clause. Returns
+    (must, must_not, should, wildcards, phrases)."""
+    phrases = [p for p in _QS_PHRASE.findall(raw) if tokenize_text(p)]
+    rest = _QS_PHRASE.sub(" ", raw)
+    must: list[str] = []
+    must_not: list[str] = []
+    should: list[str] = []
+    wilds: list[str] = []
+    for tok in rest.split():
+        target = should
+        if tok.startswith("+"):
+            target, tok = must, tok[1:]
+        elif tok.startswith("-"):
+            target, tok = must_not, tok[1:]
+        if not tok:
+            continue
+        low = tok.lower()
+        if (("*" in low or "?" in low) and target is should
+                and set(low) <= _WILDCARD_OK):
+            wilds.append(low.replace("*", "%").replace("?", "_"))
+            continue
+        target.extend(tokenize_text(tok))
+    return must, must_not, should, wilds, phrases
+
+
+def query_string_search(spark: SparkSession, index_dir: str,
+                        queries: list[tuple[int, str]], k: int = 10,
+                        max_expansions: int = 50) -> DataFrame:
+    """Lucene query_string: the user-facing mini-language over every
+    clause type this engine serves — ``+spark -slow "exact phrase"
+    wild* bare`` — composed from the SAME kernels as the standalone
+    surfaces (the reference's search body is hand-built bool JSON,
+    opensearch_loader.py:430-441; query_string is what a human types
+    into the search box in front of it).
+
+    Scoring contract: score = Σ term-clause BM25 (must + should +
+    wildcard expansions, occurrence-weighted idf) + Σ phrase scores;
+    must terms constrain AND score; must_not terms exclude; phrases and
+    wildcards are should-clauses. A doc matching ONLY phrases qualifies
+    when the query has no must terms.
+
+    Physical shape: ONE dictionary pass for terms, one LIKE-pushdown
+    pass for wildcard patterns, the standard per-range TAAT kernel
+    (k=∞, bool constraints range-local) full-outer-combined with the
+    phrase kernel's match set — no new shuffle classes.
+    """
+    from .query import _weighted_qinfo, phrase_search
+
+    paths = IndexPaths(index_dir)
+    stats = load_stats(spark, index_dir)
+    parsed = {int(qid): parse_query_string(text) for qid, text in queries}
+    all_terms = sorted({t for m, n, s, _w, _p in parsed.values()
+                        for t in m + n + s})
+    pats = sorted({(qid, w) for qid, (_m, _n, _s, ws, _p) in parsed.items()
+                   for w in ws})
+    dfs: dict[str, int] = {}
+    if all_terms:
+        dict_rows = _filter_in(spark.read.parquet(paths.dictionary),
+                               "term", all_terms).collect()
+        dfs = {r["term"]: int(r["df"]) for r in dict_rows}
+    exp: dict[int, list[tuple[str, int]]] = {}
+    if pats:
+        pat_df = spark.createDataFrame(list(pats), "query_id int, pat string")
+        wexp = Window.partitionBy("query_id", "pat").orderBy("term")
+        rows = (spark.read.parquet(paths.dictionary)
+                .join(F.broadcast(pat_df))
+                .filter(F.expr("term LIKE pat"))
+                .withColumn("rn", F.row_number().over(wexp))
+                .filter(F.col("rn") <= max_expansions)
+                .select("query_id", "term", "df").collect())
+        for r in rows:
+            exp.setdefault(int(r["query_id"]), []).append(
+                (r["term"], int(r["df"])))
+
+    qinfo: dict[int, dict] = {}
+    constraints: dict[int, tuple] = {}
+    phrase_map: dict[int, list[str]] = {}
+    for qid, (must, mnot, should, _w, phrases) in parsed.items():
+        if must and any(t not in dfs for t in must):
+            continue  # a required term is absent: the query matches nothing
+        constraints[qid] = (tuple(sorted(set(must))),
+                            tuple(sorted({t for t in mnot if t in dfs})))
+        ti: dict[str, float] = {}
+        for t, c in Counter(must + should).items():
+            if t in dfs:
+                ti[t] = (ti.get(t, 0.0)
+                         + c * float(idf_fn(stats.N, np.array([dfs[t]]))[0]))
+        for t, df in exp.get(qid, []):
+            ti[t] = (ti.get(t, 0.0)
+                     + float(idf_fn(stats.N, np.array([df]))[0]))
+        if ti:
+            qinfo[qid] = ti
+        if phrases:
+            phrase_map[qid] = phrases
+    bool_spec = {qid: constraints[qid] for qid in qinfo}
+
+    out_schema = RANKED
+    legs = []
+    if qinfo:
+        live = sorted({t for ti in qinfo.values() for t in ti}
+                      | {t for _m, ns in bool_spec.values() for t in ns})
+        postings = _pruned_postings(spark, paths, stats.n_buckets, live)
+        leg1 = (postings.groupBy("range_id")
+                .applyInPandas(_score_kernel(qinfo, 1 << 31, stats,
+                                             prune=False,
+                                             bool_spec=bool_spec),
+                               schema=RESULT_SCHEMA))
+        legs.append(("terms", leg1))
+    ph_qs = [(qid * 1000 + j, p) for qid, ps in phrase_map.items()
+             for j, p in enumerate(ps)]
+    if ph_qs:
+        ph = (phrase_search(spark, index_dir, ph_qs, k=1 << 30)
+              .withColumn("query_id",
+                          (F.col("query_id") / 1000).cast("int"))
+              .groupBy("query_id", "doc_id")
+              .agg(F.sum("score").alias("score")))
+        legs.append(("phrase", ph))
+    if not legs:
+        return spark.createDataFrame([], out_schema)
+
+    must_qids = [qid for qid, (ms, _ns) in constraints.items() if ms]
+    not_map = {qid: " ".join(ns) for qid, (_m, ns) in constraints.items()
+               if ns}
+
+    def constrain_phrase_only(df):
+        # phrase-only docs: excluded when the query has must terms (a
+        # qualifying doc would carry them and land in the term leg);
+        # must_not applies regardless
+        out = (df.filter(~F.col("query_id").isin(must_qids))
+               if must_qids else df)
+        if not_map:
+            mn = _match_docs(spark, paths, stats,
+                             [(qid, txt) for qid, txt in not_map.items()])
+            if mn is not None:
+                out = out.join(mn, ["query_id", "doc_id"], "left_anti")
+        return out
+
+    leg_map = dict(legs)
+    if "terms" in leg_map and "phrase" in leg_map:
+        l1 = leg_map["terms"].select("query_id", "doc_id",
+                                     F.col("score").alias("s1"))
+        l2 = leg_map["phrase"].select("query_id", "doc_id",
+                                      F.col("score").alias("s2"))
+        j = l1.join(l2, ["query_id", "doc_id"], "full_outer")
+        in_leg1 = j.filter(F.col("s1").isNotNull())
+        only2 = constrain_phrase_only(j.filter(F.col("s1").isNull()))
+        combined = (in_leg1.unionByName(only2)
+                    .withColumn("score",
+                                F.coalesce("s1", F.lit(0.0))
+                                + F.coalesce("s2", F.lit(0.0)))
+                    .select("query_id", "doc_id", "score"))
+    elif "phrase" in leg_map:
+        combined = constrain_phrase_only(
+            leg_map["phrase"].select("query_id", "doc_id", "score"))
+    else:
+        combined = leg_map["terms"].select("query_id", "doc_id", "score")
+    return _ranked_topk(combined, k)

@@ -158,6 +158,13 @@ def main(argv: list[str] | None = None, keep_session: bool = False) -> int:
     ex.add_argument("-q", "--query", action="append", required=True)
     ex.add_argument("-k", type=int, default=5)
 
+    qsp = sub.add_parser("qs", help='query_string mini-language: '
+                                    '+must -not "phrase" wild* bare')
+    qsp.add_argument("--index", required=True)
+    qsp.add_argument("-q", "--query", action="append", required=True)
+    qsp.add_argument("-k", type=int, default=10)
+    qsp.add_argument("--max-expansions", type=int, default=50)
+
     su = sub.add_parser("suggest", help="term suggester (did-you-mean) "
                                         "over the term dictionary")
     su.add_argument("--index", required=True)
@@ -376,6 +383,18 @@ def main(argv: list[str] | None = None, keep_session: bool = False) -> int:
                                   "term": row["term"], "tf": row["tf"],
                                   "contribution":
                                       round(row["contribution"], 6)}))
+        elif args.cmd == "qs":
+            from .boolquery import query_string_search
+
+            res = query_string_search(spark, args.index,
+                                      list(enumerate(args.query, 1)),
+                                      k=args.k,
+                                      max_expansions=args.max_expansions)
+            for row in res.collect():
+                print(json.dumps({"query_id": row["query_id"],
+                                  "rank": row["rank"],
+                                  "doc_id": row["doc_id"],
+                                  "score": round(row["score"], 6)}))
         elif args.cmd == "aggs":
             from . import boolquery
 

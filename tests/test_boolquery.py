@@ -580,3 +580,63 @@ def test_rescore_window_semantics(spark, index_dir, corpus):
     assert list(got.doc_id) == [d for d, _ in want]
     np.testing.assert_allclose(got.score, [s for _, s in want], atol=1e-9)
     assert set(got.doc_id) <= {d for d, _ in window}
+
+
+def test_query_string_parser():
+    from pdf_to_opensearch_spark.boolquery import parse_query_string
+
+    m, n, s, w, p = parse_query_string('+spark -slow "table hash" win* bare')
+    assert m == ["spark"] and n == ["slow"] and s == ["bare"]
+    assert w == ["win%"] and p == ["table hash"]
+    # '-wild*' is NOT a wildcard clause (only should-position expands);
+    # it analyzes to a must_not term
+    m2, n2, _s2, w2, _p2 = parse_query_string("-wild*")
+    assert w2 == [] and "wild" in n2
+
+
+def test_query_string_vs_brute(spark, index_dir, corpus):
+    """query_string composition: term leg (must scores+constrains,
+    must_not excludes, wildcard expands) + phrase leg summed; phrase-only
+    docs qualify iff the query has no must terms and no must_not hit."""
+    from pdf_to_opensearch_spark.boolquery import (parse_query_string,
+                                                   query_string_search)
+
+    _, oracle = corpus
+    raw = '+spark -stream "posting merge" doc*'
+    k = 15
+    got = (query_string_search(spark, index_dir, [(1, raw)], k=k)
+           .toPandas().sort_values("rank", ignore_index=True))
+    must, mnot, should, wilds, phrases = parse_query_string(raw)
+    vocab = sorted(oracle.index)
+    exp_terms = []
+    for w in wilds:
+        pref = w.rstrip("%")
+        exp_terms += sorted(t for t in vocab if t.startswith(pref))[:50]
+    scoring = " ".join(must + should + exp_terms)
+    must_docs = None
+    for t in must:
+        have = set(oracle.index.get(t, {}))
+        must_docs = have if must_docs is None else must_docs & have
+    not_docs = set()
+    for t in mnot:
+        not_docs |= set(oracle.index.get(t, {}))
+    base = dict(oracle.search(scoring, k=oracle.N))
+    ph = dict(oracle.phrase_search(phrases[0], k=oracle.N))
+    want_scores = {}
+    for d, s in base.items():
+        if must_docs is not None and d not in must_docs:
+            continue
+        if d in not_docs:
+            continue
+        want_scores[d] = s + ph.get(d, 0.0)
+    # phrase-only docs excluded: the query HAS a must term
+    ranked = sorted(((-s, d) for d, s in want_scores.items()))[:k]
+    assert list(got.doc_id) == [d for _s, d in ranked]
+    np.testing.assert_allclose(got.score,
+                               [-s for s, _d in ranked], rtol=1e-9)
+    # must-free variant: phrase-only docs now enter
+    raw2 = '"posting merge" -stream'
+    got2 = query_string_search(spark, index_dir, [(1, raw2)],
+                               k=oracle.N).toPandas()
+    want2 = {d for d in ph if d not in not_docs}
+    assert set(got2.doc_id) == want2
