@@ -885,6 +885,59 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def _collapse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OpenSearch ``collapse``: ranked page keeping only the best hit
+    per source (dedup-by-field at serve time) —
+    boolquery.search_collapse over the `source` column."""
+    _ensure_pkg(spark)
+    from pdf_to_opensearch_spark.boolquery import search_collapse
+
+    out = _ensure_engine_index(spark, sf_dir)
+    return search_collapse(spark, out, list(BM25_QUERIES.items()),
+                           collapse_col="source", k=BM25_K)
+
+
+def _collapse_oracle_sql() -> str:
+    """Collapse oracle: full rounded BM25 scores joined to the group
+    column, rank-1 per (query, group), then the global ranked page."""
+    return f"""{_matches_cte()},
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, len({_TOKS_SQL})::DOUBLE AS dl FROM docs0),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+dfreq AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tf
+  WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY 1
+),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         round(sum( ln(1.0 + (s.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                    * tf.tf * 2.2
+                    / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) ),
+               4) AS score
+  FROM tf
+  JOIN q USING (term) JOIN dfreq USING (term) JOIN dl USING (doc_id)
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+best AS (
+  SELECT query_id, doc_id, facet_value, score FROM (
+    SELECT sc.query_id, sc.doc_id, d.source::VARCHAR AS facet_value,
+           sc.score,
+           row_number() OVER (PARTITION BY sc.query_id, d.source
+                              ORDER BY sc.score DESC, sc.doc_id) AS rg
+    FROM scores sc JOIN docs0 d USING (doc_id)
+  ) WHERE rg = 1
+)
+SELECT query_id, rank, doc_id, facet_value, score FROM (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id)::INTEGER AS rank,
+         doc_id, facet_value, score
+  FROM best
+) WHERE rank <= {BM25_K}
+"""
+
+
 TOPHITS_PER_BUCKET = 3
 
 
@@ -4623,6 +4676,7 @@ def queries():  # noqa: F811 — extend the registry with the spatial/misc ops
         "force_merge_requery": _force_merge_requery,
         "rescore_topk": _rescore_topk,
         "query_string_topk": _query_string_topk,
+        "collapse_topk": _collapse_topk,
     })
     return _reorder(out)
 
@@ -4662,6 +4716,7 @@ def oracle_sql():  # noqa: F811
         "force_merge_requery": _bm25_oracle_sql(docs_src=_fm_docs_src_sql()),
         "rescore_topk": _rescore_oracle_sql(),
         "query_string_topk": _qs_oracle_sql(),
+        "collapse_topk": _collapse_oracle_sql(),
         "histogram_facets": _histogram_oracle_sql(),
         "phrase_slop_topk": _phrase_oracle_sql(slop=PHRASE_SLOP),
         "significant_terms": _significant_terms_oracle_sql(),

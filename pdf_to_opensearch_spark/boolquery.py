@@ -1223,3 +1223,55 @@ def query_string_search(spark: SparkSession, index_dir: str,
     else:
         combined = leg_map["terms"].select("query_id", "doc_id", "score")
     return _ranked_topk(combined, k)
+
+
+# ------------------------------------------------------------- collapse
+
+def search_collapse(spark: SparkSession, index_dir: str,
+                    queries: list[tuple[int, str]],
+                    collapse_col: str = "lang", k: int = 10) -> DataFrame:
+    """OpenSearch ``collapse``: the ranked result list keeps only the
+    best hit per ``collapse_col`` value (dedup-by-field at serve time —
+    e.g. one result per domain). Scores the FULL hit set through the
+    standard kernel (the same cost class as the aggregation scopes),
+    rounds to 4 dp, takes rank-1 per (query, group), then the global
+    ranked page. Returns (query_id, rank, doc_id, facet_value, score).
+    """
+    from .query import _weighted_qinfo
+
+    paths = IndexPaths(index_dir)
+    stats = load_stats(spark, index_dir)
+    out_schema = ("query_id int, rank int, doc_id long, "
+                  "facet_value string, score double")
+    q_terms = {qid: tokenize_text(text) for qid, text in queries}
+    terms = sorted({t for toks in q_terms.values() for t in toks})
+    if not terms:
+        return spark.createDataFrame([], out_schema)
+    dict_rows = _filter_in(spark.read.parquet(paths.dictionary),
+                           "term", terms).collect()
+    dfs = {r["term"]: int(r["df"]) for r in dict_rows}
+    idfs = {t: float(idf_fn(stats.N, np.array([dfs[t]]))[0])
+            for t in terms if t in dfs}
+    qinfo = _weighted_qinfo(q_terms, idfs)
+    if not qinfo:
+        return spark.createDataFrame([], out_schema)
+    live = sorted({t for ti in qinfo.values() for t in ti})
+    postings = _pruned_postings(spark, paths, stats.n_buckets, live)
+    scored = (postings.groupBy("range_id")
+              .applyInPandas(_score_kernel(qinfo, 1 << 31, stats,
+                                           prune=False),
+                             schema=RESULT_SCHEMA))
+    groups = (spark.read.parquet(paths.docs)
+              .select("doc_id", F.col(collapse_col).cast("string")
+                      .alias("facet_value")))
+    wg = Window.partitionBy("query_id", "facet_value").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc())
+    wk = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc())
+    return (scored.withColumn("score", F.round("score", 4))
+            .join(groups, "doc_id")
+            .withColumn("rg", F.row_number().over(wg))
+            .filter(F.col("rg") == 1)
+            .withColumn("rank", F.row_number().over(wk))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "doc_id", "facet_value", "score"))

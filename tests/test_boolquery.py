@@ -640,3 +640,28 @@ def test_query_string_vs_brute(spark, index_dir, corpus):
                                k=oracle.N).toPandas()
     want2 = {d for d in ph if d not in not_docs}
     assert set(got2.doc_id) == want2
+
+
+def test_collapse_one_hit_per_group(spark, index_dir, corpus):
+    """collapse: ranked page has at most one hit per group value, and
+    each group representative is that group's best (rounded score,
+    doc_id) hit; page order equals the global order of representatives."""
+    from pdf_to_opensearch_spark.boolquery import search_collapse
+
+    pdf, oracle = corpus
+    query = "spark posting merge"
+    got = (search_collapse(spark, index_dir, [(1, query)],
+                           collapse_col="lang", k=K)
+           .toPandas().sort_values("rank", ignore_index=True))
+    assert got.facet_value.is_unique
+    langs = pdf["lang"].to_numpy()
+    best: dict[str, tuple] = {}
+    for d, s in oracle.search(query, k=oracle.N):
+        key = langs[d]
+        cand = (-round(s, 4), d)
+        if key not in best or cand < best[key]:
+            best[key] = cand
+    reps = sorted(best.values())[:K]
+    assert list(got.doc_id) == [d for _s, d in reps]
+    np.testing.assert_allclose(got.score, [-s for s, _d in reps],
+                               atol=1e-9)
