@@ -986,6 +986,292 @@ SELECT query_id, facet_value, rank, doc_id, score FROM (
 """
 
 
+# -------------------------------------- round-5 agg/query widening (set 2)
+# range / filters / composite / adjacency_matrix / matrix_stats
+# aggregations + sorted / constant_score / function_score search bodies —
+# the remaining standard OpenSearch surfaces (boolquery.py round-5 section).
+
+RANGE_BOUNDS = ((None, 250.0), (200.0, 400.0), (350.0, None))
+AGG_FILTERS = {"a_en": "lang = 'en'",
+               "b_long": "length(text) >= 300",
+               "c_mod3": "doc_id % 3 = 0"}
+COMPOSITE_SIZE = 8
+COMPOSITE_AFTER = ("en", "src1")
+CS_FILTER = "lang = 'de' AND length(text) >= 300"
+CS_BOOST = 1.2
+FSF_FACTOR = "ln(1 + length(text))"
+
+
+def _range_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``range`` aggregation: explicit (possibly overlapping)
+    [from, to) buckets of length(text), every declared bucket emitted —
+    boolquery.search_range_agg."""
+    _ensure_pkg(spark)
+    from pdf_to_opensearch_spark.boolquery import search_range_agg
+
+    out = _ensure_engine_index(spark, sf_dir)
+    return search_range_agg(spark, out, list(BM25_QUERIES.items()),
+                            value_expr="length(text)",
+                            ranges=list(RANGE_BOUNDS), value_cols=["text"])
+
+
+def _range_agg_oracle_sql() -> str:
+    """Range-agg oracle: declared-bucket grid (VALUES) × query ids, left
+    join per-bucket counts (a doc counts in EVERY range it satisfies)."""
+    return f"""{_matches_cte()},
+grid(range_idx, range_key, lo, hi) AS (VALUES
+  (0, '*-250',   NULL::DOUBLE, 250.0::DOUBLE),
+  (1, '200-400', 200.0::DOUBLE, 400.0::DOUBLE),
+  (2, '350-*',   350.0::DOUBLE, NULL::DOUBLE)),
+qids AS (SELECT DISTINCT query_id FROM q),
+cnt AS (
+  SELECT m.query_id, g.range_idx, count(*)::BIGINT AS c
+  FROM matches m JOIN docs0 d USING (doc_id) CROSS JOIN grid g
+  WHERE (g.lo IS NULL OR length(d.text)::DOUBLE >= g.lo)
+    AND (g.hi IS NULL OR length(d.text)::DOUBLE < g.hi)
+  GROUP BY 1, 2
+)
+SELECT qids.query_id, g.range_idx::INTEGER AS range_idx, g.range_key,
+       coalesce(c.c, 0)::BIGINT AS doc_count
+FROM qids CROSS JOIN grid g
+LEFT JOIN cnt c ON c.query_id = qids.query_id AND c.range_idx = g.range_idx
+ORDER BY 1, 2
+"""
+
+
+def _filters_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``filters`` aggregation: one named bucket per predicate over
+    the hit set, zero-count buckets included —
+    boolquery.search_filters_agg."""
+    _ensure_pkg(spark)
+    from pdf_to_opensearch_spark.boolquery import search_filters_agg
+
+    out = _ensure_engine_index(spark, sf_dir)
+    return search_filters_agg(spark, out, list(BM25_QUERIES.items()),
+                              filters=dict(AGG_FILTERS),
+                              doc_cols=["text", "lang"])
+
+
+def _filters_agg_oracle_sql() -> str:
+    return f"""{_matches_cte()},
+qids AS (SELECT DISTINCT query_id FROM q),
+fgrid(bucket) AS (VALUES ('a_en'), ('b_long'), ('c_mod3')),
+hit AS (
+  SELECT m.query_id, m.doc_id, d.lang, d.text
+  FROM matches m JOIN docs0 d USING (doc_id)
+),
+cnt AS (
+  SELECT query_id,
+         count(*) FILTER (WHERE lang = 'en')::BIGINT AS a_en,
+         count(*) FILTER (WHERE length(text) >= 300)::BIGINT AS b_long,
+         count(*) FILTER (WHERE doc_id % 3 = 0)::BIGINT AS c_mod3
+  FROM hit GROUP BY 1
+),
+unp AS (
+  SELECT query_id, 'a_en' AS bucket, a_en AS c FROM cnt
+  UNION ALL SELECT query_id, 'b_long', b_long FROM cnt
+  UNION ALL SELECT query_id, 'c_mod3', c_mod3 FROM cnt
+)
+SELECT qids.query_id, f.bucket, coalesce(u.c, 0)::BIGINT AS doc_count
+FROM qids CROSS JOIN fgrid f
+LEFT JOIN unp u ON u.query_id = qids.query_id AND u.bucket = f.bucket
+ORDER BY 1, 2
+"""
+
+
+def _composite_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``composite`` aggregation: (lang, source) buckets ordered by
+    the key tuple, resuming after an after_key cursor —
+    boolquery.search_composite_agg."""
+    _ensure_pkg(spark)
+    from pdf_to_opensearch_spark.boolquery import search_composite_agg
+
+    out = _ensure_engine_index(spark, sf_dir)
+    return search_composite_agg(spark, out, list(BM25_QUERIES.items()),
+                                sources=[("lang", "lang"),
+                                         ("source", "source")],
+                                size=COMPOSITE_SIZE, after=COMPOSITE_AFTER)
+
+
+def _composite_agg_oracle_sql() -> str:
+    a0, a1 = COMPOSITE_AFTER
+    return f"""{_matches_cte()}
+SELECT query_id, key_0, key_1, doc_count, rank FROM (
+  SELECT query_id, key_0, key_1, doc_count,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY key_0, key_1)::INTEGER AS rank
+  FROM (
+    SELECT m.query_id, d.lang::VARCHAR AS key_0, d.source::VARCHAR AS key_1,
+           count(*)::BIGINT AS doc_count
+    FROM matches m JOIN docs0 d USING (doc_id)
+    GROUP BY 1, 2, 3
+  )
+  WHERE key_0 > '{a0}' OR (key_0 = '{a0}' AND key_1 > '{a1}')
+) WHERE rank <= {COMPOSITE_SIZE}
+"""
+
+
+def _adjacency_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``adjacency_matrix`` aggregation: per-filter and
+    filter-intersection co-occurrence counts over the hit set, empty
+    intersections omitted — boolquery.search_adjacency_matrix."""
+    _ensure_pkg(spark)
+    from pdf_to_opensearch_spark.boolquery import search_adjacency_matrix
+
+    out = _ensure_engine_index(spark, sf_dir)
+    return search_adjacency_matrix(spark, out, list(BM25_QUERIES.items()),
+                                   filters=dict(AGG_FILTERS),
+                                   doc_cols=["text", "lang"])
+
+
+def _adjacency_matrix_oracle_sql() -> str:
+    return f"""{_matches_cte()},
+marked AS (
+  SELECT m.query_id,
+         (d.lang = 'en') AS p_a,
+         (length(d.text) >= 300) AS p_b,
+         (m.doc_id % 3 = 0) AS p_c
+  FROM matches m JOIN docs0 d USING (doc_id)
+),
+unp AS (
+  SELECT query_id, 'a_en' AS bucket FROM marked WHERE p_a
+  UNION ALL SELECT query_id, 'b_long' FROM marked WHERE p_b
+  UNION ALL SELECT query_id, 'c_mod3' FROM marked WHERE p_c
+  UNION ALL SELECT query_id, 'a_en&b_long' FROM marked WHERE p_a AND p_b
+  UNION ALL SELECT query_id, 'a_en&c_mod3' FROM marked WHERE p_a AND p_c
+  UNION ALL SELECT query_id, 'b_long&c_mod3' FROM marked WHERE p_b AND p_c
+)
+SELECT query_id, bucket, count(*)::BIGINT AS doc_count
+FROM unp GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def _matrix_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``matrix_stats`` aggregation: per-field mean/variance +
+    cross-field covariance/correlation over the hit set —
+    boolquery.matrix_stats_agg."""
+    _ensure_pkg(spark)
+    from pdf_to_opensearch_spark.boolquery import matrix_stats_agg
+
+    out = _ensure_engine_index(spark, sf_dir)
+    return matrix_stats_agg(spark, out, list(BM25_QUERIES.items()),
+                            expr_a="length(text)",
+                            expr_b="cast(doc_id % 97 as double)",
+                            doc_cols=["text"])
+
+
+def _matrix_stats_oracle_sql() -> str:
+    return f"""{_matches_cte()},
+vals AS (
+  SELECT m.query_id, length(d.text)::DOUBLE AS va,
+         (m.doc_id % 97)::DOUBLE AS vb
+  FROM matches m JOIN docs0 d USING (doc_id)
+)
+SELECT query_id, count(*)::BIGINT AS doc_count,
+       round(avg(va), 4) AS mean_a, round(avg(vb), 4) AS mean_b,
+       round(var_samp(va), 4) AS var_a, round(var_samp(vb), 4) AS var_b,
+       round(covar_samp(va, vb), 4) AS covariance,
+       round(corr(va, vb), 4) AS correlation
+FROM vals GROUP BY 1 ORDER BY 1
+"""
+
+
+def _sorted_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A search body sorting on a doc field instead of _score (filter
+    context, no scoring): top-k by warc_ts desc, doc_id tiebreak —
+    boolquery.search_sorted."""
+    _ensure_pkg(spark)
+    from pdf_to_opensearch_spark.boolquery import search_sorted
+
+    out = _ensure_engine_index(spark, sf_dir)
+    return search_sorted(spark, out, list(BM25_QUERIES.items()),
+                         sort_expr="warc_ts", ascending=False, k=BM25_K,
+                         doc_cols=["warc_ts"])
+
+
+def _sorted_search_oracle_sql() -> str:
+    return f"""{_matches_cte()},
+ts AS (SELECT doc_id, {_WARC_TS_SQL} AS warc_ts FROM docs0)
+SELECT query_id, rank, doc_id, sort_value FROM (
+  SELECT m.query_id, m.doc_id, t.warc_ts::VARCHAR AS sort_value,
+         row_number() OVER (PARTITION BY m.query_id
+                            ORDER BY t.warc_ts::VARCHAR DESC,
+                                     m.doc_id)::INTEGER AS rank
+  FROM matches m JOIN ts t USING (doc_id)
+) WHERE rank <= {BM25_K}
+"""
+
+
+def _constant_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``constant_score`` over a filter-context query: every matching doc
+    scores exactly ``boost``, page in index (doc_id) order —
+    boolquery.constant_score_search."""
+    _ensure_pkg(spark)
+    from pdf_to_opensearch_spark.boolquery import constant_score_search
+
+    out = _ensure_engine_index(spark, sf_dir)
+    return constant_score_search(spark, out, filter_expr=CS_FILTER,
+                                 boost=CS_BOOST, k=BM25_K)
+
+
+def _constant_score_oracle_sql() -> str:
+    return f"""
+SELECT query_id, rank, doc_id, score FROM (
+  SELECT 0 AS query_id,
+         row_number() OVER (ORDER BY doc_id)::INTEGER AS rank,
+         doc_id, {CS_BOOST}::DOUBLE AS score
+  FROM documents WHERE {CS_FILTER}
+) WHERE rank <= {BM25_K}
+"""
+
+
+def _function_score_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``function_score`` with field_value_factor (modifier=ln1p,
+    boost_mode=multiply): BM25 × ln(1+length(text)), full hit set
+    re-ranked on the product — boolquery.function_score_search."""
+    _ensure_pkg(spark)
+    from pdf_to_opensearch_spark.boolquery import function_score_search
+
+    out = _ensure_engine_index(spark, sf_dir)
+    return function_score_search(spark, out, list(BM25_QUERIES.items()),
+                                 factor_expr=FSF_FACTOR,
+                                 factor_cols=["text"], k=BM25_K)
+
+
+def _function_score_oracle_sql() -> str:
+    """function_score oracle: brute BM25 (rounded 4 dp) × ln(1+len),
+    product rounded 4 dp, ranked per query."""
+    return f"""{_matches_cte()},
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, len({_TOKS_SQL})::DOUBLE AS dl FROM docs0),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+dfreq AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tf
+  WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY 1
+),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         round(sum( ln(1.0 + (s.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                    * tf.tf * 2.2
+                    / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) ),
+               4) AS score
+  FROM tf
+  JOIN q USING (term) JOIN dfreq USING (term) JOIN dl USING (doc_id)
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+)
+SELECT query_id, rank, doc_id, score FROM (
+  SELECT sc.query_id, sc.doc_id,
+         round(sc.score * ln(1.0 + length(d.text)), 4) AS score,
+         row_number() OVER (
+             PARTITION BY sc.query_id
+             ORDER BY round(sc.score * ln(1.0 + length(d.text)), 4) DESC,
+                      sc.doc_id)::INTEGER AS rank
+  FROM scores sc JOIN docs0 d USING (doc_id)
+) WHERE rank <= {BM25_K}
+"""
+
+
 def _highlight_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 top-k + highlight snippet (the ``highlight`` block of a
     search body): 60-char window around the first occurrence of any
@@ -4677,6 +4963,14 @@ def queries():  # noqa: F811 — extend the registry with the spatial/misc ops
         "rescore_topk": _rescore_topk,
         "query_string_topk": _query_string_topk,
         "collapse_topk": _collapse_topk,
+        "range_agg": _range_agg,
+        "filters_agg": _filters_agg,
+        "composite_agg": _composite_agg,
+        "adjacency_matrix": _adjacency_matrix,
+        "matrix_stats": _matrix_stats,
+        "sorted_search": _sorted_search,
+        "constant_score": _constant_score,
+        "function_score_topk": _function_score_topk,
     })
     return _reorder(out)
 
@@ -4722,5 +5016,13 @@ def oracle_sql():  # noqa: F811
         "significant_terms": _significant_terms_oracle_sql(),
         "bm25_page2": _bm25_oracle_sql(page=2),
         "explain_topk": _explain_oracle_sql(),
+        "range_agg": _range_agg_oracle_sql(),
+        "filters_agg": _filters_agg_oracle_sql(),
+        "composite_agg": _composite_agg_oracle_sql(),
+        "adjacency_matrix": _adjacency_matrix_oracle_sql(),
+        "matrix_stats": _matrix_stats_oracle_sql(),
+        "sorted_search": _sorted_search_oracle_sql(),
+        "constant_score": _constant_score_oracle_sql(),
+        "function_score_topk": _function_score_oracle_sql(),
     })
     return _reorder(out)

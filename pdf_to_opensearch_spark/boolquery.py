@@ -1275,3 +1275,345 @@ def search_collapse(spark: SparkSession, index_dir: str,
             .withColumn("rank", F.row_number().over(wk))
             .filter(F.col("rank") <= k)
             .select("query_id", "rank", "doc_id", "facet_value", "score"))
+
+
+# ----------------------------------------------- round-5 agg/query widening
+# The remaining OpenSearch aggregation + query types a search body can
+# carry alongside a match query (reference bodies: opensearch_loader.py:
+# 395-441 build match/match_phrase; the agg types below are the standard
+# server-side companions). All share _match_docs' hit-set scope and the
+# column-pruned docs join — no new physical shapes, no collects beyond
+# the queries' own dictionary rows.
+
+
+def _hits_with_docs(spark: SparkSession, paths: IndexPaths, stats,
+                    queries: list[tuple[int, str]],
+                    doc_cols: list[str]) -> DataFrame | None:
+    """Hit set joined to the column-pruned docs table — the shared scan
+    of every aggregation below (matches is distributed; docs is pruned
+    to exactly ``doc_cols`` so the parquet scan's ReadSchema stays
+    minimal)."""
+    matches = _match_docs(spark, paths, stats, queries)
+    if matches is None:
+        return None
+    docs = spark.read.parquet(paths.docs).select("doc_id", *doc_cols)
+    return matches.join(docs, "doc_id")
+
+
+def _grid(spark: SparkSession, queries: list[tuple[int, str]],
+          buckets: list[tuple]) -> DataFrame:
+    """query_id × declared-bucket literal grid (driver-side, O(q·buckets)
+    rows): the zero-count scaffold of aggs whose contract emits EVERY
+    declared bucket (range/filters), unlike histogram's min_doc_count=1."""
+    rows = [(int(qid),) + tuple(b) for qid, _ in queries for b in buckets]
+    cols = ["query_id"] + [f"_b{i}" for i in range(len(buckets[0]))]
+    grid = spark.createDataFrame(rows, cols)
+    # int-typed ids so the output schema matches the kernel entries'
+    # (createDataFrame infers Python ints as bigint)
+    casts = [F.col("query_id").cast("int").alias("query_id")] + [
+        F.col(c).cast("int").alias(c) if isinstance(rows[0][i + 1], int)
+        else F.col(c) for i, c in enumerate(cols[1:])]
+    return grid.select(*casts)
+
+
+def search_range_agg(spark: SparkSession, index_dir: str,
+                     queries: list[tuple[int, str]],
+                     value_expr: str = "length(text)",
+                     ranges: list[tuple[float | None, float | None]] = (
+                         (None, 500.0), (500.0, 1500.0), (1500.0, None)),
+                     value_cols: list[str] = ("text",)) -> DataFrame:
+    """OpenSearch ``range`` aggregation: explicit ``[from, to)`` buckets
+    of a numeric expression over ALL matching docs. Unlike ``histogram``,
+    every DECLARED bucket is emitted (zero counts included) and buckets
+    may overlap — a doc lands in each range it satisfies independently,
+    so bucketing explodes a per-doc matched-range array rather than
+    taking a single CASE branch.
+
+    Returns DataFrame(query_id, range_idx, range_key, doc_count) with
+    the OpenSearch key format ``from-to`` (``*`` for an open end)."""
+    paths = IndexPaths(index_dir)
+    stats = load_stats(spark, index_dir)
+    out_schema = ("query_id int, range_idx int, range_key string, "
+                  "doc_count long")
+    hits = _hits_with_docs(spark, paths, stats, queries, list(value_cols))
+    ranges = list(ranges)
+
+    def _key(lo, hi):
+        return (f"{'*' if lo is None else lo:g}"
+                if lo is not None else "*") + "-" + (
+                f"{hi:g}" if hi is not None else "*")
+
+    keys = [(i, _key(lo, hi)) for i, (lo, hi) in enumerate(ranges)]
+    grid = (_grid(spark, queries, keys)
+            .withColumnRenamed("_b0", "range_idx")
+            .withColumnRenamed("_b1", "range_key"))
+    if hits is None:
+        return (grid.withColumn("doc_count", F.lit(0).cast("long"))
+                .select("query_id", "range_idx", "range_key", "doc_count")
+                .orderBy("query_id", "range_idx"))
+    v = F.expr(value_expr).cast("double")
+    conds = []
+    for i, (lo, hi) in enumerate(ranges):
+        c = F.lit(True)
+        if lo is not None:
+            c = c & (v >= F.lit(float(lo)))
+        if hi is not None:
+            c = c & (v < F.lit(float(hi)))
+        conds.append(F.when(c, F.lit(i)))
+    cnt = (hits.select("query_id",
+                       F.explode(F.array_compact(F.array(*conds)))
+                       .alias("range_idx"))
+           .groupBy("query_id", "range_idx")
+           .agg(F.count("*").alias("cnt")))
+    return (grid.join(cnt, ["query_id", "range_idx"], "left")
+            .select("query_id", "range_idx", "range_key",
+                    F.coalesce("cnt", F.lit(0)).cast("long")
+                    .alias("doc_count"))
+            .orderBy("query_id", "range_idx"))
+
+
+def search_filters_agg(spark: SparkSession, index_dir: str,
+                       queries: list[tuple[int, str]],
+                       filters: dict[str, str],
+                       doc_cols: list[str]) -> DataFrame:
+    """OpenSearch ``filters`` aggregation: one named bucket per filter
+    predicate, counting the matching docs of the hit set that ALSO
+    satisfy the predicate. Every named bucket is emitted (zero counts
+    included — the agg's keyed-bucket contract). One docs scan evaluates
+    all predicates; counts are a map-side-combined groupBy.
+
+    Returns DataFrame(query_id, bucket, doc_count)."""
+    paths = IndexPaths(index_dir)
+    stats = load_stats(spark, index_dir)
+    names = sorted(filters)
+    grid = _grid(spark, queries, [(n,) for n in names]) \
+        .withColumnRenamed("_b0", "bucket")
+    hits = _hits_with_docs(spark, paths, stats, queries, doc_cols)
+    if hits is None:
+        return (grid.withColumn("doc_count", F.lit(0).cast("long"))
+                .select("query_id", "bucket", "doc_count")
+                .orderBy("query_id", "bucket"))
+    marks = F.array(*[
+        F.struct(F.lit(n).alias("bucket"),
+                 F.expr(filters[n]).cast("boolean").alias("m"))
+        for n in names])
+    cnt = (hits.select("query_id", F.explode(marks).alias("x"))
+           .groupBy("query_id", F.col("x.bucket").alias("bucket"))
+           .agg(F.sum(F.col("x.m").cast("long")).alias("cnt")))
+    return (grid.join(cnt, ["query_id", "bucket"], "left")
+            .select("query_id", "bucket",
+                    F.coalesce("cnt", F.lit(0)).cast("long")
+                    .alias("doc_count"))
+            .orderBy("query_id", "bucket"))
+
+
+def search_composite_agg(spark: SparkSession, index_dir: str,
+                         queries: list[tuple[int, str]],
+                         sources: list[tuple[str, str]],
+                         size: int = 10,
+                         after: tuple[str, str] | None = None) -> DataFrame:
+    """OpenSearch ``composite`` aggregation (two sources): paginated
+    buckets over the hit set, ordered by the full key tuple ascending,
+    resuming strictly AFTER an ``after_key`` cursor — the agg built for
+    exhaustively walking a high-cardinality bucket space page by page
+    (the scroll of aggregations).
+
+    ``sources`` = [(name, sql_expr), (name, sql_expr)]; keys are
+    compared/emitted as strings (the deterministic total order the
+    cursor contract needs). Returns
+    DataFrame(query_id, key_0, key_1, doc_count, rank ≤ size)."""
+    paths = IndexPaths(index_dir)
+    stats = load_stats(spark, index_dir)
+    (n0, e0), (n1, e1) = sources
+    out_schema = ("query_id int, key_0 string, key_1 string, "
+                  "doc_count long, rank int")
+    cols = sorted({c for _, e in sources
+                   for c in ("text", "lang", "source", "url", "warc_ts")
+                   if c in e})
+    hits = _hits_with_docs(spark, paths, stats, queries, cols)
+    if hits is None:
+        return spark.createDataFrame([], out_schema)
+    b = (hits.select("query_id",
+                     F.expr(e0).cast("string").alias("key_0"),
+                     F.expr(e1).cast("string").alias("key_1"))
+         .groupBy("query_id", "key_0", "key_1")
+         .agg(F.count("*").alias("doc_count")))
+    if after is not None:
+        a0, a1 = after
+        b = b.filter((F.col("key_0") > F.lit(a0))
+                     | ((F.col("key_0") == F.lit(a0))
+                        & (F.col("key_1") > F.lit(a1))))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("key_0").asc(), F.col("key_1").asc())
+    return (b.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= size)
+            .select("query_id", "key_0", "key_1", "doc_count", "rank"))
+
+
+def search_adjacency_matrix(spark: SparkSession, index_dir: str,
+                            queries: list[tuple[int, str]],
+                            filters: dict[str, str],
+                            doc_cols: list[str]) -> DataFrame:
+    """OpenSearch ``adjacency_matrix`` aggregation: for named filters
+    A, B, C…, the co-occurrence counts of every filter pair over the hit
+    set — diagonal buckets keyed ``a``, intersections keyed ``a&b``
+    (name order), EMPTY intersections OMITTED (the agg's documented
+    response shape). One docs scan computes each doc's matched-name
+    array; pairs come from a within-row self-product of that array (no
+    hit-set self-join).
+
+    Returns DataFrame(query_id, bucket, doc_count)."""
+    paths = IndexPaths(index_dir)
+    stats = load_stats(spark, index_dir)
+    out_schema = "query_id int, bucket string, doc_count long"
+    hits = _hits_with_docs(spark, paths, stats, queries, doc_cols)
+    if hits is None:
+        return spark.createDataFrame([], out_schema)
+    names = sorted(filters)
+    marks = F.array_compact(F.array(*[
+        F.when(F.expr(filters[n]).cast("boolean"), F.lit(n))
+        for n in names]))
+    return (hits.select("query_id", marks.alias("names"))
+            .select("query_id", "names", F.explode("names").alias("a"))
+            .select("query_id", "a", F.explode("names").alias("b"))
+            .filter(F.col("a") <= F.col("b"))
+            .select("query_id",
+                    F.when(F.col("a") == F.col("b"), F.col("a"))
+                    .otherwise(F.concat_ws("&", "a", "b")).alias("bucket"))
+            .groupBy("query_id", "bucket")
+            .agg(F.count("*").alias("doc_count")))
+
+
+def matrix_stats_agg(spark: SparkSession, index_dir: str,
+                     queries: list[tuple[int, str]],
+                     expr_a: str = "length(text)",
+                     expr_b: str = "length(url)",
+                     doc_cols: list[str] = ("text", "url")) -> DataFrame:
+    """OpenSearch ``matrix_stats`` aggregation over two numeric fields of
+    the hit set: per-field mean + sample variance, cross-field sample
+    covariance and Pearson correlation (the matrix entries for a 2-field
+    matrix; n-field is the same scan with more agg columns). All moments
+    are single-pass map-side-combinable Spark built-ins.
+
+    Returns DataFrame(query_id, doc_count, mean_a, mean_b, var_a, var_b,
+    covariance, correlation), moments rounded to 4 dp."""
+    paths = IndexPaths(index_dir)
+    stats = load_stats(spark, index_dir)
+    out_schema = ("query_id int, doc_count long, mean_a double, "
+                  "mean_b double, var_a double, var_b double, "
+                  "covariance double, correlation double")
+    hits = _hits_with_docs(spark, paths, stats, queries, list(doc_cols))
+    if hits is None:
+        return spark.createDataFrame([], out_schema)
+    va = F.expr(expr_a).cast("double")
+    vb = F.expr(expr_b).cast("double")
+    d = hits.select("query_id", va.alias("va"), vb.alias("vb"))
+    return (d.groupBy("query_id")
+            .agg(F.count("*").alias("doc_count"),
+                 F.round(F.avg("va"), 4).alias("mean_a"),
+                 F.round(F.avg("vb"), 4).alias("mean_b"),
+                 F.round(F.var_samp("va"), 4).alias("var_a"),
+                 F.round(F.var_samp("vb"), 4).alias("var_b"),
+                 F.round(F.covar_samp("va", "vb"), 4).alias("covariance"),
+                 F.round(F.corr("va", "vb"), 4).alias("correlation"))
+            .orderBy("query_id"))
+
+
+def search_sorted(spark: SparkSession, index_dir: str,
+                  queries: list[tuple[int, str]],
+                  sort_expr: str = "warc_ts", ascending: bool = False,
+                  k: int = 10,
+                  doc_cols: list[str] = ("warc_ts",)) -> DataFrame:
+    """A search body with a ``sort`` clause on a doc field instead of
+    ``_score``: the match query becomes pure filter context (no scoring
+    kernel runs at all — OpenSearch skips score computation when sort
+    omits ``_score``) and the page is the top-k by the field, doc_id
+    ascending as the tiebreaker.
+
+    Returns DataFrame(query_id, rank, doc_id, sort_value string)."""
+    paths = IndexPaths(index_dir)
+    stats = load_stats(spark, index_dir)
+    out_schema = "query_id int, rank int, doc_id long, sort_value string"
+    hits = _hits_with_docs(spark, paths, stats, queries, list(doc_cols))
+    if hits is None:
+        return spark.createDataFrame([], out_schema)
+    v = F.expr(sort_expr).cast("string").alias("sort_value")
+    order = (F.col("sort_value").asc() if ascending
+             else F.col("sort_value").desc())
+    w = Window.partitionBy("query_id").orderBy(order, F.col("doc_id").asc())
+    return (hits.select("query_id", "doc_id", v)
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "doc_id", "sort_value"))
+
+
+def constant_score_search(spark: SparkSession, index_dir: str,
+                          filter_expr: str, boost: float = 1.2,
+                          k: int = 10) -> DataFrame:
+    """``constant_score`` wrapping a filter-context ``range`` query: every
+    doc satisfying the filter scores exactly ``boost`` (no BM25 kernel,
+    no postings decode — the filter resolves against the docs table's
+    pruned parquet scan, Lucene's ConstantScoreQuery shape). With all
+    scores equal, the page order is the index order: doc_id ascending.
+
+    Returns the standard RANKED page (query_id=0, rank, doc_id, score)."""
+    paths = IndexPaths(index_dir)
+    docs = (spark.read.parquet(paths.docs)
+            .filter(F.expr(filter_expr))
+            .select("doc_id"))
+    w = Window.partitionBy(F.lit(0)).orderBy(F.col("doc_id").asc())
+    return (docs.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(F.lit(0).alias("query_id"), "rank", "doc_id",
+                    F.lit(float(boost)).alias("score")))
+
+
+def function_score_search(spark: SparkSession, index_dir: str,
+                          queries: list[tuple[int, str]],
+                          factor_expr: str = "ln(1 + length(text))",
+                          factor_cols: list[str] = ("text",),
+                          k: int = 10) -> DataFrame:
+    """``function_score`` with a ``field_value_factor`` function
+    (modifier=ln1p, boost_mode=multiply): final = BM25 × ln(1+field).
+    The multiplier can reorder ANY hit, so the FULL hit set is scored
+    (k=∞ through the standard per-range kernel — same cost class as
+    top_hits/collapse), the factor joins from the column-pruned docs
+    scan, and the page ranks on the product. Base scores round to 4 dp
+    before the multiply and the product rounds to 4 dp before ranking
+    (the engine's float-representation-stable round-then-rank contract).
+
+    Returns DataFrame(query_id, rank, doc_id, score)."""
+    paths = IndexPaths(index_dir)
+    stats = load_stats(spark, index_dir)
+    out_schema = RANKED
+    q_terms = {qid: tokenize_text(text) for qid, text in queries}
+    terms = sorted({t for toks in q_terms.values() for t in toks})
+    if not terms:
+        return spark.createDataFrame([], out_schema)
+    dict_rows = _filter_in(spark.read.parquet(paths.dictionary),
+                           "term", terms).collect()
+    dfs = {r["term"]: int(r["df"]) for r in dict_rows}
+    idfs = {t: float(idf_fn(stats.N, np.array([dfs[t]]))[0])
+            for t in terms if t in dfs}
+    from .query import _weighted_qinfo
+    qinfo = _weighted_qinfo(q_terms, idfs)
+    if not qinfo:
+        return spark.createDataFrame([], out_schema)
+    live = sorted({t for ti in qinfo.values() for t in ti})
+    postings = _pruned_postings(spark, paths, stats.n_buckets, live)
+    scored = (postings.groupBy("range_id")
+              .applyInPandas(_score_kernel(qinfo, 1 << 31, stats,
+                                           prune=False),
+                             schema=RESULT_SCHEMA))
+    factors = (spark.read.parquet(paths.docs)
+               .select("doc_id", *factor_cols)
+               .select("doc_id",
+                       F.expr(factor_expr).cast("double").alias("factor")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc())
+    return (scored.withColumn("score", F.round("score", 4))
+            .join(factors, "doc_id")
+            .withColumn("score", F.round(F.col("score") * F.col("factor"), 4))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "doc_id", "score"))

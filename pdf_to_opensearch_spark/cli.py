@@ -54,6 +54,32 @@ def main(argv: list[str] | None = None, keep_session: bool = False) -> int:
                    help="minimum_should_match: int or 'N%%' of distinct "
                         "query terms a doc must match")
 
+    so = sub.add_parser("sort", help="search sorted on a doc field "
+                                     "instead of _score (filter context)")
+    so.add_argument("--index", required=True)
+    so.add_argument("-q", "--query", action="append", required=True)
+    so.add_argument("-k", type=int, default=10)
+    so.add_argument("--sort-expr", default="warc_ts")
+    so.add_argument("--asc", action="store_true")
+    so.add_argument("--doc-cols", default="warc_ts")
+
+    cs = sub.add_parser("constscore", help="constant_score over a filter "
+                                           "predicate (no scoring kernel)")
+    cs.add_argument("--index", required=True)
+    cs.add_argument("--filter", required=True,
+                    help="SQL predicate over docs columns")
+    cs.add_argument("--boost", type=float, default=1.2)
+    cs.add_argument("-k", type=int, default=10)
+
+    fs = sub.add_parser("funcscore", help="function_score with "
+                                          "field_value_factor "
+                                          "(boost_mode=multiply)")
+    fs.add_argument("--index", required=True)
+    fs.add_argument("-q", "--query", action="append", required=True)
+    fs.add_argument("--factor-expr", default="ln(1 + length(text))")
+    fs.add_argument("--factor-cols", default="text")
+    fs.add_argument("-k", type=int, default=10)
+
     ph = sub.add_parser("phrase", help="match_phrase top-k")
     ph.add_argument("--index", required=True)
     ph.add_argument("-q", "--query", action="append", required=True)
@@ -102,8 +128,12 @@ def main(argv: list[str] | None = None, keep_session: bool = False) -> int:
     ag.add_argument("-q", "--query", action="append", required=True)
     ag.add_argument("--type", required=True,
                     choices=["stats", "percentiles", "cardinality",
-                             "date_histogram", "top_hits"])
+                             "date_histogram", "top_hits", "range",
+                             "filters", "composite", "adjacency_matrix",
+                             "matrix_stats"])
     ag.add_argument("--value-expr", default="length(text)")
+    ag.add_argument("--value-expr-b", default="length(text)",
+                    help="matrix_stats: second field expression")
     ag.add_argument("--col", default="lang",
                     help="facet/cardinality column or timestamp column")
     ag.add_argument("--interval", default="day",
@@ -111,6 +141,20 @@ def main(argv: list[str] | None = None, keep_session: bool = False) -> int:
     ag.add_argument("--per-bucket", type=int, default=3)
     ag.add_argument("--approx", action="store_true",
                     help="cardinality: HLL++ instead of exact")
+    ag.add_argument("--ranges", default=":250,200:400,350:",
+                    help="range agg bounds, comma-separated lo:hi "
+                         "(empty side = open)")
+    ag.add_argument("--filter-def", action="append", default=[],
+                    help="filters/adjacency_matrix: name=SQL_PREDICATE "
+                         "(repeatable)")
+    ag.add_argument("--sources", default="lang,source",
+                    help="composite: two source columns, comma-separated")
+    ag.add_argument("--after", default=None,
+                    help="composite: after_key cursor, comma-separated")
+    ag.add_argument("--size", type=int, default=10,
+                    help="composite: page size")
+    ag.add_argument("--doc-cols", default="text,lang",
+                    help="doc columns the predicates/exprs need")
     wc.add_argument("--max-expansions", type=int, default=50)
 
     ml = sub.add_parser("mlt", help="more_like_this top-k seeded by an "
@@ -413,6 +457,34 @@ def main(argv: list[str] | None = None, keep_session: bool = False) -> int:
                 res = boolquery.search_date_histogram(
                     spark, args.index, qs, ts_col=args.col,
                     calendar_interval=args.interval)
+            elif args.type == "range":
+                bounds = [(float(lo) if lo else None,
+                           float(hi) if hi else None)
+                          for lo, hi in (part.split(":")
+                                         for part in args.ranges.split(","))]
+                res = boolquery.search_range_agg(
+                    spark, args.index, qs, value_expr=args.value_expr,
+                    ranges=bounds, value_cols=args.doc_cols.split(","))
+            elif args.type in ("filters", "adjacency_matrix"):
+                fdefs = dict(d.split("=", 1) for d in args.filter_def)
+                if not fdefs:
+                    raise SystemExit("--filter-def name=PREDICATE required")
+                fn = (boolquery.search_filters_agg
+                      if args.type == "filters"
+                      else boolquery.search_adjacency_matrix)
+                res = fn(spark, args.index, qs, filters=fdefs,
+                         doc_cols=args.doc_cols.split(","))
+            elif args.type == "composite":
+                c0, c1 = args.sources.split(",")
+                after = tuple(args.after.split(",")) if args.after else None
+                res = boolquery.search_composite_agg(
+                    spark, args.index, qs, sources=[(c0, c0), (c1, c1)],
+                    size=args.size, after=after)
+            elif args.type == "matrix_stats":
+                res = boolquery.matrix_stats_agg(
+                    spark, args.index, qs, expr_a=args.value_expr,
+                    expr_b=args.value_expr_b,
+                    doc_cols=args.doc_cols.split(","))
             else:
                 res = boolquery.search_top_hits(
                     spark, args.index, qs, facet_col=args.col,
@@ -421,6 +493,33 @@ def main(argv: list[str] | None = None, keep_session: bool = False) -> int:
                 print(json.dumps({k: (str(v) if not isinstance(
                     v, (int, float, str, type(None))) else v)
                     for k, v in row.asDict().items()}))
+        elif args.cmd == "sort":
+            from .boolquery import search_sorted
+
+            res = search_sorted(spark, args.index,
+                                list(enumerate(args.query, 1)),
+                                sort_expr=args.sort_expr,
+                                ascending=args.asc, k=args.k,
+                                doc_cols=args.doc_cols.split(","))
+            for row in res.collect():
+                print(json.dumps(row.asDict()))
+        elif args.cmd == "constscore":
+            from .boolquery import constant_score_search
+
+            res = constant_score_search(spark, args.index,
+                                        filter_expr=args.filter,
+                                        boost=args.boost, k=args.k)
+            for row in res.collect():
+                print(json.dumps(row.asDict()))
+        elif args.cmd == "funcscore":
+            from .boolquery import function_score_search
+
+            res = function_score_search(
+                spark, args.index, list(enumerate(args.query, 1)),
+                factor_expr=args.factor_expr,
+                factor_cols=args.factor_cols.split(","), k=args.k)
+            for row in res.collect():
+                print(json.dumps(row.asDict()))
         elif args.cmd == "suggest":
             from .boolquery import term_suggest
 

@@ -665,3 +665,189 @@ def test_collapse_one_hit_per_group(spark, index_dir, corpus):
     assert list(got.doc_id) == [d for _s, d in reps]
     np.testing.assert_allclose(got.score, [-s for s, _d in reps],
                                atol=1e-9)
+
+
+# ------------------------------------------- round-5 agg/query widening
+
+
+def test_range_agg_overlap_and_zero_buckets(spark, index_dir, corpus):
+    """range agg: every DECLARED bucket is emitted (zero counts
+    included), a doc counts in EVERY overlapping range it satisfies."""
+    from pdf_to_opensearch_spark.boolquery import search_range_agg
+
+    _, oracle = corpus
+    query = "spark document"
+    ranges = [(None, 100.0), (50.0, 200.0), (150.0, None),
+              (1_000_000.0, None)]  # last bucket: always empty
+    got = (search_range_agg(spark, index_dir, [(1, query)],
+                            value_expr="length(text)", ranges=ranges,
+                            value_cols=["text"])
+           .toPandas().sort_values("range_idx", ignore_index=True))
+    assert len(got) == len(ranges)  # zero buckets present
+    lens = (spark.read.parquet(f"{index_dir}/docs")
+            .selectExpr("doc_id", "length(text) AS v").toPandas()
+            .set_index("doc_id")["v"])
+    vals = lens.loc[sorted(_match_set(oracle, query))].to_numpy(float)
+    for i, (lo, hi) in enumerate(ranges):
+        m = np.ones(vals.size, dtype=bool)
+        if lo is not None:
+            m &= vals >= lo
+        if hi is not None:
+            m &= vals < hi
+        assert int(got.doc_count[i]) == int(m.sum()), (i, lo, hi)
+    assert int(got.doc_count[3]) == 0
+
+
+def test_filters_agg_named_zero_bucket(spark, index_dir, corpus):
+    """filters agg: named buckets, zero-count buckets emitted."""
+    from pdf_to_opensearch_spark.boolquery import search_filters_agg
+
+    pdf, oracle = corpus
+    query = "spark document"
+    filters = {"en": "lang = 'en'", "none": "length(text) < 0"}
+    got = (search_filters_agg(spark, index_dir, [(1, query)],
+                              filters=filters, doc_cols=["text", "lang"])
+           .toPandas().set_index("bucket")["doc_count"])
+    langs = pdf["lang"].to_numpy()
+    want_en = sum(1 for d in _match_set(oracle, query)
+                  if langs[d] == "en")
+    assert int(got["en"]) == want_en
+    assert int(got["none"]) == 0
+
+
+def test_composite_agg_cursor_pagination(spark, index_dir, corpus):
+    """composite agg: key-ordered buckets; page 2 resumes strictly after
+    page 1's last key and the concatenation equals the unpaged walk."""
+    from pdf_to_opensearch_spark.boolquery import search_composite_agg
+
+    sources = [("lang", "lang"), ("lbin", "cast(length(text) >= 150 as string)")]
+    q = [(1, "spark document")]
+    full = (search_composite_agg(spark, index_dir, q, sources=sources,
+                                 size=1_000_000)
+            .toPandas().sort_values("rank", ignore_index=True))
+    assert list(full[["key_0", "key_1"]].itertuples(index=False)) == \
+        sorted(full[["key_0", "key_1"]].itertuples(index=False))
+    page1 = (search_composite_agg(spark, index_dir, q, sources=sources,
+                                  size=3)
+             .toPandas().sort_values("rank", ignore_index=True))
+    after = (page1.key_0.iloc[-1], page1.key_1.iloc[-1])
+    page2 = (search_composite_agg(spark, index_dir, q, sources=sources,
+                                  size=3, after=after)
+             .toPandas().sort_values("rank", ignore_index=True))
+    walked = list(page1[["key_0", "key_1", "doc_count"]]
+                  .itertuples(index=False)) + \
+        list(page2[["key_0", "key_1", "doc_count"]].itertuples(index=False))
+    assert walked == list(full[["key_0", "key_1", "doc_count"]]
+                          .head(len(walked)).itertuples(index=False))
+
+
+def test_adjacency_matrix_vs_brute(spark, index_dir, corpus):
+    """adjacency_matrix: diagonal + pair intersection counts over the hit
+    set, empty intersections omitted."""
+    from pdf_to_opensearch_spark.boolquery import search_adjacency_matrix
+
+    pdf, oracle = corpus
+    query = "spark document"
+    filters = {"a": "lang = 'en'", "b": "length(text) >= 150",
+               "z": "length(text) < 0"}
+    got = (search_adjacency_matrix(spark, index_dir, [(1, query)],
+                                   filters=filters,
+                                   doc_cols=["text", "lang"])
+           .toPandas().set_index("bucket")["doc_count"])
+    langs = pdf["lang"].to_numpy()
+    texts = (spark.read.parquet(f"{index_dir}/docs")
+             .selectExpr("doc_id", "length(text) AS v").toPandas()
+             .set_index("doc_id")["v"])
+    hits = sorted(_match_set(oracle, query))
+    a = {d for d in hits if langs[d] == "en"}
+    b = {d for d in hits if texts.loc[d] >= 150}
+    assert int(got["a"]) == len(a)
+    assert int(got["b"]) == len(b)
+    assert int(got["a&b"]) == len(a & b)
+    # empty filter: no diagonal row, no intersections
+    assert not any(k for k in got.index if "z" in k)
+
+
+def test_matrix_stats_vs_numpy(spark, index_dir, corpus):
+    """matrix_stats: sample moments match numpy (ddof=1) at 4 dp."""
+    from pdf_to_opensearch_spark.boolquery import matrix_stats_agg
+
+    _, oracle = corpus
+    query = "spark document"
+    got = matrix_stats_agg(spark, index_dir, [(1, query)],
+                           expr_a="length(text)",
+                           expr_b="cast(doc_id % 7 as double)",
+                           doc_cols=["text"]).toPandas()
+    lens = (spark.read.parquet(f"{index_dir}/docs")
+            .selectExpr("doc_id", "length(text) AS v").toPandas()
+            .set_index("doc_id")["v"])
+    hits = sorted(_match_set(oracle, query))
+    va = lens.loc[hits].to_numpy(float)
+    vb = np.array([d % 7 for d in hits], dtype=float)
+    assert int(got.doc_count[0]) == len(hits)
+    assert got.mean_a[0] == round(va.mean(), 4)
+    assert got.var_a[0] == round(va.var(ddof=1), 4)
+    assert got.covariance[0] == round(float(np.cov(va, vb, ddof=1)[0, 1]), 4)
+    assert got.correlation[0] == round(float(np.corrcoef(va, vb)[0, 1]), 4)
+
+
+def test_sorted_search_field_order(spark, index_dir, corpus):
+    """sort-by-field search: pure filter context, page ordered by the
+    field (string compare) with doc_id ascending tiebreak."""
+    from pdf_to_opensearch_spark.boolquery import search_sorted
+
+    _, oracle = corpus
+    query = "spark document"
+    got = (search_sorted(spark, index_dir, [(1, query)],
+                         sort_expr="url", ascending=False, k=5,
+                         doc_cols=["url"])
+           .toPandas().sort_values("rank", ignore_index=True))
+    urls = (spark.read.parquet(f"{index_dir}/docs")
+            .selectExpr("doc_id", "url").toPandas()
+            .set_index("doc_id")["url"])
+    hits = sorted(_match_set(oracle, query))
+    want = sorted(((urls.loc[d], d) for d in hits),
+                  key=lambda t: (t[0], -t[1]), reverse=True)[:5]
+    assert list(got.doc_id) == [d for _u, d in want]
+    assert list(got.sort_value) == [u for u, _d in want]
+
+
+def test_constant_score_semantics(spark, index_dir):
+    """constant_score: every hit scores exactly boost, page in doc_id
+    order, filter honored."""
+    from pdf_to_opensearch_spark.boolquery import constant_score_search
+
+    got = (constant_score_search(spark, index_dir,
+                                 filter_expr="lang = 'en' AND "
+                                             "length(text) >= 150",
+                                 boost=2.5, k=7)
+           .toPandas().sort_values("rank", ignore_index=True))
+    docs = (spark.read.parquet(f"{index_dir}/docs")
+            .selectExpr("doc_id", "lang", "length(text) AS v").toPandas())
+    want = sorted(docs[(docs.lang == "en") & (docs.v >= 150)].doc_id)[:7]
+    assert list(got.doc_id) == want
+    assert (got.score == 2.5).all()
+
+
+def test_function_score_vs_brute(spark, index_dir, corpus):
+    """function_score field_value_factor: page ranks on
+    round(round(bm25,4) * ln(1+len), 4) with doc_id tiebreak."""
+    import math
+
+    from pdf_to_opensearch_spark.boolquery import function_score_search
+
+    _, oracle = corpus
+    query = "spark posting merge"
+    got = (function_score_search(spark, index_dir, [(1, query)],
+                                 factor_expr="ln(1 + length(text))",
+                                 factor_cols=["text"], k=K)
+           .toPandas().sort_values("rank", ignore_index=True))
+    lens = (spark.read.parquet(f"{index_dir}/docs")
+            .selectExpr("doc_id", "length(text) AS v").toPandas()
+            .set_index("doc_id")["v"])
+    want = sorted(
+        ((-round(round(s, 4) * math.log1p(lens.loc[d]), 4), d)
+         for d, s in oracle.search(query, k=oracle.N)))[:K]
+    assert list(got.doc_id) == [d for _s, d in want]
+    np.testing.assert_allclose(got.score, [-s for s, _d in want],
+                               atol=1e-9)
