@@ -1272,6 +1272,658 @@ SELECT query_id, rank, doc_id, score FROM (
 """
 
 
+# ------------------------------------------ round-5 agg widening (set 3)
+
+WAVG_WEIGHT = "cast(1 + doc_id % 10 as double)"
+MISSING_EXPR = "nullif(source, 'src0')"
+PIPE_WINDOW = 3
+
+
+def _extended_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``extended_stats``: stats + sum_of_squares + population
+    variance/std-deviation over the hit set —
+    boolquery.search_extended_stats."""
+    _ensure_pkg(spark)
+    from pdf_to_opensearch_spark.boolquery import search_extended_stats
+
+    out = _ensure_engine_index(spark, sf_dir)
+    return search_extended_stats(spark, out, list(BM25_QUERIES.items()),
+                                 value_expr="length(text)")
+
+
+def _extended_stats_oracle_sql() -> str:
+    return f"""{_matches_cte()}
+SELECT m.query_id, count(*)::BIGINT AS doc_count,
+       min(length(d.text))::DOUBLE AS vmin,
+       max(length(d.text))::DOUBLE AS vmax,
+       round(sum(length(d.text))::DOUBLE, 4) AS vsum,
+       round(avg(length(d.text)::DOUBLE), 4) AS vavg,
+       round(sum(length(d.text)::DOUBLE * length(d.text)), 4)
+           AS sum_of_squares,
+       round(var_pop(length(d.text)::DOUBLE), 4) AS variance,
+       round(stddev_pop(length(d.text)::DOUBLE), 4) AS std_deviation
+FROM matches m JOIN docs0 d USING (doc_id)
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def _weighted_avg_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``weighted_avg``: sum(v·w)/sum(w) over the hit set —
+    boolquery.search_weighted_avg."""
+    _ensure_pkg(spark)
+    from pdf_to_opensearch_spark.boolquery import search_weighted_avg
+
+    out = _ensure_engine_index(spark, sf_dir)
+    return search_weighted_avg(spark, out, list(BM25_QUERIES.items()),
+                               value_expr="length(text)",
+                               weight_expr=WAVG_WEIGHT)
+
+
+def _weighted_avg_oracle_sql() -> str:
+    return f"""{_matches_cte()}
+SELECT m.query_id, count(*)::BIGINT AS doc_count,
+       round(sum(length(d.text)::DOUBLE * (1 + d.doc_id % 10))
+             / sum((1 + d.doc_id % 10)::DOUBLE), 4) AS weighted_avg
+FROM matches m JOIN docs0 d USING (doc_id)
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def _missing_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``missing`` aggregation: docs of the hit set with no value for a
+    field (fixture: `nullif(source,'src0')` — the corpus has no natural
+    nulls, so the fixture models src0 as the missing-source cohort) —
+    boolquery.search_missing."""
+    _ensure_pkg(spark)
+    from pdf_to_opensearch_spark.boolquery import search_missing
+
+    out = _ensure_engine_index(spark, sf_dir)
+    return search_missing(spark, out, list(BM25_QUERIES.items()),
+                          col_expr=MISSING_EXPR)
+
+
+def _missing_agg_oracle_sql() -> str:
+    return f"""{_matches_cte()}
+SELECT m.query_id,
+       count(*) FILTER (WHERE nullif(d.source, 'src0') IS NULL)::BIGINT
+           AS missing_count
+FROM matches m JOIN docs0 d USING (doc_id)
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def _global_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``global`` aggregation: corpus-wide metric beside a query (scope
+    break) — boolquery.search_global_agg."""
+    _ensure_pkg(spark)
+    from pdf_to_opensearch_spark.boolquery import search_global_agg
+
+    out = _ensure_engine_index(spark, sf_dir)
+    return search_global_agg(spark, out, list(BM25_QUERIES.items()),
+                             value_expr="length(text)")
+
+
+def _global_agg_oracle_sql() -> str:
+    qids = ", ".join(f"({q})" for q in sorted(BM25_QUERIES))
+    return f"""
+WITH docs0 AS (SELECT * FROM documents),
+qids(query_id) AS (VALUES {qids}),
+corpus AS (
+  SELECT count(*)::BIGINT AS doc_count,
+         round(avg(length(text)::DOUBLE), 4) AS vavg
+  FROM docs0
+)
+SELECT query_id, doc_count, vavg FROM qids CROSS JOIN corpus ORDER BY 1
+"""
+
+
+def _pipeline_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """date_histogram + pipeline aggregations (derivative,
+    cumulative_sum, trailing-window moving_avg) —
+    boolquery.search_pipeline_aggs."""
+    _ensure_pkg(spark)
+    from pdf_to_opensearch_spark.boolquery import search_pipeline_aggs
+
+    out = _ensure_engine_index(spark, sf_dir)
+    return search_pipeline_aggs(spark, out, list(BM25_QUERIES.items()),
+                                ts_col="warc_ts",
+                                calendar_interval=DATE_HIST_INTERVAL,
+                                window=PIPE_WINDOW)
+
+
+def _pipeline_aggs_oracle_sql() -> str:
+    return f"""{_matches_cte()},
+ts AS (SELECT doc_id, {_WARC_TS_SQL} AS warc_ts FROM docs0),
+hist AS (
+  SELECT m.query_id,
+         date_trunc('{DATE_HIST_INTERVAL}', t.warc_ts) AS bucket_start,
+         count(*)::BIGINT AS doc_count
+  FROM matches m JOIN ts t USING (doc_id)
+  GROUP BY 1, 2
+)
+SELECT query_id, bucket_start, doc_count,
+       (doc_count - lag(doc_count) OVER w)::BIGINT AS derivative,
+       (sum(doc_count) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW))::BIGINT AS cumulative_sum,
+       round(avg(doc_count) OVER (w ROWS BETWEEN {PIPE_WINDOW - 1}
+                                  PRECEDING AND CURRENT ROW), 4)
+           AS moving_avg
+FROM hist
+WINDOW w AS (PARTITION BY query_id ORDER BY bucket_start)
+ORDER BY 1, 2
+"""
+
+
+# --------------------------------- round-5 function_score widening (set 4)
+
+DECAY_ORIGIN = "2025-02-15 00:00:00"
+DECAY_SCALE_S = 14 * 86400.0
+DECAY = 0.5
+SCRIPT_EXPR = "sqrt(_score) + ln(1 + length(text)) / 10"
+RS_SEED = 42
+RS_MULT = 2654435761
+
+
+def _decay_score_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """function_score gauss decay on the crawl timestamp (freshness
+    boost) — boolquery.decay_score_search."""
+    _ensure_pkg(spark)
+    from pdf_to_opensearch_spark.boolquery import decay_score_search
+
+    out = _ensure_engine_index(spark, sf_dir)
+    return decay_score_search(spark, out, list(BM25_QUERIES.items()),
+                              field="warc_ts", origin=DECAY_ORIGIN,
+                              scale_s=DECAY_SCALE_S, decay=DECAY,
+                              k=BM25_K)
+
+
+def _decay_score_oracle_sql() -> str:
+    import math
+    two_sigma2 = -(DECAY_SCALE_S ** 2) / math.log(DECAY)  # 2σ² inlined
+    return f"""{_matches_cte()},
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, len({_TOKS_SQL})::DOUBLE AS dl FROM docs0),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+dfreq AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tf
+  WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY 1
+),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         round(sum( ln(1.0 + (s.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                    * tf.tf * 2.2
+                    / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) ),
+               4) AS score
+  FROM tf
+  JOIN q USING (term) JOIN dfreq USING (term) JOIN dl USING (doc_id)
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+decay AS (
+  SELECT doc_id,
+         exp(-(pow(greatest(0.0,
+                   abs(epoch({_WARC_TS_SQL})
+                       - epoch(TIMESTAMP '{DECAY_ORIGIN}'))::DOUBLE), 2))
+             / {two_sigma2!r}) AS factor
+  FROM docs0
+)
+SELECT query_id, rank, doc_id, score FROM (
+  SELECT sc.query_id, sc.doc_id,
+         round(sc.score * dc.factor, 4) AS score,
+         row_number() OVER (
+             PARTITION BY sc.query_id
+             ORDER BY round(sc.score * dc.factor, 4) DESC,
+                      sc.doc_id)::INTEGER AS rank
+  FROM scores sc JOIN decay dc USING (doc_id)
+) WHERE rank <= {BM25_K}
+"""
+
+
+def _script_score_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """script_score: expression of _score and doc fields replaces the
+    score — boolquery.script_score_search."""
+    _ensure_pkg(spark)
+    from pdf_to_opensearch_spark.boolquery import script_score_search
+
+    out = _ensure_engine_index(spark, sf_dir)
+    return script_score_search(spark, out, list(BM25_QUERIES.items()),
+                               script_expr=SCRIPT_EXPR,
+                               script_cols=["text"], k=BM25_K)
+
+
+def _script_score_oracle_sql() -> str:
+    return f"""{_matches_cte()},
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, len({_TOKS_SQL})::DOUBLE AS dl FROM docs0),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+dfreq AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tf
+  WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY 1
+),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         round(sum( ln(1.0 + (s.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                    * tf.tf * 2.2
+                    / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) ),
+               4) AS _score
+  FROM tf
+  JOIN q USING (term) JOIN dfreq USING (term) JOIN dl USING (doc_id)
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+)
+SELECT query_id, rank, doc_id, score FROM (
+  SELECT sc.query_id, sc.doc_id,
+         round(sqrt(sc._score) + ln(1 + length(d.text)) / 10, 4) AS score,
+         row_number() OVER (
+             PARTITION BY sc.query_id
+             ORDER BY round(sqrt(sc._score)
+                            + ln(1 + length(d.text)) / 10, 4) DESC,
+                      sc.doc_id)::INTEGER AS rank
+  FROM scores sc JOIN docs0 d USING (doc_id)
+) WHERE rank <= {BM25_K}
+"""
+
+
+def _random_score_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """random_score: deterministic seeded multiplicative-hash score over
+    the hit set (reproducible sampling) —
+    boolquery.random_score_search."""
+    _ensure_pkg(spark)
+    from pdf_to_opensearch_spark.boolquery import random_score_search
+
+    out = _ensure_engine_index(spark, sf_dir)
+    return random_score_search(spark, out, list(BM25_QUERIES.items()),
+                               seed=RS_SEED, k=BM25_K)
+
+
+def _random_score_oracle_sql() -> str:
+    return f"""{_matches_cte()}
+SELECT query_id, rank, doc_id, score FROM (
+  SELECT m.query_id, m.doc_id,
+         round((((m.doc_id + {RS_SEED}) * {RS_MULT}) % 4294967296)::DOUBLE
+               / 4294967296.0, 6) AS score,
+         row_number() OVER (
+             PARTITION BY m.query_id
+             ORDER BY round((((m.doc_id + {RS_SEED}) * {RS_MULT})
+                             % 4294967296)::DOUBLE / 4294967296.0, 6)
+                      DESC, m.doc_id)::INTEGER AS rank
+  FROM matches m
+) WHERE rank <= {BM25_K}
+"""
+
+
+# --------------------------------------- round-5 count/completion (set 7)
+
+COMPLETION_PREFIXES: dict[int, str] = {1: "s", 2: "c", 3: "d"}
+COMPLETION_SIZE = 5
+
+
+def _count_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """_count / track_total_hits: exact per-query hit counts —
+    boolquery.search_count."""
+    _ensure_pkg(spark)
+    from pdf_to_opensearch_spark.boolquery import search_count
+
+    out = _ensure_engine_index(spark, sf_dir)
+    return search_count(spark, out, list(BM25_QUERIES.items()))
+
+
+def _count_api_oracle_sql() -> str:
+    return f"""{_matches_cte()}
+SELECT query_id, count(*)::BIGINT AS total_hits
+FROM matches GROUP BY 1 ORDER BY 1
+"""
+
+
+def _completion_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """completion suggester: prefix → df-weighted dictionary completions
+    — boolquery.completion_suggest."""
+    _ensure_pkg(spark)
+    from pdf_to_opensearch_spark.boolquery import completion_suggest
+
+    out = _ensure_engine_index(spark, sf_dir)
+    return completion_suggest(spark, out,
+                              list(COMPLETION_PREFIXES.items()),
+                              size=COMPLETION_SIZE)
+
+
+def _completion_oracle_sql() -> str:
+    parts = []
+    for qid, pref in sorted(COMPLETION_PREFIXES.items()):
+        parts.append(f"""
+  SELECT * FROM (
+    SELECT {qid} AS query_id, term AS suggestion, df::BIGINT AS weight
+    FROM term_df WHERE term LIKE '{pref}%'
+    ORDER BY df DESC, term LIMIT {COMPLETION_SIZE}
+  )""")
+    body = "\n  UNION ALL\n".join(parts)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+),
+term_df AS (
+  SELECT term, count(DISTINCT doc_id)::BIGINT AS df
+  FROM (SELECT doc_id, unnest(t) AS term FROM toks) GROUP BY 1
+),
+cands AS ({body})
+SELECT query_id,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY weight DESC, suggestion)::INTEGER
+           AS rank,
+       suggestion, weight
+FROM cands ORDER BY 1, 2
+"""
+
+
+# ------------------------------------- round-5 positional widening (set 5)
+
+SPAN_QUERIES: dict[int, str] = {1: "spark", 2: "customer", 3: "vector"}
+SPAN_END = 8
+MPP_QUERIES: dict[int, str] = {
+    1: "table ha",
+    2: "merge gro",
+    3: "customer jo",
+}
+MPP_MAX_EXP = 50
+
+
+def _span_first_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """span_first: the term only matches within the first SPAN_END token
+    positions; tf = qualifying occurrences —
+    boolquery.span_first_search."""
+    _ensure_pkg(spark)
+    from pdf_to_opensearch_spark.boolquery import span_first_search
+
+    out = _ensure_engine_index(spark, sf_dir)
+    return span_first_search(spark, out, list(SPAN_QUERIES.items()),
+                             end=SPAN_END, k=BM25_K)
+
+
+def _span_first_oracle_sql() -> str:
+    parts = []
+    for qid, term in sorted(SPAN_QUERIES.items()):
+        parts.append(f"""
+  SELECT {qid} AS query_id, '{term}' AS term, doc_id, len(t)::DOUBLE AS dl,
+         len(list_filter(range(1, {SPAN_END} + 1),
+                         i -> t[i] = '{term}'))::DOUBLE AS tf
+  FROM toks""")
+    body = "\n  UNION ALL\n".join(parts)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+),
+stats AS (
+  SELECT count(*)::DOUBLE AS n, avg(len(t))::DOUBLE AS avgdl FROM toks
+),
+term_df AS (
+  SELECT term, count(DISTINCT doc_id)::DOUBLE AS df
+  FROM (SELECT doc_id, unnest(t) AS term FROM toks) GROUP BY 1
+),
+pf AS ({body}),
+scores AS (
+  SELECT p.query_id, p.doc_id,
+         round(ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5)) * p.tf * 2.2
+               / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * p.dl / s.avgdl)),
+               4) AS score
+  FROM pf p JOIN term_df d USING (term) CROSS JOIN stats s
+  WHERE p.tf >= 1
+)
+SELECT query_id, rank, doc_id, score FROM (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id)::INTEGER AS rank,
+         doc_id, score
+  FROM scores
+) WHERE rank <= {BM25_K}
+"""
+
+
+def _mpp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """match_phrase_prefix: phrase with the last term as a dictionary
+    prefix expansion (union position list, anchors count once) —
+    boolquery.match_phrase_prefix_search."""
+    _ensure_pkg(spark)
+    from pdf_to_opensearch_spark.boolquery import match_phrase_prefix_search
+
+    out = _ensure_engine_index(spark, sf_dir)
+    return match_phrase_prefix_search(spark, out,
+                                      list(MPP_QUERIES.items()),
+                                      k=BM25_K,
+                                      max_expansions=MPP_MAX_EXP)
+
+
+def _mpp_oracle_sql() -> str:
+    """match_phrase_prefix oracle: per query, the expansion CTE (vocab
+    prefix scan, term order, LIMIT max_expansions), anchor chains with a
+    union-membership final position, idf = Σ fixed idfs + idf of the
+    summed expansion df clamped to N (the engine's documented
+    MultiPhrase determinization)."""
+    exp_ctes, parts, idf_parts = [], [], []
+    for qid, q in sorted(MPP_QUERIES.items()):
+        toks = q.split()
+        fixed, pref = toks[:-1], toks[-1]
+        n = len(toks)
+        exp_ctes.append(f"""
+exp_{qid} AS (
+  SELECT term, df FROM term_df WHERE term LIKE '{pref}%'
+  ORDER BY term LIMIT {MPP_MAX_EXP}
+)""")
+        cond = " AND ".join(f"t[i+{j}] = '{t}'"
+                            for j, t in enumerate(fixed))
+        parts.append(f"""
+  SELECT {qid} AS query_id, doc_id, len(t)::DOUBLE AS dl,
+         len(list_filter(range(1, len(t) - {n - 2}),
+                         i -> {cond}
+                              AND list_contains(e.exps, t[i + {n - 1}])
+             ))::DOUBLE AS tf
+  FROM toks, (SELECT list(term ORDER BY term) AS exps FROM exp_{qid}) e""")
+        fixed_idf = " + ".join(
+            f"""(SELECT ln(1.0 + (s.n - df + 0.5) / (df + 0.5))
+                 FROM term_df CROSS JOIN stats s WHERE term = '{t}')"""
+            for t in fixed)
+        idf_parts.append(f"""
+  SELECT {qid} AS query_id,
+         {fixed_idf}
+         + (SELECT ln(1.0 + (s.n - least(s.n, u.sdf) + 0.5)
+                      / (least(s.n, u.sdf) + 0.5))
+            FROM (SELECT sum(df) AS sdf FROM exp_{qid}) u
+            CROSS JOIN stats s) AS idf""")
+    body = "\n  UNION ALL\n".join(parts)
+    idf_body = "\n  UNION ALL\n".join(idf_parts)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+),
+stats AS (
+  SELECT count(*)::DOUBLE AS n, avg(len(t))::DOUBLE AS avgdl FROM toks
+),
+term_df AS (
+  SELECT term, count(DISTINCT doc_id)::DOUBLE AS df
+  FROM (SELECT doc_id, unnest(t) AS term FROM toks) GROUP BY 1
+),{",".join(exp_ctes)},
+pf AS ({body}),
+idfs AS ({idf_body}),
+scores AS (
+  SELECT p.query_id, p.doc_id,
+         round(i.idf * p.tf * 2.2
+               / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * p.dl / s.avgdl)),
+               4) AS score
+  FROM pf p JOIN idfs i USING (query_id) CROSS JOIN stats s
+  WHERE p.tf >= 1
+)
+SELECT query_id, rank, doc_id, score FROM (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id)::INTEGER AS rank,
+         doc_id, score
+  FROM scores
+) WHERE rank <= {BM25_K}
+"""
+
+
+# ------------------------------- round-5 filter-context + sampler (set 6)
+
+IDS_FIXTURE = [3, 7, 11, 123, 456, 499]
+TERMS_VALUES = ["src1", "src3", "src5"]
+SAMPLER_SHARD = 50
+DIV_SHARD = 30
+DIV_PER_VALUE = 2
+
+
+def _exists_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """exists query: docs that HAVE the (fixture nullif-modelled) field —
+    boolquery.exists_search."""
+    _ensure_pkg(spark)
+    from pdf_to_opensearch_spark.boolquery import exists_search
+
+    out = _ensure_engine_index(spark, sf_dir)
+    return exists_search(spark, out, MISSING_EXPR, k=BM25_K)
+
+
+def _exists_oracle_sql() -> str:
+    return f"""
+SELECT query_id, rank, doc_id, score FROM (
+  SELECT 0 AS query_id,
+         row_number() OVER (ORDER BY doc_id)::INTEGER AS rank,
+         doc_id, 1.0::DOUBLE AS score
+  FROM documents WHERE nullif(source, 'src0') IS NOT NULL
+) WHERE rank <= {BM25_K}
+"""
+
+
+def _ids_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ids query: explicit doc-id list — boolquery.ids_search."""
+    _ensure_pkg(spark)
+    from pdf_to_opensearch_spark.boolquery import ids_search
+
+    out = _ensure_engine_index(spark, sf_dir)
+    return ids_search(spark, out, IDS_FIXTURE, k=BM25_K)
+
+
+def _ids_oracle_sql() -> str:
+    ids = ", ".join(str(i) for i in IDS_FIXTURE)
+    return f"""
+SELECT query_id, rank, doc_id, score FROM (
+  SELECT 0 AS query_id,
+         row_number() OVER (ORDER BY doc_id)::INTEGER AS rank,
+         doc_id, 1.0::DOUBLE AS score
+  FROM documents WHERE doc_id IN ({ids})
+) WHERE rank <= {BM25_K}
+"""
+
+
+def _terms_keyword_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """terms query on the keyword `source` field —
+    boolquery.terms_search."""
+    _ensure_pkg(spark)
+    from pdf_to_opensearch_spark.boolquery import terms_search
+
+    out = _ensure_engine_index(spark, sf_dir)
+    return terms_search(spark, out, "source", TERMS_VALUES, k=BM25_K)
+
+
+def _terms_keyword_oracle_sql() -> str:
+    vals = ", ".join(f"'{v}'" for v in TERMS_VALUES)
+    return f"""
+SELECT query_id, rank, doc_id, score FROM (
+  SELECT 0 AS query_id,
+         row_number() OVER (ORDER BY doc_id)::INTEGER AS rank,
+         doc_id, 1.0::DOUBLE AS score
+  FROM documents WHERE source IN ({vals})
+) WHERE rank <= {BM25_K}
+"""
+
+
+_SAMPLER_SCORES_CTE = """
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, len({toks_sql})::DOUBLE AS dl FROM docs0),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+dfreq AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tf
+  WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY 1
+),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         round(sum( ln(1.0 + (s.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                    * tf.tf * 2.2
+                    / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) ),
+               4) AS score
+  FROM tf
+  JOIN q USING (term) JOIN dfreq USING (term) JOIN dl USING (doc_id)
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+)"""
+
+
+def _sampler_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sampler aggregation: terms(lang) over only the top-scored sample
+    of the hit set — boolquery.search_sampler."""
+    _ensure_pkg(spark)
+    from pdf_to_opensearch_spark.boolquery import search_sampler
+
+    out = _ensure_engine_index(spark, sf_dir)
+    return search_sampler(spark, out, list(BM25_QUERIES.items()),
+                          facet_col="lang", shard_size=SAMPLER_SHARD)
+
+
+def _sampler_oracle_sql() -> str:
+    return f"""{_matches_cte()},
+{_SAMPLER_SCORES_CTE.format(toks_sql=_TOKS_SQL)},
+sample AS (
+  SELECT query_id, doc_id FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, doc_id) AS sr
+    FROM scores
+  ) WHERE sr <= {SAMPLER_SHARD}
+)
+SELECT s.query_id, d.lang::VARCHAR AS facet_value,
+       count(*)::BIGINT AS doc_count
+FROM sample s JOIN docs0 d USING (doc_id)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def _diversified_sampler_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """diversified_sampler: at most DIV_PER_VALUE best docs per source
+    survive before the top-DIV_SHARD sample cut —
+    boolquery.search_sampler(max_docs_per_value=...)."""
+    _ensure_pkg(spark)
+    from pdf_to_opensearch_spark.boolquery import search_sampler
+
+    out = _ensure_engine_index(spark, sf_dir)
+    return search_sampler(spark, out, list(BM25_QUERIES.items()),
+                          facet_col="lang", shard_size=DIV_SHARD,
+                          max_docs_per_value=DIV_PER_VALUE,
+                          dedup_col="source")
+
+
+def _diversified_sampler_oracle_sql() -> str:
+    return f"""{_matches_cte()},
+{_SAMPLER_SCORES_CTE.format(toks_sql=_TOKS_SQL)},
+dedup AS (
+  SELECT query_id, doc_id, score FROM (
+    SELECT sc.query_id, sc.doc_id, sc.score,
+           row_number() OVER (PARTITION BY sc.query_id, d.source
+                              ORDER BY sc.score DESC, sc.doc_id) AS dr
+    FROM scores sc JOIN docs0 d USING (doc_id)
+  ) WHERE dr <= {DIV_PER_VALUE}
+),
+sample AS (
+  SELECT query_id, doc_id FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, doc_id) AS sr
+    FROM dedup
+  ) WHERE sr <= {DIV_SHARD}
+)
+SELECT s.query_id, d.lang::VARCHAR AS facet_value,
+       count(*)::BIGINT AS doc_count
+FROM sample s JOIN docs0 d USING (doc_id)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def _highlight_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 top-k + highlight snippet (the ``highlight`` block of a
     search body): 60-char window around the first occurrence of any
@@ -4971,6 +5623,23 @@ def queries():  # noqa: F811 — extend the registry with the spatial/misc ops
         "sorted_search": _sorted_search,
         "constant_score": _constant_score,
         "function_score_topk": _function_score_topk,
+        "extended_stats_agg": _extended_stats_agg,
+        "weighted_avg_agg": _weighted_avg_agg,
+        "missing_agg": _missing_agg,
+        "global_agg": _global_agg,
+        "pipeline_aggs": _pipeline_aggs,
+        "decay_score_topk": _decay_score_topk,
+        "script_score_topk": _script_score_topk,
+        "random_score_topk": _random_score_topk,
+        "span_first_topk": _span_first_topk,
+        "match_phrase_prefix_topk": _mpp_topk,
+        "exists_topk": _exists_topk,
+        "ids_topk": _ids_topk,
+        "terms_keyword_topk": _terms_keyword_topk,
+        "sampler_agg": _sampler_agg,
+        "diversified_sampler_agg": _diversified_sampler_agg,
+        "count_api": _count_api,
+        "completion_suggest": _completion_suggest,
     })
     return _reorder(out)
 
@@ -5024,5 +5693,22 @@ def oracle_sql():  # noqa: F811
         "sorted_search": _sorted_search_oracle_sql(),
         "constant_score": _constant_score_oracle_sql(),
         "function_score_topk": _function_score_oracle_sql(),
+        "extended_stats_agg": _extended_stats_oracle_sql(),
+        "weighted_avg_agg": _weighted_avg_oracle_sql(),
+        "missing_agg": _missing_agg_oracle_sql(),
+        "global_agg": _global_agg_oracle_sql(),
+        "pipeline_aggs": _pipeline_aggs_oracle_sql(),
+        "decay_score_topk": _decay_score_oracle_sql(),
+        "script_score_topk": _script_score_oracle_sql(),
+        "random_score_topk": _random_score_oracle_sql(),
+        "span_first_topk": _span_first_oracle_sql(),
+        "match_phrase_prefix_topk": _mpp_oracle_sql(),
+        "exists_topk": _exists_oracle_sql(),
+        "ids_topk": _ids_oracle_sql(),
+        "terms_keyword_topk": _terms_keyword_oracle_sql(),
+        "sampler_agg": _sampler_oracle_sql(),
+        "diversified_sampler_agg": _diversified_sampler_oracle_sql(),
+        "count_api": _count_api_oracle_sql(),
+        "completion_suggest": _completion_oracle_sql(),
     })
     return _reorder(out)

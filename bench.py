@@ -40,6 +40,23 @@ Scaling protocol (north rule: ≥0.8 efficiency from N to 4N):
   gate to pass so a degraded storm is waited out, not measured into.
   The round-4 driver record ran exactly 5 windows into a storm, screened
   all 5 out, and could only fall back to the raw number.
+- STORM-SKIP (round 5b): BASE windows wait for calm too — a window whose
+  pre-gate cannot pass is screened out in advance by the instrument's
+  own evidence, so the wall is spent waiting for calm instead of
+  measuring a corrupt window. The wait is bounded so the declared ≥5
+  base windows always still run: while base windows are owed, waiting is
+  capped at the wall slack beyond EST_WINDOW_S per owed window; a storm
+  that outlasts the slack is measured into (old behavior) and judged by
+  the screen. All gate samples remain in the emitted log either way.
+- PARALLEL CALM PROBE (round 5b): hypervisor CPU steal throttles
+  multi-core work while a single core keeps full speed, so the
+  single-core gate stays green through exactly the storms that corrupt
+  the 4-way measurements (observed: ctrl_eff 0.27, zero gate timeouts,
+  same window). The pre-window wait therefore also samples a 4-process
+  pool running the same numpy workload (PAR_TOL, default 1.35×
+  session-best); calm = BOTH probes pass. The per-region gate and the
+  screen are unchanged — the probe only decides WHEN to measure, never
+  what counts.
 - The QUERY-batch section runs the same windowed protocol (its own pool
   control per window, same screen, same extension rule) and reports
   query_scaling_efficiency_screened / query_n_windows_screened.
@@ -82,6 +99,10 @@ NUM_RANGES = 32     # fixed across parallelism levels → identical work
 N_BUCKETS = 8
 GATE_TOL = 1.5
 GATE_MAX_WAIT = float(os.environ.get("SPARK_GRAFT_GATE_WAIT", "45"))
+# p50 wall cost of one CLEAN interleaved window (2 spark JVMs + 2 pool
+# controls + probes), measured across the round-5 run series; used only
+# to bound how long a base window may wait for calm before it must run
+EST_WINDOW_S = float(os.environ.get("SPARK_GRAFT_EST_WINDOW", "210"))
 # global wall-clock backstop: extension windows stop claiming time once
 # the whole bench run has consumed this much (the driver's patience is
 # finite and an absent record is worse than a noisy one)
@@ -173,10 +194,56 @@ def _gate(max_wait: float = GATE_MAX_WAIT) -> float:
         time.sleep(8)
 
 
+# --- parallel calm probe (round 5b): hypervisor CPU steal throttles
+# MULTI-core work while leaving a single core at full speed, so the
+# single-core gate stays green through exactly the storms that corrupt
+# the 4-way measurements (observed: ctrl_eff 0.27 with zero gate
+# timeouts in the same window). The pre-window storm-skip therefore
+# also samples a 4-process pool running the same numpy workload; its
+# wall time inflates under steal even when the single-core gate cannot
+# see it. The pool is created once and reused (spawn cost off the probe).
+
+_PAR_BEST = [float("inf")]
+_PAR_LOG: list[float] = []
+_PAR_POOL = [None]
+PAR_TOL = float(os.environ.get("SPARK_GRAFT_PAR_TOL", "1.35"))
+
+
+def _par_task(_i: int) -> float:
+    import numpy as np
+
+    a = np.random.default_rng(0).standard_normal(1_500_000)
+    t0 = time.monotonic()
+    for _ in range(3):
+        np.sort(a.copy())
+    return time.monotonic() - t0
+
+
+def _calibrate_par() -> float:
+    """4-way concurrent numpy workload (~0.5 s unthrottled): the
+    multi-core health probe. Returns the pool-wide wall time."""
+    import multiprocessing as mp
+
+    if _PAR_POOL[0] is None:
+        _PAR_POOL[0] = mp.get_context("spawn").Pool(4)
+        _PAR_POOL[0].map(_par_task, range(4))  # spawn + import warm-up
+    t0 = time.monotonic()
+    _PAR_POOL[0].map(_par_task, range(4))
+    return time.monotonic() - t0
+
+
+def _probe_calm_par() -> bool:
+    c = _calibrate_par()
+    _PAR_LOG.append(round(c, 3))
+    _PAR_BEST[0] = min(_PAR_BEST[0], c)
+    return c <= _PAR_BEST[0] * PAR_TOL
+
+
 def _seed_calibration() -> None:
     for _ in range(3):
         _calibrate_once_quiet()
         time.sleep(3)
+    _probe_calm_par()
 
 
 def _calibrate_once_quiet() -> None:
@@ -361,16 +428,20 @@ def _efficiency(times: dict[int, list[float]]
 
 
 def _wait_calm(deadline: float) -> bool:
-    """Sample the calibration workload until one passes tolerance or the
-    deadline hits; True = machine calm. Used between EXTENSION windows so
-    a degraded-storm period waits out the storm instead of burning a full
+    """Sample the calibration workloads until BOTH pass tolerance or the
+    deadline hits; True = machine calm. Used before every window so a
+    degraded-storm period waits out the storm instead of burning a full
     (and self-evidently corrupt) measurement window — the round-4 driver
-    record spent its whole budget on 5 windows with 0 survivors."""
+    record spent its whole budget on 5 windows with 0 survivors. Round
+    5b: calm requires the single-core gate AND the 4-way parallel probe
+    (hypervisor steal throttles multi-core work the single-core gate
+    cannot see — observed ctrl_eff 0.27 in a window with zero gate
+    timeouts)."""
     while True:
         c = _calibrate()
         _GATE_LOG.append(round(c, 3))
         _CALIB_BEST[0] = min(_CALIB_BEST[0], c)
-        if c <= _CALIB_BEST[0] * GATE_TOL:
+        if c <= _CALIB_BEST[0] * GATE_TOL and _probe_calm_par():
             return True
         if time.monotonic() >= deadline:
             return False
@@ -435,9 +506,23 @@ def _windowed_scaling(run_fn, corpus: str, base_reps: int,
     protocol); then, while the acceptance criterion
     (:func:`_scaling_gate_met`) is unmet, EXTRA windows keep being added
     until ``ext_budget_s`` extension wall-clock or ``max_pairs`` is
-    exhausted — and each extra window first WAITS for the calibration
-    gate to pass (machine calm) instead of measuring straight into a
-    degraded storm. ``run_fn(cores) -> (total, kernel)``.
+    exhausted.
+
+    STORM-SKIP (round 5): EVERY window — base or extension — first waits
+    for the calibration gate to pass before it starts. A window whose
+    pre-gate cannot pass is already screened out by the instrument's own
+    evidence, so measuring it buys nothing and costs ~4 gate-timeout
+    waits plus four storm-degraded regions of wall-clock (the round-5
+    driver records each spent 25+ minutes measuring windows that the
+    screen then discarded: 13 gate timeouts, 1/7 survivors). The wait is
+    bounded so the declared base windows are still guaranteed: while
+    fewer than ``base_reps`` windows have run, waiting is capped at the
+    wall slack beyond what the remaining base windows need
+    (``EST_WINDOW_S`` each); if the storm outlasts that slack, the
+    window runs unconditionally (pre-round-5b behavior) and the screen
+    judges it. Extension windows keep the existing rule: storm outlasts
+    the extension budget → stop, the evidence so far stands.
+    ``run_fn(cores) -> (total, kernel)``.
     """
     ratio = SCALE_HI / SCALE_LO
     times: dict[int, list[float]] = {SCALE_LO: [], SCALE_HI: []}
@@ -458,6 +543,18 @@ def _windowed_scaling(run_fn, corpus: str, base_reps: int,
                 break
             if not _wait_calm(deadline):
                 break  # storm outlasted the budget: raw evidence stands
+        else:
+            # base window storm-skip: wait for calm, but never so long
+            # that the remaining base windows no longer fit in the wall
+            wall_deadline = _T0[0] + WALL_CAP
+            owed = base_reps - pair
+            calm_deadline = wall_deadline - owed * EST_WINDOW_S
+            if calm_deadline > time.monotonic():
+                calm = _wait_calm(calm_deadline)
+                if not calm:
+                    print(f"[bench] {tag} window {pair}: storm outlasted "
+                          "base slack, measuring degraded (screen will "
+                          "judge)", file=sys.stderr, flush=True)
         gt0 = _GATE_TIMEOUTS[0]
         post_fails = 0
         # alternate which level runs first so slow machine-state drift
@@ -659,8 +756,12 @@ def main() -> None:  # noqa: C901
         else:
             results["query_scaling_efficiency_screened"] = round(qeff, 4)
         detail["gate_samples"] = _GATE_LOG[-80:]
+        detail["par_probe_samples"] = _PAR_LOG[-80:]
         results["gate_best"] = round(_CALIB_BEST[0], 3)
         results["gate_timeouts_total"] = _GATE_TIMEOUTS[0]
+        if _PAR_POOL[0] is not None:  # release the probe pool's workers
+            _PAR_POOL[0].terminate()
+            _PAR_POOL[0] = None
         shutil.rmtree(idx, ignore_errors=True)
 
     if ONLY == "scaling":

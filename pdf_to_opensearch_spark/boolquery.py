@@ -869,7 +869,7 @@ def search_date_histogram(spark: SparkSession, index_dir: str,
         return spark.createDataFrame([], out_schema)
     vals = (spark.read.parquet(paths.docs)
             .select("doc_id", F.date_trunc(calendar_interval,
-                                           F.col(ts_col))
+                                           F.expr(ts_col))
                     .alias("bucket_start")))
     return (matches.join(vals, "doc_id")
             .filter(F.col("bucket_start").isNotNull())
@@ -1617,3 +1617,610 @@ def function_score_search(spark: SparkSession, index_dir: str,
             .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("query_id", "rank", "doc_id", "score"))
+
+
+# ------------------------------------------ round-5 agg widening (set 3)
+# extended_stats / weighted_avg / missing / global + the date_histogram
+# PIPELINE aggregations (derivative, cumulative_sum, moving_avg) — the
+# rest of the standard aggregation vocabulary. All scope over the shared
+# _match_docs hit set; pipeline aggs are pure window functions over the
+# already-aggregated (tiny) bucket frame, so they add no scan and no
+# extra shuffle beyond the date_histogram they decorate.
+
+
+def search_extended_stats(spark: SparkSession, index_dir: str,
+                          queries: list[tuple[int, str]],
+                          value_expr: str = "length(text)") -> DataFrame:
+    """``extended_stats``: stats plus sum_of_squares and POPULATION
+    variance / std deviation (the OpenSearch default sigma basis) of a
+    numeric expression over the hit set; derived moments rounded to 4 dp
+    at the surface.
+
+    Returns DataFrame(query_id, doc_count, vmin, vmax, vsum, vavg,
+    sum_of_squares, variance, std_deviation)."""
+    paths = IndexPaths(index_dir)
+    stats = load_stats(spark, index_dir)
+    out_schema = ("query_id int, doc_count long, vmin double, "
+                  "vmax double, vsum double, vavg double, "
+                  "sum_of_squares double, variance double, "
+                  "std_deviation double")
+    matches = _match_docs(spark, paths, stats, queries)
+    if matches is None:
+        return spark.createDataFrame([], out_schema)
+    vals = (spark.read.parquet(paths.docs)
+            .select("doc_id", F.expr(value_expr).cast("double").alias("v")))
+    return (matches.join(vals, "doc_id")
+            .groupBy("query_id")
+            .agg(F.count("*").alias("doc_count"),
+                 F.min("v").alias("vmin"), F.max("v").alias("vmax"),
+                 F.round(F.sum("v"), 4).alias("vsum"),
+                 F.round(F.avg("v"), 4).alias("vavg"),
+                 F.round(F.sum(F.col("v") * F.col("v")), 4)
+                 .alias("sum_of_squares"),
+                 F.round(F.var_pop("v"), 4).alias("variance"),
+                 F.round(F.stddev_pop("v"), 4).alias("std_deviation"))
+            .orderBy("query_id"))
+
+
+def search_weighted_avg(spark: SparkSession, index_dir: str,
+                        queries: list[tuple[int, str]],
+                        value_expr: str = "length(text)",
+                        weight_expr: str = "1.0") -> DataFrame:
+    """``weighted_avg``: sum(value·weight)/sum(weight) over the hit set
+    (rounded 4 dp) — one map-side-combined pass, same cost as avg.
+
+    Returns DataFrame(query_id, doc_count, weighted_avg)."""
+    paths = IndexPaths(index_dir)
+    stats = load_stats(spark, index_dir)
+    out_schema = "query_id int, doc_count long, weighted_avg double"
+    matches = _match_docs(spark, paths, stats, queries)
+    if matches is None:
+        return spark.createDataFrame([], out_schema)
+    vals = (spark.read.parquet(paths.docs)
+            .select("doc_id",
+                    F.expr(value_expr).cast("double").alias("v"),
+                    F.expr(weight_expr).cast("double").alias("w")))
+    return (matches.join(vals, "doc_id")
+            .groupBy("query_id")
+            .agg(F.count("*").alias("doc_count"),
+                 F.round(F.sum(F.col("v") * F.col("w"))
+                         / F.sum("w"), 4).alias("weighted_avg"))
+            .orderBy("query_id"))
+
+
+def search_missing(spark: SparkSession, index_dir: str,
+                   queries: list[tuple[int, str]],
+                   col_expr: str = "embedding") -> DataFrame:
+    """``missing`` aggregation: how many docs of the hit set have no
+    value for a field (expression IS NULL). The engine's doc unit keeps
+    optional fields nullable (embedding is a LEFT join), so missing is a
+    single null-predicate count over the pruned docs scan.
+
+    Returns DataFrame(query_id, missing_count)."""
+    paths = IndexPaths(index_dir)
+    stats = load_stats(spark, index_dir)
+    out_schema = "query_id int, missing_count long"
+    matches = _match_docs(spark, paths, stats, queries)
+    if matches is None:
+        return spark.createDataFrame([], out_schema)
+    vals = (spark.read.parquet(paths.docs)
+            .select("doc_id", F.expr(col_expr).isNull().alias("m")))
+    return (matches.join(vals, "doc_id")
+            .groupBy("query_id")
+            .agg(F.sum(F.col("m").cast("long")).alias("missing_count"))
+            .orderBy("query_id"))
+
+
+def search_global_agg(spark: SparkSession, index_dir: str,
+                      queries: list[tuple[int, str]],
+                      value_expr: str = "length(text)") -> DataFrame:
+    """``global`` aggregation: breaks out of the query scope — the
+    metric runs over the WHOLE index regardless of the match query (the
+    OpenSearch pattern for "show my results against the corpus
+    average"). One corpus-wide aggregate, broadcast-crossed to the query
+    ids (constant per query by construction).
+
+    Returns DataFrame(query_id, doc_count, vavg)."""
+    q_ids = sorted({int(qid) for qid, _ in queries})
+    corpus = (spark.read.parquet(IndexPaths(index_dir).docs)
+              .agg(F.count("*").alias("doc_count"),
+                   F.round(F.avg(F.expr(value_expr).cast("double")), 4)
+                   .alias("vavg")))
+    ids = spark.createDataFrame([(i,) for i in q_ids], "query_id int") \
+        .select(F.col("query_id").cast("int").alias("query_id"))
+    return (ids.crossJoin(F.broadcast(corpus))
+            .select("query_id", "doc_count", "vavg")
+            .orderBy("query_id"))
+
+
+def search_pipeline_aggs(spark: SparkSession, index_dir: str,
+                         queries: list[tuple[int, str]],
+                         ts_col: str = "warc_ts",
+                         calendar_interval: str = "week",
+                         window: int = 3) -> DataFrame:
+    """Pipeline aggregations over a ``date_histogram``: ``derivative``
+    (bucket-over-bucket delta, null for the first bucket),
+    ``cumulative_sum``, and ``moving_avg`` over a trailing window of
+    ``window`` buckets ENDING AT the current bucket inclusive (the
+    deterministic window contract; rounded 4 dp). All three are window
+    functions over the already-reduced bucket frame — no second scan, no
+    extra shuffle (same partitioning key as the groupBy).
+
+    Returns DataFrame(query_id, bucket_start, doc_count, derivative,
+    cumulative_sum, moving_avg)."""
+    base = search_date_histogram(spark, index_dir, queries, ts_col=ts_col,
+                                 calendar_interval=calendar_interval)
+    w = Window.partitionBy("query_id").orderBy("bucket_start")
+    return (base
+            .withColumn("derivative",
+                        (F.col("doc_count")
+                         - F.lag("doc_count").over(w)).cast("long"))
+            .withColumn("cumulative_sum",
+                        F.sum("doc_count").over(
+                            w.rowsBetween(Window.unboundedPreceding, 0)))
+            .withColumn("moving_avg",
+                        F.round(F.avg("doc_count").over(
+                            w.rowsBetween(-(window - 1), 0)), 4))
+            .orderBy("query_id", "bucket_start"))
+
+
+# -------------------------------------- round-5 function_score widening
+# decay (gauss) / script_score / random_score — the remaining standard
+# function_score shapes. All reuse the same physical plan as
+# function_score_search: full hit set through the standard kernel (the
+# multiplier can reorder ANY hit), column-pruned docs join for the
+# function inputs, round-then-rank page.
+
+
+def _full_bm25_scores(spark: SparkSession, paths: IndexPaths, stats,
+                      queries: list[tuple[int, str]]) -> DataFrame | None:
+    """Kernel-scored FULL hit set (k=∞, prune off), scores rounded to
+    4 dp — the shared base of every function_score variant. None = no
+    scorable terms."""
+    q_terms = {qid: tokenize_text(text) for qid, text in queries}
+    terms = sorted({t for toks in q_terms.values() for t in toks})
+    if not terms:
+        return None
+    dict_rows = _filter_in(spark.read.parquet(paths.dictionary),
+                           "term", terms).collect()
+    dfs = {r["term"]: int(r["df"]) for r in dict_rows}
+    idfs = {t: float(idf_fn(stats.N, np.array([dfs[t]]))[0])
+            for t in terms if t in dfs}
+    from .query import _weighted_qinfo
+    qinfo = _weighted_qinfo(q_terms, idfs)
+    if not qinfo:
+        return None
+    live = sorted({t for ti in qinfo.values() for t in ti})
+    postings = _pruned_postings(spark, paths, stats.n_buckets, live)
+    return (postings.groupBy("range_id")
+            .applyInPandas(_score_kernel(qinfo, 1 << 31, stats,
+                                         prune=False),
+                           schema=RESULT_SCHEMA)
+            .withColumn("score", F.round("score", 4)))
+
+
+def _ranked_page(scored: DataFrame, k: int) -> DataFrame:
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "doc_id", "score"))
+
+
+def decay_score_search(spark: SparkSession, index_dir: str,
+                       queries: list[tuple[int, str]],
+                       field: str = "warc_ts",
+                       origin: str = "2025-02-15 00:00:00",
+                       scale_s: float = 14 * 86400.0,
+                       decay: float = 0.5,
+                       offset_s: float = 0.0,
+                       k: int = 10) -> DataFrame:
+    """``function_score`` with a ``gauss`` decay on a date field
+    (boost_mode=multiply): multiplier =
+    exp(−max(0, |t−origin|−offset)² / (2σ²)) with
+    σ² = −scale² / (2·ln(decay)) — the standard decay parameterization
+    (multiplier = ``decay`` exactly at distance ``scale``). Distances in
+    seconds via epoch arithmetic so the DuckDB twin states the identical
+    expression. Product rounded 4 dp before ranking.
+
+    Returns the standard RANKED page."""
+    paths = IndexPaths(index_dir)
+    stats = load_stats(spark, index_dir)
+    scored = _full_bm25_scores(spark, paths, stats, queries)
+    if scored is None:
+        return spark.createDataFrame([], RANKED)
+    sigma2 = -(scale_s ** 2) / (2.0 * float(np.log(decay)))
+    dist = F.greatest(
+        F.lit(0.0),
+        F.abs(F.unix_timestamp(F.expr(field))
+              - F.unix_timestamp(F.to_timestamp(F.lit(origin))))
+        .cast("double") - F.lit(float(offset_s)))
+    mult = F.exp(-(dist * dist) / F.lit(2.0 * sigma2))
+    factors = (spark.read.parquet(paths.docs)
+               .select("doc_id", mult.alias("factor")))
+    scored = (scored.join(factors, "doc_id")
+              .withColumn("score",
+                          F.round(F.col("score") * F.col("factor"), 4)))
+    return _ranked_page(scored, k)
+
+
+def script_score_search(spark: SparkSession, index_dir: str,
+                        queries: list[tuple[int, str]],
+                        script_expr: str =
+                        "sqrt(_score) + ln(1 + length(text)) / 10",
+                        script_cols: list[str] = ("text",),
+                        k: int = 10) -> DataFrame:
+    """``script_score``: an arbitrary expression of ``_score`` (the
+    rounded BM25) and doc fields REPLACES the score (OpenSearch
+    script_score query). The expression is compiled by Catalyst (one
+    codegen projection), not interpreted per row; result rounds to 4 dp
+    before ranking.
+
+    Returns the standard RANKED page."""
+    paths = IndexPaths(index_dir)
+    stats = load_stats(spark, index_dir)
+    scored = _full_bm25_scores(spark, paths, stats, queries)
+    if scored is None:
+        return spark.createDataFrame([], RANKED)
+    fields = (spark.read.parquet(paths.docs)
+              .select("doc_id", *script_cols))
+    scored = (scored.withColumnRenamed("score", "_score")
+              .join(fields, "doc_id")
+              .withColumn("score",
+                          F.round(F.expr(script_expr).cast("double"), 4))
+              .select("query_id", "doc_id", "score"))
+    return _ranked_page(scored, k)
+
+
+RANDOM_SCORE_MULT = 2654435761  # Knuth multiplicative-hash constant
+
+
+def random_score_search(spark: SparkSession, index_dir: str,
+                        queries: list[tuple[int, str]],
+                        seed: int = 42, k: int = 10) -> DataFrame:
+    """``function_score`` with ``random_score``: a deterministic,
+    seed-reproducible pseudo-random score per (seed, doc) — the engine's
+    documented contract is the multiplicative hash
+    ((doc_id + seed) · 2654435761 mod 2³²) / 2³², expressible identically
+    in any SQL dialect (OpenSearch's own hash is likewise seeded and
+    reproducible, not portable). The match query is filter context
+    (boost_mode=replace); page = top-k by the hash, doc_id tiebreak.
+
+    Returns the standard RANKED page."""
+    paths = IndexPaths(index_dir)
+    stats = load_stats(spark, index_dir)
+    matches = _match_docs(spark, paths, stats, queries)
+    if matches is None:
+        return spark.createDataFrame([], RANKED)
+    rnd = (((F.col("doc_id") + F.lit(int(seed)))
+            * F.lit(RANDOM_SCORE_MULT)) % F.lit(4294967296)
+           ).cast("double") / F.lit(4294967296.0)
+    scored = matches.withColumn("score", F.round(rnd, 6))
+    return _ranked_page(scored, k)
+
+
+# ------------------------------------------- round-5 positional widening
+# span_first + match_phrase_prefix — the remaining positional query
+# types. Both run per-range Arrow kernels over the SAME term-pruned
+# positional postings scan the phrase kernel uses (no new physical
+# shape; the dictionary expansion of match_phrase_prefix is the
+# prefix_search expansion).
+
+from .codec import decode_positions, tf_norm  # noqa: E402
+
+_SF_POS_SHIFT = np.uint64(24)  # doc<<24|pos keys (query._POS_SHIFT twin)
+
+
+def span_first_search(spark: SparkSession, index_dir: str,
+                      queries: list[tuple[int, str]],
+                      end: int = 5, k: int = 10) -> DataFrame:
+    """Lucene/OpenSearch ``span_first``: the term matches only within the
+    first ``end`` token positions of a doc. tf = count of qualifying
+    occurrences (positions 0..end−1 of the frozen analyzer's stream),
+    score = idf · BM25 tf-norm of that restricted tf — SpanWeight's
+    freq-of-matching-spans scoring under the engine's BM25 similarity.
+
+    Returns the standard RANKED page."""
+    paths = IndexPaths(index_dir)
+    stats = load_stats(spark, index_dir)
+    q_term: dict[int, str] = {}
+    for qid, text in queries:
+        toks = tokenize_text(text)
+        if toks:
+            q_term[int(qid)] = toks[0]
+    if not q_term:
+        return spark.createDataFrame([], RANKED)
+    terms = sorted(set(q_term.values()))
+    dict_rows = _filter_in(spark.read.parquet(paths.dictionary),
+                           "term", terms).collect()
+    dfs = {r["term"]: int(r["df"]) for r in dict_rows}
+    idfs = {t: float(idf_fn(stats.N, np.array([dfs[t]]))[0])
+            for t in terms if t in dfs}
+    q_term = {qid: t for qid, t in q_term.items() if t in idfs}
+    if not q_term:
+        return spark.createDataFrame([], RANKED)
+    k1, b, avgdl = stats.k1, stats.b, stats.avgdl
+    end_i = int(end)
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        by_term = {rec["term"]: rec for rec in pdf.to_dict("records")}
+        out_q, out_d, out_s = [], [], []
+        for qid, t in q_term.items():
+            rec = by_term.get(t)
+            if rec is None:
+                continue
+            doc_ids, tfs, dls = decode_postings(rec)
+            if doc_ids.size == 0:
+                continue
+            poss = decode_positions(rec["poss"], tfs)
+            seg = np.repeat(np.arange(doc_ids.size), tfs)
+            qtf = np.bincount(seg[poss < end_i], minlength=doc_ids.size)
+            keep = qtf > 0
+            if not keep.any():
+                continue
+            sc = idfs[t] * tf_norm(qtf[keep], dls[keep], avgdl, k1, b)
+            out_q.extend([qid] * int(keep.sum()))
+            out_d.extend(doc_ids[keep].tolist())
+            out_s.extend(sc.tolist())
+        return pd.DataFrame({
+            "query_id": pd.Series(out_q, dtype="int32"),
+            "doc_id": pd.Series(out_d, dtype="int64"),
+            "score": pd.Series(out_s, dtype="float64"),
+        })
+
+    postings = _pruned_postings(spark, paths, stats.n_buckets,
+                                sorted(set(q_term.values())))
+    scored = (postings.groupBy("range_id")
+              .applyInPandas(kernel, schema=RESULT_SCHEMA)
+              .withColumn("score", F.round("score", 4)))
+    return _ranked_page(scored, k)
+
+
+def match_phrase_prefix_search(spark: SparkSession, index_dir: str,
+                               queries: list[tuple[int, str]],
+                               k: int = 10,
+                               max_expansions: int = 50) -> DataFrame:
+    """``match_phrase_prefix``: a phrase whose LAST term matches as a
+    prefix. The prefix expands against the term dictionary in term order
+    (first ``max_expansions`` terms — the same rewrite as
+    :func:`prefix_search`); a doc position chain matches when the fixed
+    terms occur contiguously in order and ANY expansion occupies the
+    final position (Lucene MultiPhraseQuery's union position list —
+    each anchor counts once, never per-expansion). tf = count of
+    matching anchors; idf = Σ fixed-term idfs + idf(min(N, Σ expansion
+    dfs)) — the union document frequency bounded above by its sum, the
+    engine's documented determinization of MultiPhrase's per-position
+    blended weight.
+
+    Returns the standard RANKED page."""
+    paths = IndexPaths(index_dir)
+    stats = load_stats(spark, index_dir)
+    parsed: dict[int, tuple[list[str], str]] = {}
+    for qid, text in queries:
+        toks = tokenize_text(text)
+        if len(toks) >= 2:
+            parsed[int(qid)] = (toks[:-1], toks[-1])
+    if not parsed:
+        return spark.createDataFrame([], RANKED)
+    dictionary = spark.read.parquet(paths.dictionary)
+    expansions: dict[int, list[tuple[str, int]]] = {}
+    for qid, (_fixed, pref) in parsed.items():
+        rows = (dictionary.filter(F.col("term").startswith(pref))
+                .select("term", "df").orderBy("term")
+                .limit(max_expansions).collect())
+        if rows:
+            expansions[qid] = [(r["term"], int(r["df"])) for r in rows]
+    fixed_terms = sorted({t for qid in expansions
+                          for t in parsed[qid][0]})
+    dict_rows = _filter_in(dictionary, "term", fixed_terms).collect()
+    dfs = {r["term"]: int(r["df"]) for r in dict_rows}
+    qinfo: dict[int, dict] = {}
+    for qid, exp in expansions.items():
+        fixed = parsed[qid][0]
+        if any(t not in dfs for t in fixed):
+            continue  # a fixed term absent from the corpus: no hits
+        idf = sum(float(idf_fn(stats.N, np.array([dfs[t]]))[0])
+                  for t in fixed)
+        df_u = min(stats.N, sum(df for _t, df in exp))
+        idf += float(idf_fn(stats.N, np.array([df_u]))[0])
+        qinfo[qid] = {"fixed": fixed, "exp": [t for t, _df in exp],
+                      "idf": idf}
+    if not qinfo:
+        return spark.createDataFrame([], RANKED)
+    k1, b, avgdl = stats.k1, stats.b, stats.avgdl
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        by_term = {rec["term"]: rec for rec in pdf.to_dict("records")}
+        out_q, out_d, out_s = [], [], []
+        for qid, info in qinfo.items():
+            fixed, exp = info["fixed"], info["exp"]
+            if any(t not in by_term for t in fixed):
+                continue
+            exp_here = [t for t in exp if t in by_term]
+            if not exp_here:
+                continue
+            decoded: dict[str, tuple] = {}
+            for t in set(fixed) | set(exp_here):
+                rec = by_term[t]
+                doc_ids, tfs, dls = decode_postings(rec)
+                poss = decode_positions(rec["poss"], tfs)
+                keys = ((np.repeat(doc_ids, tfs).astype(np.uint64)
+                         << _SF_POS_SHIFT) | poss.astype(np.uint64))
+                decoded[t] = (doc_ids, tfs, dls, keys)
+            union_keys = np.sort(np.concatenate(
+                [decoded[t][3] for t in exp_here]))
+            d0, _tf0, dl0, keys0 = decoded[fixed[0]]
+            cand = keys0
+            for i, t in enumerate(fixed[1:], start=1):
+                if cand.size == 0:
+                    break
+                cand = cand[np.isin(cand + np.uint64(i), decoded[t][3])]
+            if cand.size:
+                cand = cand[np.isin(cand + np.uint64(len(fixed)),
+                                    union_keys)]
+            if cand.size == 0:
+                continue
+            cand_docs = (cand >> _SF_POS_SHIFT).astype(np.int64)
+            uniq, pf = np.unique(cand_docs, return_counts=True)
+            dl_map = dl0[np.searchsorted(d0, uniq)]
+            sc = info["idf"] * tf_norm(pf, dl_map, avgdl, k1, b)
+            out_q.extend([qid] * uniq.size)
+            out_d.extend(uniq.tolist())
+            out_s.extend(sc.tolist())
+        return pd.DataFrame({
+            "query_id": pd.Series(out_q, dtype="int32"),
+            "doc_id": pd.Series(out_d, dtype="int64"),
+            "score": pd.Series(out_s, dtype="float64"),
+        })
+
+    live = sorted({t for info in qinfo.values()
+                   for t in info["fixed"] + info["exp"]})
+    postings = _pruned_postings(spark, paths, stats.n_buckets, live)
+    scored = (postings.groupBy("range_id")
+              .applyInPandas(kernel, schema=RESULT_SCHEMA)
+              .withColumn("score", F.round("score", 4)))
+    return _ranked_page(scored, k)
+
+
+# --------------------------------------- round-5 filter-context queries
+# exists / ids / terms (keyword) — the non-scoring query types. All
+# resolve purely against the column-pruned docs scan (no postings
+# decode, no kernel — Lucene executes these as doc-values/points
+# filters), score a constant, and page in index (doc_id) order, the
+# same physical shape as constant_score_search.
+
+
+def exists_search(spark: SparkSession, index_dir: str, col_expr: str,
+                  k: int = 10, boost: float = 1.0) -> DataFrame:
+    """``exists`` query: docs that HAVE a value for the field
+    (expression IS NOT NULL)."""
+    return constant_score_search(spark, index_dir,
+                                 f"({col_expr}) IS NOT NULL",
+                                 boost=boost, k=k)
+
+
+def ids_search(spark: SparkSession, index_dir: str, ids: list[int],
+               k: int = 10, boost: float = 1.0) -> DataFrame:
+    """``ids`` query: an explicit doc-id list (mget-style point reads,
+    but through the same pruned scan so the id predicate pushes to
+    parquet)."""
+    id_list = ", ".join(str(int(i)) for i in ids) or "-1"
+    return constant_score_search(spark, index_dir,
+                                 f"doc_id IN ({id_list})",
+                                 boost=boost, k=k)
+
+
+def terms_search(spark: SparkSession, index_dir: str, col: str,
+                 values: list[str], k: int = 10,
+                 boost: float = 1.0) -> DataFrame:
+    """``terms`` query on a keyword field: exact un-analyzed membership
+    (doc-values filter, constant score)."""
+    vals = ", ".join("'" + v.replace("'", "''") + "'" for v in values) \
+        or "''"
+    return constant_score_search(spark, index_dir,
+                                 f"{col} IN ({vals})", boost=boost, k=k)
+
+
+# ----------------------------------------- round-5 sampler aggregations
+
+def search_sampler(spark: SparkSession, index_dir: str,
+                   queries: list[tuple[int, str]],
+                   facet_col: str = "lang", shard_size: int = 100,
+                   max_docs_per_value: int | None = None,
+                   dedup_col: str | None = None) -> DataFrame:
+    """``sampler`` / ``diversified_sampler`` aggregation: restrict the
+    sub-aggregation (a ``terms`` bucket count here) to the TOP
+    ``shard_size`` scored hits instead of the full hit set — the
+    standard trick for running expensive sub-aggs over only the most
+    relevant docs. ``max_docs_per_value`` + ``dedup_col`` is the
+    diversified variant: before the sample cut, at most that many docs
+    per dedup-field value survive (best-first), so one dominant site
+    cannot monopolize the sample.
+
+    Sample selection is deterministic: rounded-score desc, doc_id asc
+    (the engine's round-then-rank contract). Returns
+    DataFrame(query_id, facet_value, doc_count) over the sample."""
+    paths = IndexPaths(index_dir)
+    stats = load_stats(spark, index_dir)
+    out_schema = "query_id int, facet_value string, doc_count long"
+    scored = _full_bm25_scores(spark, paths, stats, queries)
+    if scored is None:
+        return spark.createDataFrame([], out_schema)
+    if max_docs_per_value is not None:
+        dcol = dedup_col or facet_col
+        ddf = (spark.read.parquet(paths.docs)
+               .select("doc_id", F.col(dcol).cast("string").alias("_dv")))
+        wd = Window.partitionBy("query_id", "_dv").orderBy(
+            F.col("score").desc(), F.col("doc_id").asc())
+        scored = (scored.join(ddf, "doc_id")
+                  .withColumn("_dr", F.row_number().over(wd))
+                  .filter(F.col("_dr") <= max_docs_per_value)
+                  .drop("_dr", "_dv"))
+    ws = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc())
+    sample = (scored.withColumn("_sr", F.row_number().over(ws))
+              .filter(F.col("_sr") <= shard_size))
+    facets = (spark.read.parquet(paths.docs)
+              .select("doc_id", F.col(facet_col).cast("string")
+                      .alias("facet_value")))
+    return (sample.join(facets, "doc_id")
+            .groupBy("query_id", "facet_value")
+            .agg(F.count("*").alias("doc_count"))
+            .orderBy("query_id", "facet_value"))
+
+
+# ---------------------------------------------- round-5 count/completion
+
+def search_count(spark: SparkSession, index_dir: str,
+                 queries: list[tuple[int, str]]) -> DataFrame:
+    """The ``_count`` API / ``track_total_hits=true``: exact hit count
+    per query, no page materialization — one distinct + count over the
+    shared match scan.
+
+    Returns DataFrame(query_id, total_hits)."""
+    paths = IndexPaths(index_dir)
+    stats = load_stats(spark, index_dir)
+    out_schema = "query_id int, total_hits long"
+    matches = _match_docs(spark, paths, stats, queries)
+    if matches is None:
+        return spark.createDataFrame([], out_schema)
+    return (matches.groupBy("query_id")
+            .agg(F.count("*").alias("total_hits"))
+            .orderBy("query_id"))
+
+
+def completion_suggest(spark: SparkSession, index_dir: str,
+                       prefixes: list[tuple[int, str]],
+                       size: int = 5) -> DataFrame:
+    """The ``completion`` suggester: prefix → most popular dictionary
+    completions, weight = document frequency (the mapping's default
+    weight source), df desc then term asc. One pruned StartsWith
+    dictionary scan per prefix + TakeOrdered — no postings touched.
+
+    Returns DataFrame(query_id, rank, suggestion, weight)."""
+    paths = IndexPaths(index_dir)
+    out_schema = "query_id int, rank int, suggestion string, weight long"
+    dictionary = spark.read.parquet(paths.dictionary)
+    outs = []
+    for qid, raw in prefixes:
+        toks = tokenize_text(raw)
+        if not toks:
+            continue
+        pref = toks[0]
+        outs.append(
+            dictionary.filter(F.col("term").startswith(pref))
+            .select(F.lit(int(qid)).cast("int").alias("query_id"),
+                    F.col("term").alias("suggestion"),
+                    F.col("df").cast("long").alias("weight"))
+            .orderBy(F.col("weight").desc(), F.col("suggestion").asc())
+            .limit(size))
+    if not outs:
+        return spark.createDataFrame([], out_schema)
+    allc = outs[0]
+    for o in outs[1:]:
+        allc = allc.unionByName(o)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("weight").desc(), F.col("suggestion").asc())
+    return (allc.withColumn("rank", F.row_number().over(w))
+            .select("query_id", "rank", "suggestion", "weight")
+            .orderBy("query_id", "rank"))

@@ -71,13 +71,21 @@ def main(argv: list[str] | None = None, keep_session: bool = False) -> int:
     cs.add_argument("--boost", type=float, default=1.2)
     cs.add_argument("-k", type=int, default=10)
 
-    fs = sub.add_parser("funcscore", help="function_score with "
-                                          "field_value_factor "
-                                          "(boost_mode=multiply)")
+    fs = sub.add_parser("funcscore", help="function_score: "
+                                          "field_value_factor / gauss "
+                                          "decay / script / random")
     fs.add_argument("--index", required=True)
     fs.add_argument("-q", "--query", action="append", required=True)
-    fs.add_argument("--factor-expr", default="ln(1 + length(text))")
+    fs.add_argument("--mode", default="fvf",
+                    choices=["fvf", "decay", "script", "random"])
+    fs.add_argument("--factor-expr", default="ln(1 + length(text))",
+                    help="fvf factor / script expression")
     fs.add_argument("--factor-cols", default="text")
+    fs.add_argument("--decay-field", default="warc_ts")
+    fs.add_argument("--origin", default="2025-02-15 00:00:00")
+    fs.add_argument("--scale-s", type=float, default=14 * 86400.0)
+    fs.add_argument("--decay", type=float, default=0.5)
+    fs.add_argument("--seed", type=int, default=42)
     fs.add_argument("-k", type=int, default=10)
 
     ph = sub.add_parser("phrase", help="match_phrase top-k")
@@ -92,6 +100,33 @@ def main(argv: list[str] | None = None, keep_session: bool = False) -> int:
                          "root")
     ph.add_argument("--slop", type=int, default=0,
                     help="match_phrase slop (ordered-window contract)")
+    ph.add_argument("--prefix", action="store_true",
+                    help="match_phrase_prefix: last term matches as a "
+                         "dictionary prefix expansion")
+    ph.add_argument("--max-expansions", type=int, default=50)
+
+    sp = sub.add_parser("spanfirst", help="span_first: term matches only "
+                                          "within the first N positions")
+    sp.add_argument("--index", required=True)
+    sp.add_argument("-q", "--query", action="append", required=True)
+    sp.add_argument("--end", type=int, default=5)
+    sp.add_argument("-k", type=int, default=10)
+
+    fc = sub.add_parser("filterq", help="filter-context queries: exists / "
+                                        "ids / terms (constant score, "
+                                        "doc_id page order)")
+    fc.add_argument("--index", required=True)
+    fc.add_argument("--type", required=True,
+                    choices=["exists", "ids", "terms"])
+    fc.add_argument("--expr", default=None,
+                    help="exists: field expression")
+    fc.add_argument("--ids", default=None,
+                    help="ids: comma-separated doc ids")
+    fc.add_argument("--col", default="source",
+                    help="terms: keyword column")
+    fc.add_argument("--values", default=None,
+                    help="terms: comma-separated values")
+    fc.add_argument("-k", type=int, default=10)
 
     fz = sub.add_parser("fuzzy", help="FuzzyQuery top-k (Levenshtein "
                                       "dictionary expansion)")
@@ -130,7 +165,13 @@ def main(argv: list[str] | None = None, keep_session: bool = False) -> int:
                     choices=["stats", "percentiles", "cardinality",
                              "date_histogram", "top_hits", "range",
                              "filters", "composite", "adjacency_matrix",
-                             "matrix_stats"])
+                             "matrix_stats", "extended_stats",
+                             "weighted_avg", "missing", "global",
+                             "pipeline", "sampler",
+                             "diversified_sampler"])
+    ag.add_argument("--shard-size", type=int, default=100)
+    ag.add_argument("--max-per-value", type=int, default=2)
+    ag.add_argument("--dedup-col", default="source")
     ag.add_argument("--value-expr", default="length(text)")
     ag.add_argument("--value-expr-b", default="length(text)",
                     help="matrix_stats: second field expression")
@@ -320,17 +361,53 @@ def main(argv: list[str] | None = None, keep_session: bool = False) -> int:
                                   "doc_id": row["doc_id"],
                                   "score": round(row["score"], 6)}))
         elif args.cmd == "phrase":
-            from .fields import search_field
-
             qs = list(enumerate(args.query, 1))
-            res = search_field(spark, args.index, args.field, qs, k=args.k,
-                               mode="phrase", doc_filter=args.filter,
-                               slop=args.slop)
+            if args.prefix:
+                from .boolquery import match_phrase_prefix_search
+
+                res = match_phrase_prefix_search(
+                    spark, args.index, qs, k=args.k,
+                    max_expansions=args.max_expansions)
+            else:
+                from .fields import search_field
+
+                res = search_field(spark, args.index, args.field, qs,
+                                   k=args.k, mode="phrase",
+                                   doc_filter=args.filter, slop=args.slop)
             for row in res.collect():
                 print(json.dumps({"query_id": row["query_id"],
                                   "rank": row["rank"],
                                   "doc_id": row["doc_id"],
                                   "score": round(row["score"], 6)}))
+        elif args.cmd == "spanfirst":
+            from .boolquery import span_first_search
+
+            res = span_first_search(spark, args.index,
+                                    list(enumerate(args.query, 1)),
+                                    end=args.end, k=args.k)
+            for row in res.collect():
+                print(json.dumps(row.asDict()))
+        elif args.cmd == "filterq":
+            from . import boolquery as bq
+
+            if args.type == "exists":
+                if not args.expr:
+                    raise SystemExit("--expr required for exists")
+                res = bq.exists_search(spark, args.index, args.expr,
+                                       k=args.k)
+            elif args.type == "ids":
+                if not args.ids:
+                    raise SystemExit("--ids required for ids")
+                res = bq.ids_search(spark, args.index,
+                                    [int(i) for i in args.ids.split(",")],
+                                    k=args.k)
+            else:
+                if not args.values:
+                    raise SystemExit("--values required for terms")
+                res = bq.terms_search(spark, args.index, args.col,
+                                      args.values.split(","), k=args.k)
+            for row in res.collect():
+                print(json.dumps(row.asDict()))
         elif args.cmd in ("fuzzy", "wildcard", "regexp", "boosting", "mlt"):
             from . import boolquery
 
@@ -485,6 +562,32 @@ def main(argv: list[str] | None = None, keep_session: bool = False) -> int:
                     spark, args.index, qs, expr_a=args.value_expr,
                     expr_b=args.value_expr_b,
                     doc_cols=args.doc_cols.split(","))
+            elif args.type == "extended_stats":
+                res = boolquery.search_extended_stats(
+                    spark, args.index, qs, value_expr=args.value_expr)
+            elif args.type == "weighted_avg":
+                res = boolquery.search_weighted_avg(
+                    spark, args.index, qs, value_expr=args.value_expr,
+                    weight_expr=args.value_expr_b)
+            elif args.type == "missing":
+                res = boolquery.search_missing(spark, args.index, qs,
+                                               col_expr=args.col)
+            elif args.type == "global":
+                res = boolquery.search_global_agg(
+                    spark, args.index, qs, value_expr=args.value_expr)
+            elif args.type == "pipeline":
+                res = boolquery.search_pipeline_aggs(
+                    spark, args.index, qs, ts_col=args.col,
+                    calendar_interval=args.interval,
+                    window=args.per_bucket)
+            elif args.type in ("sampler", "diversified_sampler"):
+                res = boolquery.search_sampler(
+                    spark, args.index, qs, facet_col=args.col,
+                    shard_size=args.shard_size,
+                    max_docs_per_value=(args.max_per_value
+                                        if args.type ==
+                                        "diversified_sampler" else None),
+                    dedup_col=args.dedup_col)
             else:
                 res = boolquery.search_top_hits(
                     spark, args.index, qs, facet_col=args.col,
@@ -512,12 +615,25 @@ def main(argv: list[str] | None = None, keep_session: bool = False) -> int:
             for row in res.collect():
                 print(json.dumps(row.asDict()))
         elif args.cmd == "funcscore":
-            from .boolquery import function_score_search
+            from . import boolquery as bq
 
-            res = function_score_search(
-                spark, args.index, list(enumerate(args.query, 1)),
-                factor_expr=args.factor_expr,
-                factor_cols=args.factor_cols.split(","), k=args.k)
+            qs = list(enumerate(args.query, 1))
+            if args.mode == "decay":
+                res = bq.decay_score_search(
+                    spark, args.index, qs, field=args.decay_field,
+                    origin=args.origin, scale_s=args.scale_s,
+                    decay=args.decay, k=args.k)
+            elif args.mode == "script":
+                res = bq.script_score_search(
+                    spark, args.index, qs, script_expr=args.factor_expr,
+                    script_cols=args.factor_cols.split(","), k=args.k)
+            elif args.mode == "random":
+                res = bq.random_score_search(spark, args.index, qs,
+                                             seed=args.seed, k=args.k)
+            else:
+                res = bq.function_score_search(
+                    spark, args.index, qs, factor_expr=args.factor_expr,
+                    factor_cols=args.factor_cols.split(","), k=args.k)
             for row in res.collect():
                 print(json.dumps(row.asDict()))
         elif args.cmd == "suggest":

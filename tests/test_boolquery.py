@@ -851,3 +851,349 @@ def test_function_score_vs_brute(spark, index_dir, corpus):
     assert list(got.doc_id) == [d for _s, d in want]
     np.testing.assert_allclose(got.score, [-s for s, _d in want],
                                atol=1e-9)
+
+
+def test_extended_stats_vs_numpy(spark, index_dir, corpus):
+    """extended_stats: population variance/stddev + sum_of_squares match
+    numpy at 4 dp."""
+    from pdf_to_opensearch_spark.boolquery import search_extended_stats
+
+    _, oracle = corpus
+    query = "spark document"
+    got = search_extended_stats(spark, index_dir, [(1, query)]).toPandas()
+    lens = (spark.read.parquet(f"{index_dir}/docs")
+            .selectExpr("doc_id", "length(text) AS v").toPandas()
+            .set_index("doc_id")["v"])
+    vals = lens.loc[sorted(_match_set(oracle, query))].to_numpy(float)
+    assert int(got.doc_count[0]) == vals.size
+    assert got.sum_of_squares[0] == round(float((vals * vals).sum()), 4)
+    assert got.variance[0] == round(float(vals.var(ddof=0)), 4)
+    assert got.std_deviation[0] == round(float(vals.std(ddof=0)), 4)
+
+
+def test_weighted_avg_vs_numpy(spark, index_dir, corpus):
+    from pdf_to_opensearch_spark.boolquery import search_weighted_avg
+
+    _, oracle = corpus
+    query = "spark document"
+    got = search_weighted_avg(spark, index_dir, [(1, query)],
+                              value_expr="length(text)",
+                              weight_expr="cast(1 + doc_id % 3 as double)"
+                              ).toPandas()
+    lens = (spark.read.parquet(f"{index_dir}/docs")
+            .selectExpr("doc_id", "length(text) AS v").toPandas()
+            .set_index("doc_id")["v"])
+    hits = sorted(_match_set(oracle, query))
+    v = lens.loc[hits].to_numpy(float)
+    w = np.array([1 + d % 3 for d in hits], dtype=float)
+    assert got.weighted_avg[0] == round(float((v * w).sum() / w.sum()), 4)
+
+
+def test_missing_agg_null_model(spark, index_dir, corpus):
+    """missing: counts hit docs whose field expression is NULL."""
+    from pdf_to_opensearch_spark.boolquery import search_missing
+
+    pdf, oracle = corpus
+    query = "spark document"
+    got = search_missing(spark, index_dir, [(1, query)],
+                         col_expr="nullif(lang, 'en')").toPandas()
+    langs = pdf["lang"].to_numpy()
+    want = sum(1 for d in _match_set(oracle, query) if langs[d] == "en")
+    assert int(got.missing_count[0]) == want
+
+
+def test_global_agg_scope_break(spark, index_dir, corpus):
+    """global agg: identical corpus-wide row per query, independent of
+    the match query."""
+    from pdf_to_opensearch_spark.boolquery import search_global_agg
+
+    got = search_global_agg(spark, index_dir,
+                            [(1, "spark"), (2, "zzzznot")]).toPandas()
+    docs = spark.read.parquet(f"{index_dir}/docs").toPandas()
+    assert len(got) == 2
+    assert (got.doc_count == len(docs)).all()
+    want = round(float(docs.text.str.len().mean()), 4)
+    assert (got.vavg == want).all()
+
+
+def test_pipeline_aggs_window_math(spark, index_dir, corpus):
+    """pipeline aggs: derivative/cumsum/moving_avg are exact window
+    functions of the date_histogram bucket counts."""
+    from pdf_to_opensearch_spark.boolquery import (search_date_histogram,
+                                                   search_pipeline_aggs)
+
+    query = "spark document"
+    # fixture docs carry no warc_ts; derive a deterministic one from text
+    # length to exercise the bucket math
+    got = search_pipeline_aggs(
+        spark, index_dir, [(1, query)],
+        ts_col="timestampadd(DAY, length(text) % 31, "
+               "timestamp'2025-01-01 00:00:00')",
+        calendar_interval="week", window=2).toPandas()
+    base = search_date_histogram(
+        spark, index_dir, [(1, query)],
+        ts_col="timestampadd(DAY, length(text) % 31, "
+               "timestamp'2025-01-01 00:00:00')",
+        calendar_interval="week").toPandas()
+    counts = base.sort_values("bucket_start").doc_count.to_numpy()
+    got = got.sort_values("bucket_start", ignore_index=True)
+    assert list(got.doc_count) == list(counts)
+    assert np.isnan(got.derivative[0])
+    assert list(got.derivative[1:]) == list(np.diff(counts).astype(float))
+    assert list(got.cumulative_sum) == list(np.cumsum(counts))
+    want_mavg = [round(float(np.mean(counts[max(0, i - 1):i + 1])), 4)
+                 for i in range(len(counts))]
+    assert list(got.moving_avg) == want_mavg
+
+
+def test_decay_score_parameterization(spark, index_dir, corpus):
+    """gauss decay: multiplier is exactly `decay` at distance `scale`,
+    1.0 at the origin; page ranks on the rounded product."""
+    import math
+
+    from pdf_to_opensearch_spark.boolquery import decay_score_search
+
+    _, oracle = corpus
+    query = "spark posting merge"
+    origin = "2025-01-15 00:00:00"
+    scale_s = 7 * 86400.0
+    # fixture docs carry no timestamp: derive one per doc from doc_id so
+    # distances are known exactly
+    ts_expr = ("timestampadd(DAY, cast(doc_id % 31 as int), "
+               "timestamp'2025-01-01 00:00:00')")
+    got = (decay_score_search(spark, index_dir, [(1, query)],
+                              field=ts_expr.replace("doc_id", "doc_id"),
+                              origin=origin, scale_s=scale_s, decay=0.5,
+                              k=oracle.N)
+           .toPandas().set_index("doc_id")["score"])
+    sigma2 = -(scale_s ** 2) / (2.0 * math.log(0.5))
+    t0 = (pd_ts(origin) - pd_ts("2025-01-01 00:00:00")).total_seconds()
+    for d, s in oracle.search(query, k=oracle.N):
+        dist = abs((d % 31) * 86400.0 - t0)
+        mult = math.exp(-(dist * dist) / (2 * sigma2))
+        # Spark round = HALF_UP over the double's shortest repr (the
+        # fixture lands exact .00005 products at dist == scale, where
+        # Python's banker's round diverges)
+        assert got.loc[d] == _r4(_r4(s) * mult), d
+
+
+def _r4(x: float) -> float:
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(repr(x)).quantize(Decimal("0.0001"),
+                                           rounding=ROUND_HALF_UP))
+
+
+def pd_ts(s):
+    import pandas as pd
+
+    return pd.Timestamp(s)
+
+
+def test_script_score_replaces_score(spark, index_dir, corpus):
+    import math
+
+    from pdf_to_opensearch_spark.boolquery import script_score_search
+
+    _, oracle = corpus
+    query = "spark posting merge"
+    got = (script_score_search(spark, index_dir, [(1, query)],
+                               script_expr="sqrt(_score) "
+                                           "+ ln(1 + length(text)) / 10",
+                               script_cols=["text"], k=K)
+           .toPandas().sort_values("rank", ignore_index=True))
+    lens = (spark.read.parquet(f"{index_dir}/docs")
+            .selectExpr("doc_id", "length(text) AS v").toPandas()
+            .set_index("doc_id")["v"])
+    want = sorted(
+        ((-round(math.sqrt(round(s, 4))
+                 + math.log1p(lens.loc[d]) / 10, 4), d)
+         for d, s in oracle.search(query, k=oracle.N)))[:K]
+    assert list(got.doc_id) == [d for _s, d in want]
+    np.testing.assert_allclose(got.score, [-s for s, _d in want],
+                               atol=1e-9)
+
+
+def test_random_score_deterministic_and_seeded(spark, index_dir, corpus):
+    from pdf_to_opensearch_spark.boolquery import (RANDOM_SCORE_MULT,
+                                                   random_score_search)
+
+    _, oracle = corpus
+    query = "spark document"
+    a = random_score_search(spark, index_dir, [(1, query)], seed=7,
+                            k=K).toPandas()
+    b = random_score_search(spark, index_dir, [(1, query)], seed=7,
+                            k=K).toPandas()
+    assert list(a.doc_id) == list(b.doc_id)  # reproducible
+    c = random_score_search(spark, index_dir, [(1, query)], seed=8,
+                            k=K).toPandas()
+    assert list(a.doc_id) != list(c.doc_id)  # seed-sensitive
+    hits = _match_set(oracle, query)
+    want = sorted(
+        ((-round(((d + 7) * RANDOM_SCORE_MULT % 2**32) / 2**32, 6), d)
+         for d in hits))[:K]
+    assert list(a.doc_id) == [d for _s, d in want]
+
+
+def test_span_first_position_gate(spark, index_dir, corpus):
+    """span_first: tf counts only occurrences in the first `end`
+    positions; docs whose matches all sit beyond `end` drop out."""
+    from pdf_to_opensearch_spark.analyzer import tokenize_text as tok
+    from pdf_to_opensearch_spark.boolquery import span_first_search
+    from pdf_to_opensearch_spark.oracle import idf as idf_fn
+
+    pdf, oracle = corpus
+    term, end = "spark", 6
+    got = (span_first_search(spark, index_dir, [(1, term)], end=end,
+                             k=oracle.N)
+           .toPandas().set_index("doc_id")["score"])
+    texts = (spark.read.parquet(f"{index_dir}/docs")
+             .selectExpr("doc_id", "text").toPandas()
+             .set_index("doc_id")["text"])
+    toks = {d: tok(t) for d, t in texts.items()}
+    dls = {d: len(t) for d, t in toks.items()}
+    avgdl = sum(dls.values()) / len(dls)
+    df = sum(1 for t in toks.values() if term in t)
+    idf = float(idf_fn(len(toks), np.array([df]))[0])
+    want = {}
+    for d, t in toks.items():
+        tf = sum(1 for p, w in enumerate(t[:end]) if w == term)
+        if tf:
+            want[d] = round(idf * tf * 2.2
+                            / (tf + 1.2 * (1 - 0.75 + 0.75
+                                           * dls[d] / avgdl)), 4)
+    assert dict(got) == want
+    # and the gate is real: some doc matches the term but not the page
+    all_docs = {d for d, t in toks.items() if term in t}
+    assert all_docs - set(want), "fixture must have late-only matches"
+
+
+def test_match_phrase_prefix_vs_brute(spark, index_dir, corpus):
+    """match_phrase_prefix: anchors where the fixed terms chain and ANY
+    prefix expansion occupies the final slot, counted once per anchor."""
+    from pdf_to_opensearch_spark.analyzer import tokenize_text as tok
+    from pdf_to_opensearch_spark.boolquery import match_phrase_prefix_search
+    from pdf_to_opensearch_spark.oracle import idf as idf_fn
+
+    pdf, oracle = corpus
+    query, pref = "posting me", "me"  # "posting merge" lives in the corpus
+    got = (match_phrase_prefix_search(spark, index_dir, [(1, query)],
+                                      k=oracle.N, max_expansions=10)
+           .toPandas().set_index("doc_id")["score"])
+    texts = (spark.read.parquet(f"{index_dir}/docs")
+             .selectExpr("doc_id", "text").toPandas()
+             .set_index("doc_id")["text"])
+    toks = {d: tok(t) for d, t in texts.items()}
+    vocab = sorted({w for t in toks.values() for w in t})
+    exps = [w for w in vocab if w.startswith(pref)][:10]
+    dfs = {}
+    for t in toks.values():
+        for w in set(t):
+            dfs[w] = dfs.get(w, 0) + 1
+    N = len(toks)
+    idf = float(idf_fn(N, np.array([dfs["posting"]]))[0]) + float(
+        idf_fn(N, np.array([min(N, sum(dfs[e] for e in exps))]))[0])
+    dls = {d: len(t) for d, t in toks.items()}
+    avgdl = sum(dls.values()) / len(dls)
+    want = {}
+    for d, t in toks.items():
+        tf = sum(1 for i in range(len(t) - 1)
+                 if t[i] == "posting" and t[i + 1] in exps)
+        if tf:
+            want[d] = round(idf * tf * 2.2
+                            / (tf + 1.2 * (1 - 0.75 + 0.75
+                                           * dls[d] / avgdl)), 4)
+    assert dict(got) == want
+    assert want, "fixture phrase-prefix must match"
+
+
+def test_filter_context_queries(spark, index_dir):
+    """exists / ids / terms: constant score, doc_id page order, exact
+    membership."""
+    from pdf_to_opensearch_spark.boolquery import (exists_search,
+                                                   ids_search,
+                                                   terms_search)
+
+    docs = (spark.read.parquet(f"{index_dir}/docs")
+            .selectExpr("doc_id", "lang").toPandas())
+    ex = exists_search(spark, index_dir, "nullif(lang, 'en')",
+                       k=7).toPandas()
+    want = sorted(docs[docs.lang != "en"].doc_id)[:7]
+    assert list(ex.doc_id) == want and (ex.score == 1.0).all()
+
+    ids = [5, 17, 99999, 3]
+    got = ids_search(spark, index_dir, ids, k=10).toPandas()
+    present = sorted(i for i in ids if i in set(docs.doc_id))
+    assert list(got.doc_id) == present
+
+    tm = terms_search(spark, index_dir, "lang", ["de", "fr"],
+                      k=10000).toPandas()
+    assert set(tm.doc_id) == set(docs[docs.lang.isin(["de", "fr"])].doc_id)
+
+
+def test_sampler_and_diversified(spark, index_dir, corpus):
+    """sampler: sub-agg counts sum to min(shard_size, |hits|) and match
+    the brute top-sample; diversified: ≤ max_docs_per_value per dedup
+    value inside the sample."""
+    from pdf_to_opensearch_spark.boolquery import search_sampler
+
+    pdf, oracle = corpus
+    query = "spark posting merge"
+    shard = 20
+    got = (search_sampler(spark, index_dir, [(1, query)],
+                          facet_col="lang", shard_size=shard)
+           .toPandas())
+    scored = sorted(((-round(s, 4), d)
+                     for d, s in oracle.search(query, k=oracle.N)))
+    sample = [d for _s, d in scored[:shard]]
+    langs = pdf["lang"].to_numpy()
+    want: dict[str, int] = {}
+    for d in sample:
+        want[langs[d]] = want.get(langs[d], 0) + 1
+    assert dict(zip(got.facet_value, got.doc_count)) == want
+    assert got.doc_count.sum() == min(shard, len(scored))
+
+    div = (search_sampler(spark, index_dir, [(1, query)],
+                          facet_col="lang", shard_size=shard,
+                          max_docs_per_value=1, dedup_col="lang")
+           .toPandas())
+    # with dedup on the facet itself and cap 1, every bucket has 1 doc
+    assert (div.doc_count == 1).all()
+    seen: dict[str, int] = {}
+    picked = []
+    for _s, d in scored:
+        if seen.get(langs[d], 0) < 1:
+            seen[langs[d]] = 1
+            picked.append(d)
+    assert set(div.facet_value) == {langs[d] for d in picked[:shard]}
+
+
+def test_count_api_matches_hit_set(spark, index_dir, corpus):
+    from pdf_to_opensearch_spark.boolquery import search_count
+
+    _, oracle = corpus
+    qs = [(1, "spark document"), (2, "zzznoterm"), (3, "posting")]
+    got = (search_count(spark, index_dir, qs).toPandas()
+           .set_index("query_id")["total_hits"])
+    assert int(got.loc[1]) == len(_match_set(oracle, "spark document"))
+    assert 2 not in got.index  # zero-hit query emits no row
+    assert int(got.loc[3]) == len(_match_set(oracle, "posting"))
+
+
+def test_completion_suggest_weight_order(spark, index_dir, corpus):
+    from pdf_to_opensearch_spark.analyzer import tokenize_text as tok
+    from pdf_to_opensearch_spark.boolquery import completion_suggest
+
+    pdf, _ = corpus
+    texts = (spark.read.parquet(f"{index_dir}/docs")
+             .selectExpr("text").toPandas()["text"])
+    dfs: dict[str, int] = {}
+    for t in texts:
+        for w in set(tok(t)):
+            dfs[w] = dfs.get(w, 0) + 1
+    got = completion_suggest(spark, index_dir, [(1, "s")],
+                             size=4).toPandas()
+    want = sorted(((w, c) for w, c in dfs.items() if w.startswith("s")),
+                  key=lambda x: (-x[1], x[0]))[:4]
+    assert list(zip(got.suggestion, got.weight)) == want
+    assert list(got["rank"]) == list(range(1, len(want) + 1))
