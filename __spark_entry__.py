@@ -1615,6 +1615,48 @@ FROM cands ORDER BY 1, 2
 """
 
 
+PERCOLATE_QUERIES: dict[int, str] = {
+    1: "spark join filter",
+    2: "vector stream window",
+    3: "customer slow",
+    4: "spark zzqxabsent",   # dead term: must match NOTHING (operator=and)
+}
+
+
+def _percolate_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percolate (reverse search / alerting backfill): every (stored
+    query, doc) match, stored queries = analyzed match with
+    operator=and; one term-pruned postings pass, no global sort. Query
+    4 carries a dictionary-absent term and must match nothing (clause
+    count resolves BEFORE the df lookup) — boolquery.percolate."""
+    _ensure_pkg(spark)
+    from pdf_to_opensearch_spark.boolquery import percolate
+
+    out = _ensure_engine_index(spark, sf_dir)
+    return percolate(spark, out, list(PERCOLATE_QUERIES.items()))
+
+
+def _percolate_oracle_sql() -> str:
+    qvals = ", ".join(
+        f"({qid}, '{t}')"
+        for qid, q in sorted(PERCOLATE_QUERIES.items())
+        for t in sorted(set(q.split())))
+    return f"""
+WITH q(query_id, term) AS (VALUES {qvals}),
+qn AS (SELECT query_id, count(DISTINCT term) AS n FROM q GROUP BY 1),
+dt AS (
+  SELECT DISTINCT doc_id, unnest({_TOKS_SQL}) AS term FROM documents
+),
+m AS (
+  SELECT q.query_id, dt.doc_id, count(DISTINCT dt.term) AS c
+  FROM q JOIN dt USING (term) GROUP BY 1, 2
+)
+SELECT m.query_id::INTEGER AS query_id, m.doc_id::BIGINT AS doc_id
+FROM m JOIN qn USING (query_id)
+WHERE m.c = qn.n
+"""
+
+
 # ------------------------------------- round-5 positional widening (set 5)
 
 SPAN_QUERIES: dict[int, str] = {1: "spark", 2: "customer", 3: "vector"}
@@ -5640,6 +5682,7 @@ def queries():  # noqa: F811 — extend the registry with the spatial/misc ops
         "diversified_sampler_agg": _diversified_sampler_agg,
         "count_api": _count_api,
         "completion_suggest": _completion_suggest,
+        "percolate_matches": _percolate_matches,
     })
     return _reorder(out)
 
@@ -5710,5 +5753,6 @@ def oracle_sql():  # noqa: F811
         "diversified_sampler_agg": _diversified_sampler_oracle_sql(),
         "count_api": _count_api_oracle_sql(),
         "completion_suggest": _completion_oracle_sql(),
+        "percolate_matches": _percolate_oracle_sql(),
     })
     return _reorder(out)

@@ -2224,3 +2224,77 @@ def completion_suggest(spark: SparkSession, index_dir: str,
     return (allc.withColumn("rank", F.row_number().over(w))
             .select("query_id", "rank", "suggestion", "weight")
             .orderBy("query_id", "rank"))
+
+
+# ------------------------------------------------------------- percolator
+
+def percolate(spark: SparkSession, index_dir: str,
+              stored_queries: list[tuple[int, str]],
+              doc_filter: str | None = None,
+              filter_root: str | None = None) -> DataFrame:
+    """The ``percolate`` query type, fired through the inverted index:
+    which STORED queries match which documents. OpenSearch inverts the
+    search direction — queries are the indexed side and documents are
+    presented to them (the alerting / saved-search primitive); this
+    models the backfill form of it: given the stored-query set, emit
+    every (query, document) match over the indexed corpus.
+
+    Each stored query is an analyzed ``match`` with ``operator: and``
+    (the reference's strictest match-clause shape,
+    opensearch_loader.py:395-408): it matches a doc iff EVERY distinct
+    analyzed term occurs in the doc. A stored query containing a term
+    absent from the corpus dictionary legitimately matches nothing —
+    the clause count is resolved BEFORE the dictionary lookup, exactly
+    as :func:`.query.search` resolves ``minimum_should_match``.
+
+    Execution is one pass over the term-pruned postings (never the raw
+    corpus): bucket partition filter + term row-group pruning scope the
+    scan to the union of stored-query terms, and the per-range kernel
+    keeps docs whose distinct-matched-clause tally equals the query's
+    clause count (the ``minimum_should_match`` machinery at 100%).
+    Cost is proportional to the stored terms' posting lists —
+    independent of corpus width — and the output is emitted straight
+    from the ranges with NO global sort/window shuffle (the match set
+    is a set, not a page).
+
+    Returns DataFrame(query_id int, doc_id long): the full match set.
+    """
+    from .query import _weighted_qinfo, resolve_msm
+
+    paths = IndexPaths(index_dir)
+    stats = load_stats(spark, index_dir)
+    q_terms = {qid: tokenize_text(text) for qid, text in stored_queries}
+    # clause count BEFORE df lookup: dead terms still count as clauses
+    msm_spec = {qid: resolve_msm("100%", len(set(toks)))
+                for qid, toks in q_terms.items() if toks}
+    terms = sorted({t for toks in q_terms.values() for t in toks})
+    out_schema = "query_id int, doc_id long"
+    if not terms:
+        return spark.createDataFrame([], out_schema)
+    dict_rows = _filter_in(spark.read.parquet(paths.dictionary),
+                           "term", terms).collect()
+    dfs = {r["term"]: int(r["df"]) for r in dict_rows}
+    idfs = {t: float(idf_fn(stats.N, np.array([dfs[t]]))[0])
+            for t in terms if t in dfs}
+    qinfo = _weighted_qinfo(q_terms, idfs)
+    if not qinfo:
+        return spark.createDataFrame([], out_schema)
+    live = sorted({t for ti in qinfo.values() for t in ti})
+    postings = _pruned_postings(spark, paths, stats.n_buckets, live)
+    if doc_filter is not None:
+        fpaths = IndexPaths(filter_root) if filter_root else paths
+        allowed = _allowed_docs(spark, fpaths, doc_filter)
+        per_range = (postings.groupBy("range_id")
+                     .cogroup(allowed.groupBy("range_id"))
+                     .applyInPandas(
+                         _score_kernel(qinfo, 1 << 31, stats, prune=False,
+                                       filtered=True, msm_spec=msm_spec),
+                         schema=RESULT_SCHEMA))
+    else:
+        per_range = (postings.groupBy("range_id")
+                     .applyInPandas(
+                         _score_kernel(qinfo, 1 << 31, stats, prune=False,
+                                       msm_spec=msm_spec),
+                         schema=RESULT_SCHEMA))
+    return per_range.select(F.col("query_id").cast("int"),
+                            F.col("doc_id").cast("long"))

@@ -128,6 +128,17 @@ def main(argv: list[str] | None = None, keep_session: bool = False) -> int:
                     help="terms: comma-separated values")
     fc.add_argument("-k", type=int, default=10)
 
+    pc = sub.add_parser("percolate", help="reverse search: fire stored "
+                                          "match(operator=and) queries, "
+                                          "emit every (query, doc) match")
+    pc.add_argument("--index", required=True)
+    pc.add_argument("queries", nargs="+",
+                    help="stored query texts (ids assigned in order)")
+    pc.add_argument("--filter", default=None,
+                    help="SQL predicate over docs columns (filter context)")
+    pc.add_argument("--limit", type=int, default=100,
+                    help="display cap for the match list")
+
     fz = sub.add_parser("fuzzy", help="FuzzyQuery top-k (Levenshtein "
                                       "dictionary expansion)")
     fz.add_argument("--index", required=True)
@@ -407,6 +418,15 @@ def main(argv: list[str] | None = None, keep_session: bool = False) -> int:
                 res = bq.terms_search(spark, args.index, args.col,
                                       args.values.split(","), k=args.k)
             for row in res.collect():
+                print(json.dumps(row.asDict()))
+        elif args.cmd == "percolate":
+            from . import boolquery as bq
+
+            stored = list(enumerate(args.queries, start=1))
+            res = bq.percolate(spark, args.index, stored,
+                               doc_filter=args.filter)
+            for row in (res.orderBy("query_id", "doc_id")
+                        .limit(args.limit).collect()):
                 print(json.dumps(row.asDict()))
         elif args.cmd in ("fuzzy", "wildcard", "regexp", "boosting", "mlt"):
             from . import boolquery

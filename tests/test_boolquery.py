@@ -1197,3 +1197,36 @@ def test_completion_suggest_weight_order(spark, index_dir, corpus):
                   key=lambda x: (-x[1], x[0]))[:4]
     assert list(zip(got.suggestion, got.weight)) == want
     assert list(got["rank"]) == list(range(1, len(want) + 1))
+
+
+# ------------------------------------------------------------- percolator
+
+def test_percolate_and_semantics(spark, index_dir, corpus):
+    """percolate: stored match(operator=and) queries fire iff EVERY
+    analyzed term occurs; a dictionary-absent term kills its query."""
+    from pdf_to_opensearch_spark.boolquery import percolate
+
+    _, oracle = corpus
+    stored = [(1, "spark index"), (2, "document query"),
+              (3, "spark nonexistentterm12345")]
+    got = percolate(spark, index_dir, stored).toPandas()
+    by_q = {int(qid): set(g["doc_id"].astype(int))
+            for qid, g in got.groupby("query_id")}
+    for qid, text in stored:
+        want = _bool_allowed(oracle, text, "")
+        assert by_q.get(qid, set()) == want, f"query {qid}"
+    assert by_q.get(3, set()) == set()  # dead term: matches nothing
+
+
+def test_percolate_doc_filter(spark, index_dir, corpus):
+    """percolate + filter context: the allowed-ids cogroup narrows the
+    match set without touching clause semantics."""
+    from pdf_to_opensearch_spark.boolquery import percolate
+
+    _, oracle = corpus
+    got = percolate(spark, index_dir, [(1, "spark index")],
+                    doc_filter="doc_id % 2 = 0").toPandas()
+    want = {d for d in _bool_allowed(oracle, "spark index", "")
+            if d % 2 == 0}
+    assert set(got["doc_id"].astype(int)) == want
+    assert want, "fixture must keep some even-doc matches"

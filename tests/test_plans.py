@@ -265,3 +265,19 @@ def test_top_hits_no_extra_shuffle_beyond_group_join_window(spark,
     schemas = [seg.split("\n")[0] for seg in plan.split("ReadSchema: ")[1:]]
     facet_schemas = [s for s in schemas if "lang" in s]
     assert facet_schemas and all("text" not in s for s in facet_schemas)
+
+
+def test_percolate_has_no_window_or_global_sort(spark, index_dir):
+    """percolate emits the match set straight from the per-range kernel:
+    no Window (the set is not a page), no global Sort, and the postings
+    scan keeps the bucket partition filter."""
+    from pdf_to_opensearch_spark.boolquery import percolate
+
+    res = percolate(spark, index_dir, [(1, "spark index"), (2, "document")])
+    plan = _plan(res)
+    tree = plan.split("\n\n")[0]
+    assert "Window" not in plan, plan
+    # exactly one exchange: the range_id grouping for the kernel (its
+    # local sort is partition-internal, not a global order-by)
+    assert tree.count("Exchange") == 1, tree
+    assert "bucket" in plan  # partition filter reached the postings scan
