@@ -99,6 +99,9 @@ NUM_RANGES = 32     # fixed across parallelism levels → identical work
 N_BUCKETS = 8
 GATE_TOL = 1.5
 GATE_MAX_WAIT = float(os.environ.get("SPARK_GRAFT_GATE_WAIT", "45"))
+# bound on the wait-for-calm before a storm-hit region's single retry
+# (≈ one burst of the measured 1-2-minute bursty steal storm)
+RETRY_WAIT_S = float(os.environ.get("SPARK_GRAFT_RETRY_WAIT", "90"))
 # p50 wall cost of one CLEAN interleaved window (2 spark JVMs + 2 pool
 # controls + probes), measured across the round-5 run series; used only
 # to bound how long a base window may wait for calm before it must run
@@ -470,6 +473,34 @@ def _probe_calm() -> bool:
     return c <= _CALIB_BEST[0] * GATE_TOL
 
 
+def _region_retry(fn, deadline: float):
+    """Run one timed region; if its post-region calibration probe fails
+    (a storm began INSIDE the region — round 5b evidence: post_fails in
+    8/10 windows of run2) and the wall allows another attempt, wait
+    briefly for calm (≤ RETRY_WAIT_S ≈ one burst of the measured
+    1-2-minute bursty storm) and rerun ONCE, keeping the attempt whose
+    post-probe passed — falling back to the FASTER attempt when both
+    stormed (steal only ever inflates wall time; the instrument-clean
+    preference comes first so a turbo-caught corrupt run never beats a
+    calm one). Every calibration sample from every attempt stays in the
+    emitted gate log. Returns (value, post_fail, retried) where value
+    is whatever ``fn`` returned ((total, kernel) tuple or a float).
+    """
+    v1 = fn()
+    if _probe_calm():
+        return v1, 0, 0
+    t1 = v1[0] if isinstance(v1, tuple) else v1
+    now = time.monotonic()
+    if now + t1 + RETRY_WAIT_S >= deadline:
+        return v1, 1, 0  # no wall for a retry: keep the evidence as-is
+    _wait_calm(min(deadline - t1, now + RETRY_WAIT_S))
+    v2 = fn()
+    if _probe_calm():
+        return v2, 0, 1
+    t2 = v2[0] if isinstance(v2, tuple) else v2
+    return (v1 if t1 <= t2 else v2), 1, 1
+
+
 def _scaling_gate_met(windows: list[dict], ratio: float) -> bool:
     """The round-5 acceptance criterion, evaluated incrementally: raw or
     screened efficiency ≥ 0.8, or ≥2 screened windows whose envelopes
@@ -557,26 +588,33 @@ def _windowed_scaling(run_fn, corpus: str, base_reps: int,
                           "judge)", file=sys.stderr, flush=True)
         gt0 = _GATE_TIMEOUTS[0]
         post_fails = 0
+        retries = 0
+        # regions may retry once on post-probe failure, bounded by the
+        # same deadline that bounds this window's own existence
+        if pair >= base_reps and base_end[0] is not None:
+            region_dl = min(base_end[0] + ext_budget_s, _T0[0] + WALL_CAP)
+        else:
+            region_dl = _T0[0] + WALL_CAP
+
+        def reg(fn):
+            nonlocal post_fails, retries
+            v, pf, rt = _region_retry(fn, region_dl)
+            post_fails += pf
+            retries += rt
+            return v
+
         # alternate which level runs first so slow machine-state drift
         # within a window doesn't systematically penalize one level
         if pair % 2 == 0:
-            s_hi, k_hi = run_fn(SCALE_HI)
-            post_fails += not _probe_calm()
-            c_hi = _pool_control(corpus, SCALE_HI)
-            post_fails += not _probe_calm()
-            s_lo, k_lo = run_fn(SCALE_LO)
-            post_fails += not _probe_calm()
-            c_lo = _pool_control(corpus, SCALE_LO)
-            post_fails += not _probe_calm()
+            s_hi, k_hi = reg(lambda: run_fn(SCALE_HI))
+            c_hi = reg(lambda: _pool_control(corpus, SCALE_HI))
+            s_lo, k_lo = reg(lambda: run_fn(SCALE_LO))
+            c_lo = reg(lambda: _pool_control(corpus, SCALE_LO))
         else:
-            s_lo, k_lo = run_fn(SCALE_LO)
-            post_fails += not _probe_calm()
-            c_lo = _pool_control(corpus, SCALE_LO)
-            post_fails += not _probe_calm()
-            s_hi, k_hi = run_fn(SCALE_HI)
-            post_fails += not _probe_calm()
-            c_hi = _pool_control(corpus, SCALE_HI)
-            post_fails += not _probe_calm()
+            s_lo, k_lo = reg(lambda: run_fn(SCALE_LO))
+            c_lo = reg(lambda: _pool_control(corpus, SCALE_LO))
+            s_hi, k_hi = reg(lambda: run_fn(SCALE_HI))
+            c_hi = reg(lambda: _pool_control(corpus, SCALE_HI))
         times[SCALE_HI].append(s_hi)
         times[SCALE_LO].append(s_lo)
         ktimes[SCALE_HI].append(k_hi)
@@ -601,6 +639,9 @@ def _windowed_scaling(run_fn, corpus: str, base_reps: int,
             # probe degraded: a storm began inside the region (invisible
             # to the before-region gates and possibly to the ctrl ratio)
             "post_fails": post_fails,
+            # regions rerun after a failed post-probe (kept attempt is
+            # the instrument-clean one; see _region_retry)
+            "retries": retries,
         })
         print(f"[bench] {tag} window {pair}: {windows[-1]}",
               file=sys.stderr, flush=True)
