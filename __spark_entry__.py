@@ -885,6 +885,167 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+RARE_MAX_DC = 1
+MULTI_TERMS_N = 10
+AUTO_DH_TARGET = 10
+
+
+def _rare_terms_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rare_terms aggregation: the long-tail buckets (doc_count ≤
+    max_doc_count) of the crawl-timestamp facet over the hit set —
+    boolquery.search_rare_terms."""
+    _ensure_pkg(spark)
+    from pdf_to_opensearch_spark.boolquery import search_rare_terms
+
+    out = _ensure_engine_index(spark, sf_dir)
+    return search_rare_terms(spark, out, list(BM25_QUERIES.items()),
+                             facet_col="warc_ts",
+                             max_doc_count=RARE_MAX_DC)
+
+
+def _rare_terms_oracle_sql() -> str:
+    return f"""{_matches_cte()},
+ts AS (SELECT doc_id, ({_WARC_TS_SQL})::VARCHAR AS facet_value FROM docs0)
+SELECT m.query_id, t.facet_value, count(*)::BIGINT AS doc_count
+FROM matches m JOIN ts t USING (doc_id)
+GROUP BY 1, 2 HAVING count(*) <= {RARE_MAX_DC}
+ORDER BY 1, 3, 2
+"""
+
+
+def _multi_terms_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """multi_terms aggregation: buckets keyed by the (lang, source)
+    value tuple, count desc — boolquery.search_multi_terms."""
+    _ensure_pkg(spark)
+    from pdf_to_opensearch_spark.boolquery import search_multi_terms
+
+    out = _ensure_engine_index(spark, sf_dir)
+    return search_multi_terms(spark, out, list(BM25_QUERIES.items()),
+                              cols=("lang", "source"), n=MULTI_TERMS_N)
+
+
+def _multi_terms_oracle_sql() -> str:
+    return f"""{_matches_cte()}
+SELECT query_id, key1, key2, doc_count, rank FROM (
+  SELECT m.query_id, d.lang AS key1, d.source AS key2,
+         count(*)::BIGINT AS doc_count,
+         row_number() OVER (
+             PARTITION BY m.query_id
+             ORDER BY count(*) DESC, d.lang, d.source)::INTEGER AS rank
+  FROM matches m JOIN docs0 d USING (doc_id)
+  GROUP BY 1, 2, 3
+) WHERE rank <= {MULTI_TERMS_N}
+"""
+
+
+def _auto_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """auto_date_histogram: per query the finest calendar interval from
+    day<week<month<quarter<year with ≤ target non-empty buckets —
+    boolquery.search_auto_date_histogram."""
+    _ensure_pkg(spark)
+    from pdf_to_opensearch_spark.boolquery import search_auto_date_histogram
+
+    out = _ensure_engine_index(spark, sf_dir)
+    return search_auto_date_histogram(spark, out,
+                                      list(BM25_QUERIES.items()),
+                                      ts_col="warc_ts",
+                                      target_buckets=AUTO_DH_TARGET)
+
+
+def _auto_dh_oracle_sql() -> str:
+    """auto_date_histogram oracle: day-level bucket frame, ladder pick
+    via CASE on distinct re-truncated counts, re-group at the chosen
+    level — the same two-stage statement the engine executes."""
+    t = AUTO_DH_TARGET
+    return f"""{_matches_cte()},
+ts AS (SELECT doc_id, {_WARC_TS_SQL} AS warc_ts FROM docs0),
+days AS (
+  SELECT m.query_id, date_trunc('day', t.warc_ts) AS day_bucket,
+         count(*)::BIGINT AS doc_count
+  FROM matches m JOIN ts t USING (doc_id) GROUP BY 1, 2
+),
+lvl AS (
+  SELECT query_id,
+         CASE WHEN count(DISTINCT day_bucket) <= {t} THEN 'day'
+              WHEN count(DISTINCT date_trunc('week', day_bucket)) <= {t}
+                   THEN 'week'
+              WHEN count(DISTINCT date_trunc('month', day_bucket)) <= {t}
+                   THEN 'month'
+              WHEN count(DISTINCT date_trunc('quarter', day_bucket)) <= {t}
+                   THEN 'quarter'
+              ELSE 'year' END AS interval
+  FROM days GROUP BY 1
+)
+SELECT d.query_id, l.interval,
+       CASE l.interval
+            WHEN 'day' THEN d.day_bucket
+            WHEN 'week' THEN date_trunc('week', d.day_bucket)
+            WHEN 'month' THEN date_trunc('month', d.day_bucket)
+            WHEN 'quarter' THEN date_trunc('quarter', d.day_bucket)
+            ELSE date_trunc('year', d.day_bucket) END AS bucket_start,
+       sum(d.doc_count)::BIGINT AS doc_count
+FROM days d JOIN lvl l USING (query_id)
+GROUP BY 1, 2, 3 ORDER BY 1, 3
+"""
+
+
+SCROLL_SLICES = 3
+SCROLL_PAGE = 7
+
+
+def _scroll_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliced scroll: the FULL hit set exported as n independent
+    deterministically-paged slices (slice = doc_id % n, pages of
+    rounded-score order) — boolquery.scroll_export."""
+    _ensure_pkg(spark)
+    from pdf_to_opensearch_spark.boolquery import scroll_export
+
+    out = _ensure_engine_index(spark, sf_dir)
+    return scroll_export(spark, out, list(BM25_QUERIES.items()),
+                         n_slices=SCROLL_SLICES, page_size=SCROLL_PAGE)
+
+
+def _scroll_oracle_sql() -> str:
+    qvals = ", ".join(
+        f"({qid}, '{t}')"
+        for qid, t in sorted({(qid, t) for qid, q in BM25_QUERIES.items()
+                              for t in q.split()}))
+    s, p = SCROLL_SLICES, SCROLL_PAGE
+    return f"""
+WITH docs0 AS (SELECT * FROM documents),
+toks AS (
+  SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM docs0
+),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, len({_TOKS_SQL})::DOUBLE AS dl FROM docs0),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+q(query_id, term) AS (VALUES {qvals}),
+dfreq AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tf
+  WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY 1
+),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         round(sum( ln(1.0 + (s.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                    * tf.tf * 2.2
+                    / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) ),
+               4) AS score
+  FROM tf
+  JOIN q USING (term) JOIN dfreq USING (term) JOIN dl USING (doc_id)
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+)
+SELECT query_id, slice_id, ((rn - 1) // {p})::INTEGER AS page,
+       ((rn - 1) % {p})::INTEGER AS seq, doc_id, score
+FROM (
+  SELECT query_id, (doc_id % {s})::INTEGER AS slice_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id, doc_id % {s}
+                            ORDER BY score DESC, doc_id)::INTEGER AS rn
+  FROM scores
+)
+"""
+
+
 def _collapse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OpenSearch ``collapse``: ranked page keeping only the best hit
     per source (dedup-by-field at serve time) —
@@ -1221,6 +1382,60 @@ SELECT query_id, rank, doc_id, score FROM (
          row_number() OVER (ORDER BY doc_id)::INTEGER AS rank,
          doc_id, {CS_BOOST}::DOUBLE AS score
   FROM documents WHERE {CS_FILTER}
+) WHERE rank <= {BM25_K}
+"""
+
+
+RF_PIVOT = 500.0
+RF_BOOST = 2.0
+
+
+def _rank_feature_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank_feature in a bool should: BM25 + boost·f/(f+pivot) over a
+    static per-doc feature (length(text) stands in for the pagerank-class
+    signal) — boolquery.rank_feature_search."""
+    _ensure_pkg(spark)
+    from pdf_to_opensearch_spark.boolquery import rank_feature_search
+
+    out = _ensure_engine_index(spark, sf_dir)
+    return rank_feature_search(spark, out, list(BM25_QUERIES.items()),
+                               feature_expr="length(text)",
+                               feature_cols=("text",),
+                               pivot=RF_PIVOT, boost=RF_BOOST, k=BM25_K)
+
+
+def _rank_feature_oracle_sql() -> str:
+    """rank_feature oracle: brute BM25 (rounded 4 dp) + boost·saturation,
+    sum rounded 4 dp, ranked per query."""
+    sat = (f"{RF_BOOST} * (length(d.text)::DOUBLE"
+           f" / (length(d.text)::DOUBLE + {RF_PIVOT}))")
+    return f"""{_matches_cte()},
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, len({_TOKS_SQL})::DOUBLE AS dl FROM docs0),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+dfreq AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tf
+  WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY 1
+),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         round(sum( ln(1.0 + (s.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                    * tf.tf * 2.2
+                    / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) ),
+               4) AS score
+  FROM tf
+  JOIN q USING (term) JOIN dfreq USING (term) JOIN dl USING (doc_id)
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+)
+SELECT query_id, rank, doc_id, score FROM (
+  SELECT sc.query_id, sc.doc_id,
+         round(sc.score + {sat}, 4) AS score,
+         row_number() OVER (
+             PARTITION BY sc.query_id
+             ORDER BY round(sc.score + {sat}, 4) DESC,
+                      sc.doc_id)::INTEGER AS rank
+  FROM scores sc JOIN docs0 d USING (doc_id)
 ) WHERE rank <= {BM25_K}
 """
 
@@ -1803,6 +2018,83 @@ SELECT query_id, rank, doc_id, score FROM (
 """
 
 
+SPAN_NEAR_QUERIES: dict[int, str] = {
+    1: "hash table",
+    2: "group merge",
+    3: "join customer",
+}
+SPAN_NEAR_SLOP = 3
+
+
+def _span_near_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """span_near in_order=false: every clause term within the symmetric
+    window |q − p| ≤ slop + n − 1 of an anchor occurrence of the first
+    term — boolquery.span_near_search."""
+    _ensure_pkg(spark)
+    from pdf_to_opensearch_spark.boolquery import span_near_search
+
+    out = _ensure_engine_index(spark, sf_dir)
+    return span_near_search(spark, out, list(SPAN_NEAR_QUERIES.items()),
+                            slop=SPAN_NEAR_SLOP, k=BM25_K)
+
+
+def _span_near_oracle_sql() -> str:
+    """span_near oracle: tf = anchors of the first term where every other
+    clause term occurs within the ±(slop + n − 1) window (nested
+    list_filter over the token array), idf = Σ clause idfs."""
+    parts, idf_parts = [], []
+    for qid, q in sorted(SPAN_NEAR_QUERIES.items()):
+        toks = q.split()
+        win = SPAN_NEAR_SLOP + len(toks) - 1
+        near = "\n                  AND ".join(
+            f"""len(list_filter(range(greatest(1, i - {win}),
+                        least(len(t), i + {win}) + 1),
+                        j -> t[j] = '{tk}')) > 0"""
+            for tk in toks[1:])
+        parts.append(f"""
+  SELECT {qid} AS query_id, doc_id, len(t)::DOUBLE AS dl,
+         len(list_filter(range(1, len(t) + 1),
+             i -> t[i] = '{toks[0]}'
+                  AND {near}))::DOUBLE AS tf
+  FROM toks""")
+        s_idf = " + ".join(
+            f"""(SELECT ln(1.0 + (s.n - df + 0.5) / (df + 0.5))
+                 FROM term_df CROSS JOIN stats s WHERE term = '{t}')"""
+            for t in toks)
+        idf_parts.append(f"  SELECT {qid} AS query_id, {s_idf} AS idf")
+    body = "\n  UNION ALL\n".join(parts)
+    idf_body = "\n  UNION ALL\n".join(idf_parts)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+),
+stats AS (
+  SELECT count(*)::DOUBLE AS n, avg(len(t))::DOUBLE AS avgdl FROM toks
+),
+term_df AS (
+  SELECT term, count(DISTINCT doc_id)::DOUBLE AS df
+  FROM (SELECT doc_id, unnest(t) AS term FROM toks) GROUP BY 1
+),
+pf AS ({body}),
+idfs AS ({idf_body}),
+scores AS (
+  SELECT p.query_id, p.doc_id,
+         round(i.idf * p.tf * 2.2
+               / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * p.dl / s.avgdl)),
+               4) AS score
+  FROM pf p JOIN idfs i USING (query_id) CROSS JOIN stats s
+  WHERE p.tf >= 1
+)
+SELECT query_id, rank, doc_id, score FROM (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id)::INTEGER AS rank,
+         doc_id, score
+  FROM scores
+) WHERE rank <= {BM25_K}
+"""
+
+
 # ------------------------------- round-5 filter-context + sampler (set 6)
 
 IDS_FIXTURE = [3, 7, 11, 123, 456, 499]
@@ -2279,6 +2571,118 @@ SELECT src, term AS suggestion, dist::INTEGER AS dist, score, df,
                                ORDER BY score DESC, df DESC, term) AS rank
   FROM cand
 ) WHERE rank <= {SUGGEST_SIZE}
+"""
+
+
+ANALYZE_N = 100
+
+
+def _analyze_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``_analyze`` API: the frozen analyzer's (token, position)
+    stream — the exact positions the positional postings store — exposed
+    as a surface over the first ANALYZE_N docs and hash-gated against
+    the SQL tokenizer twin (the analyzer-equivalence contract every
+    search entry relies on, stated directly)."""
+    _ensure_pkg(spark)
+    from pdf_to_opensearch_spark.analyzer import with_tokens
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < ANALYZE_N)
+    return (with_tokens(docs)
+            .select("doc_id",
+                    F.posexplode("tokens").alias("position", "token"))
+            .select("doc_id",
+                    F.col("position").cast("int").alias("position"),
+                    "token"))
+
+
+def _analyze_api_oracle_sql() -> str:
+    return f"""
+SELECT doc_id, (unnest(range(1, len(t) + 1)) - 1)::INTEGER AS position,
+       unnest(t) AS token
+FROM (SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+      WHERE doc_id < {ANALYZE_N})
+"""
+
+
+PS_TEXT = "paft sost"  # cand pools {part,fast} × {sort,fast}: the LM,
+#                        not string distance, must pick the correction
+PS_SIZE = 3
+PS_MAX_EDITS = 2
+PS_MAX_CAND = 3
+
+
+def _phrase_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """phrase suggester: per-position DirectSpellChecker candidates
+    rescored by the corpus Laplace bigram model —
+    boolquery.phrase_suggest over boolquery.build_bigram_table."""
+    _ensure_pkg(spark)
+    from pdf_to_opensearch_spark.boolquery import (
+        build_bigram_table,
+        phrase_suggest,
+    )
+
+    out = _ensure_engine_index(spark, sf_dir)
+    key = out + "/bigrams"
+    if key not in _BUILT_INDEXES:
+        build_bigram_table(spark, out)
+        _BUILT_INDEXES.add(key)
+    return phrase_suggest(spark, out, PS_TEXT, size=PS_SIZE,
+                          max_edits=PS_MAX_EDITS,
+                          max_candidates=PS_MAX_CAND)
+
+
+def _phrase_suggest_oracle_sql() -> str:
+    """Phrase-suggester oracle: the same candidate rule per position
+    (identity ranks first via similarity 1.0), a flat (doc, pos) token
+    table self-joined at pos+1 for the bigram counts, the Laplace path
+    score, ranked (score desc, suggestion asc)."""
+    toks = PS_TEXT.split()
+    assert len(toks) == 2, "oracle is written for the 2-token fixture"
+    cands = []
+    for i, tok in enumerate(toks):
+        cands.append(f"""
+cand{i} AS (
+  SELECT term, cf FROM (
+    SELECT v.term, v.cf,
+           row_number() OVER (ORDER BY
+               round(1.0 - levenshtein(v.term, '{tok}')::DOUBLE
+                     / least(length('{tok}'), length(v.term)), 4) DESC,
+               v.df DESC, v.term) AS r
+    FROM vocab v WHERE levenshtein(v.term, '{tok}') <= {PS_MAX_EDITS}
+  ) WHERE r <= {PS_MAX_CAND}
+)""")
+    return f"""
+WITH docs0 AS (SELECT * FROM documents),
+toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM docs0),
+flat AS (
+  SELECT doc_id, unnest(t) AS term,
+         unnest(range(1, len(t) + 1)) AS pos
+  FROM toks
+),
+vocab AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df,
+                 count(*)::BIGINT AS cf
+          FROM flat GROUP BY 1),
+tot AS (SELECT count(*)::BIGINT AS v, sum(cf)::BIGINT AS t FROM vocab),
+bg AS (
+  SELECT a.term AS w1, b.term AS w2, count(*)::BIGINT AS c
+  FROM flat a JOIN flat b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  GROUP BY 1, 2
+),{",".join(cands)},
+paths AS (
+  SELECT c0.term || ' ' || c1.term AS suggestion,
+         round(ln((c0.cf + 1.0) / ((SELECT t FROM tot)
+                                   + (SELECT v FROM tot)))
+               + ln((coalesce(bgc.c, 0) + 1.0)
+                    / (c0.cf + (SELECT v FROM tot))), 4) AS score
+  FROM cand0 c0 CROSS JOIN cand1 c1
+  LEFT JOIN bg bgc ON bgc.w1 = c0.term AND bgc.w2 = c1.term
+)
+SELECT src, suggestion, score, rank FROM (
+  SELECT '{PS_TEXT}' AS src, suggestion, score,
+         row_number() OVER (ORDER BY score DESC, suggestion)::INTEGER
+             AS rank
+  FROM paths
+) WHERE rank <= {PS_SIZE}
 """
 
 
@@ -4691,6 +5095,44 @@ def _fm_docs_src_sql() -> str:
             f"+ v.i, v.text FROM (VALUES {vals}) AS v(i, text)")
 
 
+def _reindex_requery(spark, sf_dir):
+    """_reindex + atomic alias swap: rebuild a filtered (lang='en') index
+    from the engine index's stored docs table (doc_ids reassigned by the
+    destination build, url order), atomically point the 'live' alias at
+    it, and serve the BM25 reference queries THROUGH the alias —
+    maintenance.reindex / update_aliases / resolve_alias (the OpenSearch
+    _reindex + _aliases blue/green pattern, uploader.py:218-229's
+    delete-then-reinsert generalized to a whole-index rebuild)."""
+    import shutil
+
+    from pdf_to_opensearch_spark.maintenance import (
+        reindex,
+        resolve_alias,
+        update_aliases,
+    )
+    from pdf_to_opensearch_spark.query import search
+
+    _ensure_pkg(spark)
+    src = _ensure_engine_index(spark, sf_dir)
+    dst = src + "_reindexed"
+    reg = src + "_aliases.json"
+    if dst not in _BUILT_INDEXES:
+        shutil.rmtree(dst, ignore_errors=True)
+        reindex(spark, src, dst, where="lang = 'en'",
+                num_ranges=8, n_buckets=8, id_partitions=8)
+        update_aliases(reg, [{"add": {"alias": "live", "index": dst}}])
+        _BUILT_INDEXES.add(dst)
+    res = search(spark, resolve_alias(reg, "live"),
+                 list(BM25_QUERIES.items()),
+                 k=BM25_K + _RERANK_MARGIN, prune=True)
+    return _rerank_rounded(res, BM25_K)
+
+
+_REINDEX_DOCS_SRC = """SELECT row_number() OVER (ORDER BY doc_id) - 1
+             AS doc_id, text
+  FROM documents WHERE lang = 'en'"""
+
+
 def _f4b_overlap_anti(spark, sf_dir):
     from pdf_to_opensearch_spark.ops.spatial import overlap_anti_filter
 
@@ -5674,7 +6116,16 @@ def queries():  # noqa: F811 — extend the registry with the spatial/misc ops
         "script_score_topk": _script_score_topk,
         "random_score_topk": _random_score_topk,
         "span_first_topk": _span_first_topk,
+        "span_near_topk": _span_near_topk,
         "match_phrase_prefix_topk": _mpp_topk,
+        "rare_terms_agg": _rare_terms_agg,
+        "multi_terms_agg": _multi_terms_agg,
+        "auto_date_histogram": _auto_date_histogram,
+        "reindex_requery": _reindex_requery,
+        "scroll_export": _scroll_export,
+        "rank_feature_topk": _rank_feature_topk,
+        "phrase_suggest": _phrase_suggest,
+        "analyze_api": _analyze_api,
         "exists_topk": _exists_topk,
         "ids_topk": _ids_topk,
         "terms_keyword_topk": _terms_keyword_topk,
@@ -5745,7 +6196,16 @@ def oracle_sql():  # noqa: F811
         "script_score_topk": _script_score_oracle_sql(),
         "random_score_topk": _random_score_oracle_sql(),
         "span_first_topk": _span_first_oracle_sql(),
+        "span_near_topk": _span_near_oracle_sql(),
         "match_phrase_prefix_topk": _mpp_oracle_sql(),
+        "rare_terms_agg": _rare_terms_oracle_sql(),
+        "multi_terms_agg": _multi_terms_oracle_sql(),
+        "auto_date_histogram": _auto_dh_oracle_sql(),
+        "reindex_requery": _bm25_oracle_sql(docs_src=_REINDEX_DOCS_SRC),
+        "scroll_export": _scroll_oracle_sql(),
+        "rank_feature_topk": _rank_feature_oracle_sql(),
+        "phrase_suggest": _phrase_suggest_oracle_sql(),
+        "analyze_api": _analyze_api_oracle_sql(),
         "exists_topk": _exists_oracle_sql(),
         "ids_topk": _ids_oracle_sql(),
         "terms_keyword_topk": _terms_keyword_oracle_sql(),

@@ -2298,3 +2298,449 @@ def percolate(spark: SparkSession, index_dir: str,
                          schema=RESULT_SCHEMA))
     return per_range.select(F.col("query_id").cast("int"),
                             F.col("doc_id").cast("long"))
+
+
+def span_near_search(spark: SparkSession, index_dir: str,
+                     queries: list[tuple[int, str]],
+                     slop: int = 2, k: int = 10) -> DataFrame:
+    """Lucene/OpenSearch ``span_near`` with ``in_order=false`` — unordered
+    proximity over single-term SpanTermQuery clauses (the query text's
+    analyzer stream, one clause per token; the reference's schema-typed
+    query builder emits span queries for analyzed fields the same way it
+    emits match_phrase, opensearch_loader.py:386-408).
+
+    Contract (deterministic, relationally statable — the unordered
+    sibling of the ordered-window slop contract on
+    ``query._phrase_kernel``): an anchor occurrence p of the FIRST
+    clause term matches iff every other clause term has an occurrence q
+    in the same doc with |q − p| ≤ slop + (n − 1); tf = count of
+    matching anchors. Lucene's NearSpansUnordered instead slides a
+    one-occurrence-per-clause span set under
+    (max_pos − min_pos) ≤ slop + (n − 1); every Lucene match satisfies
+    the symmetric window at the same slop (the anchor lies inside
+    [min, max]), so this form only widens — it never drops a Lucene
+    match — and it has an exact SQL twin. Scoring is SpanWeight's:
+    idf = Σ clause idfs, score = idf · BM25 tf-norm of the span tf.
+
+    Physical shape: dictionary point-lookup → bucket/term-pruned
+    positional postings scan → per-range vectorized searchsorted kernel
+    (sorted doc<<24|pos keys, one pass per clause term) → global top-k
+    window. No shuffle beyond the ranked page.
+
+    Returns the standard RANKED page.
+    """
+    paths = IndexPaths(index_dir)
+    stats = load_stats(spark, index_dir)
+    q_terms: dict[int, list[str]] = {}
+    for qid, text in queries:
+        toks = tokenize_text(text)
+        if len(toks) >= 2:
+            q_terms[int(qid)] = toks
+    if not q_terms:
+        return spark.createDataFrame([], RANKED)
+    terms = sorted({t for ts in q_terms.values() for t in ts})
+    dict_rows = _filter_in(spark.read.parquet(paths.dictionary),
+                           "term", terms).collect()
+    dfs = {r["term"]: int(r["df"]) for r in dict_rows}
+    qinfo: dict[int, dict] = {}
+    for qid, toks in q_terms.items():
+        if all(t in dfs for t in toks):
+            s_idf = float(sum(
+                idf_fn(stats.N, np.array([dfs[t]]))[0] for t in toks))
+            qinfo[qid] = {"terms": toks, "idf": s_idf}
+    if not qinfo:
+        return spark.createDataFrame([], RANKED)
+    k1, b, avgdl = stats.k1, stats.b, stats.avgdl
+    slop_i = int(slop)
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        by_term = {rec["term"]: rec for rec in pdf.to_dict("records")}
+        out_q, out_d, out_s = [], [], []
+        pos_mask = (np.uint64(1) << _SF_POS_SHIFT) - np.uint64(1)
+        for qid, info in qinfo.items():
+            terms_q = info["terms"]
+            if any(t not in by_term for t in terms_q):
+                continue
+            decoded: dict[str, tuple] = {}
+            for t in dict.fromkeys(terms_q):
+                rec = by_term[t]
+                doc_ids, tfs, dls = decode_postings(rec)
+                poss = decode_positions(rec["poss"], tfs)
+                keys = ((np.repeat(doc_ids, tfs).astype(np.uint64)
+                         << _SF_POS_SHIFT) | poss.astype(np.uint64))
+                decoded[t] = (doc_ids, tfs, dls, keys)
+            d0, _tf0, dl0, keys0 = decoded[terms_q[0]]
+            if keys0.size == 0:
+                continue
+            win = np.uint64(slop_i + len(terms_q) - 1)
+            docs_a = keys0 >> _SF_POS_SHIFT
+            p0 = keys0 & pos_mask
+            lo_pos = np.where(p0 > win, p0 - win, np.uint64(0))
+            alive = np.ones(keys0.size, dtype=bool)
+            for t in dict.fromkeys(terms_q[1:]):
+                keys_t = decoded[t][3]
+                # smallest occurrence of t at or after (doc, p0−win);
+                # the anchor survives iff it lands in-doc and ≤ p0+win
+                lookup = (docs_a << _SF_POS_SHIFT) | lo_pos
+                idx = np.searchsorted(keys_t, lookup, side="left")
+                ok = idx < keys_t.size
+                found = keys_t[np.minimum(idx, keys_t.size - 1)]
+                alive &= (ok & ((found >> _SF_POS_SHIFT) == docs_a)
+                          & ((found & pos_mask) <= p0 + win))
+                if not alive.any():
+                    break
+            cand = keys0[alive]
+            if cand.size == 0:
+                continue
+            cand_docs = (cand >> _SF_POS_SHIFT).astype(np.int64)
+            uniq, pf = np.unique(cand_docs, return_counts=True)
+            dl_map = dl0[np.searchsorted(d0, uniq)]
+            sc = info["idf"] * tf_norm(pf, dl_map, avgdl, k1, b)
+            out_q.extend([qid] * uniq.size)
+            out_d.extend(uniq.tolist())
+            out_s.extend(sc.tolist())
+        return pd.DataFrame({
+            "query_id": pd.Series(out_q, dtype="int32"),
+            "doc_id": pd.Series(out_d, dtype="int64"),
+            "score": pd.Series(out_s, dtype="float64"),
+        })
+
+    live = sorted({t for info in qinfo.values() for t in info["terms"]})
+    postings = _pruned_postings(spark, paths, stats.n_buckets, live)
+    scored = (postings.groupBy("range_id")
+              .applyInPandas(kernel, schema=RESULT_SCHEMA)
+              .withColumn("score", F.round("score", 4)))
+    return _ranked_page(scored, k)
+
+
+def search_rare_terms(spark: SparkSession, index_dir: str,
+                      queries: list[tuple[int, str]],
+                      facet_col: str = "source",
+                      max_doc_count: int = 1) -> DataFrame:
+    """The ``rare_terms`` aggregation: the long-tail complement of
+    ``terms`` — buckets of ``facet_col`` over the hit set whose doc count
+    is ≤ ``max_doc_count``, ordered count ASC then value ASC (OpenSearch
+    returns rare buckets rarest-first). Same single-shuffle shape as
+    :func:`search_facets`; the ≤ filter runs on the already-reduced
+    bucket frame, so the rarity cut is free. (OpenSearch approximates
+    this with a CuckooFilter at shard fan-in; over a shuffled exact
+    groupBy the exact answer is the cheaper path.)
+
+    Returns DataFrame(query_id, facet_value, doc_count)."""
+    paths = IndexPaths(index_dir)
+    stats = load_stats(spark, index_dir)
+    out_schema = "query_id int, facet_value string, doc_count long"
+    matches = _match_docs(spark, paths, stats, queries)
+    if matches is None:
+        return spark.createDataFrame([], out_schema)
+    return (matches
+            .join(spark.read.parquet(paths.docs)
+                  .select("doc_id", F.col(facet_col).cast("string")
+                          .alias("facet_value")), "doc_id")
+            .groupBy("query_id", "facet_value")
+            .agg(F.count("*").alias("doc_count"))
+            .filter(F.col("doc_count") <= int(max_doc_count))
+            .orderBy("query_id", "doc_count", "facet_value"))
+
+
+def search_multi_terms(spark: SparkSession, index_dir: str,
+                       queries: list[tuple[int, str]],
+                       cols: tuple[str, str] = ("lang", "source"),
+                       n: int = 10) -> DataFrame:
+    """The ``multi_terms`` aggregation: buckets keyed by the VALUE TUPLE
+    of two fields (OpenSearch composes the key per doc — distinct from
+    two nested ``terms`` aggs), count desc then key asc, top ``n`` per
+    query. One column-pruned docs join + one map-side-combined groupBy.
+
+    Returns DataFrame(query_id, key1, key2, doc_count, rank)."""
+    paths = IndexPaths(index_dir)
+    stats = load_stats(spark, index_dir)
+    out_schema = ("query_id int, key1 string, key2 string, "
+                  "doc_count long, rank int")
+    matches = _match_docs(spark, paths, stats, queries)
+    if matches is None:
+        return spark.createDataFrame([], out_schema)
+    c1, c2 = cols
+    buckets = (matches
+               .join(spark.read.parquet(paths.docs)
+                     .select("doc_id",
+                             F.col(c1).cast("string").alias("key1"),
+                             F.col(c2).cast("string").alias("key2")),
+                     "doc_id")
+               .groupBy("query_id", "key1", "key2")
+               .agg(F.count("*").alias("doc_count")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("doc_count").desc(), F.col("key1").asc(),
+        F.col("key2").asc())
+    return (buckets.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= n)
+            .select("query_id", "key1", "key2", "doc_count", "rank"))
+
+
+_AUTO_DH_LADDER = ("day", "week", "month", "quarter", "year")
+
+
+def search_auto_date_histogram(spark: SparkSession, index_dir: str,
+                               queries: list[tuple[int, str]],
+                               ts_col: str = "warc_ts",
+                               target_buckets: int = 10) -> DataFrame:
+    """The ``auto_date_histogram`` aggregation: per query, the FINEST
+    calendar interval from the ladder day < week < month < quarter < year
+    whose non-empty bucket count is ≤ ``target_buckets`` (year is the
+    floor even when it overshoots — OpenSearch keeps coarsening only
+    while an interval exists). Chosen-interval semantics follow the
+    engine's :func:`search_date_histogram` (ISO Monday weeks,
+    min_doc_count=1).
+
+    Physical plan: ONE shuffle reduces the hit set to day-level buckets
+    (the frame is bounded by #distinct days, not #docs); every coarser
+    level re-truncates those day keys (date_trunc(level, day_bucket) ≡
+    date_trunc(level, ts)), so interval selection and the final re-group
+    both run on the tiny bucket frame. The per-query level pick is a
+    ≤ #queries-row collect.
+
+    Returns DataFrame(query_id, interval string, bucket_start timestamp,
+    doc_count)."""
+    paths = IndexPaths(index_dir)
+    stats = load_stats(spark, index_dir)
+    out_schema = ("query_id int, interval string, "
+                  "bucket_start timestamp, doc_count long")
+    matches = _match_docs(spark, paths, stats, queries)
+    if matches is None:
+        return spark.createDataFrame([], out_schema)
+    vals = (spark.read.parquet(paths.docs)
+            .select("doc_id", F.date_trunc("day", F.expr(ts_col))
+                    .alias("day_bucket")))
+    days = (matches.join(vals, "doc_id")
+            .filter(F.col("day_bucket").isNotNull())
+            .groupBy("query_id", "day_bucket")
+            .agg(F.count("*").alias("doc_count"))
+            .persist())
+    try:
+        counts = (days.groupBy("query_id").agg(*[
+            F.countDistinct(F.date_trunc(lvl, F.col("day_bucket")))
+            .alias(lvl) for lvl in _AUTO_DH_LADDER]).collect())
+        chosen: dict[int, str] = {}
+        for r in counts:
+            lvl = _AUTO_DH_LADDER[-1]
+            for cand in _AUTO_DH_LADDER:
+                if r[cand] <= int(target_buckets):
+                    lvl = cand
+                    break
+            chosen[int(r["query_id"])] = lvl
+        lvl_expr = F.create_map(*[
+            x for qid, lvl in sorted(chosen.items())
+            for x in (F.lit(qid), F.lit(lvl))])[F.col("query_id")]
+        trunc = F.when(F.col("interval") == _AUTO_DH_LADDER[0],
+                       F.date_trunc(_AUTO_DH_LADDER[0],
+                                    F.col("day_bucket")))
+        for lvl in _AUTO_DH_LADDER[1:]:
+            trunc = trunc.when(F.col("interval") == lvl,
+                               F.date_trunc(lvl, F.col("day_bucket")))
+        out = (days
+               .withColumn("interval", lvl_expr)
+               .withColumn("bucket_start", trunc)
+               .groupBy("query_id", "interval", "bucket_start")
+               .agg(F.sum("doc_count").alias("doc_count"))
+               .orderBy("query_id", "bucket_start"))
+        # bounded materialization: ≤ (target_buckets + year-floor slack)
+        # rows per query — the days frame must not outlive its unpersist
+        out = spark.createDataFrame(out.collect(), out_schema)
+    finally:
+        days.unpersist()
+    return out
+
+
+def scroll_export(spark: SparkSession, index_dir: str,
+                  queries: list[tuple[int, str]],
+                  n_slices: int = 4, page_size: int = 100) -> DataFrame:
+    """Sliced scroll (the ``_search?scroll`` API with a ``slice`` block):
+    export the FULL hit set of each query as ``n_slices`` independent,
+    deterministically-paged streams — OpenSearch's contract for draining
+    a large result set in parallel, one scroll cursor per slice.
+
+    Slice membership follows the API's default id-hash route
+    (slice i = doc_id % n_slices); within a slice, hits page in
+    (rounded score desc, doc_id asc) order, ``page_size`` rows per page.
+    There is NO stateful cursor to keep: (slice_id, page, seq) is a pure
+    function of the hit set, so any worker can fetch any page
+    independently — the scroll semantics without scroll-context state,
+    which is exactly what survives a 1000-executor export (each task
+    filters its own slice; the only shuffle is the per-slice rank
+    window, partitioned (query, slice) so no single-reducer hot spot).
+
+    Returns DataFrame(query_id, slice_id, page, seq, doc_id, score)."""
+    paths = IndexPaths(index_dir)
+    stats = load_stats(spark, index_dir)
+    out_schema = ("query_id int, slice_id int, page int, seq int, "
+                  "doc_id long, score double")
+    scored = _full_bm25_scores(spark, paths, stats, queries)
+    if scored is None:
+        return spark.createDataFrame([], out_schema)
+    sliced = scored.withColumn(
+        "slice_id", (F.col("doc_id") % n_slices).cast("int"))
+    w = Window.partitionBy("query_id", "slice_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc())
+    return (sliced.withColumn("rn", F.row_number().over(w))
+            .withColumn("page", ((F.col("rn") - 1)
+                                 / page_size).cast("int"))
+            .withColumn("seq", ((F.col("rn") - 1) % page_size)
+                        .cast("int"))
+            .select("query_id", "slice_id", "page", "seq",
+                    "doc_id", "score"))
+
+
+def rank_feature_search(spark: SparkSession, index_dir: str,
+                        queries: list[tuple[int, str]],
+                        feature_expr: str = "length(text)",
+                        feature_cols: tuple[str, ...] = ("text",),
+                        pivot: float = 500.0, boost: float = 1.0,
+                        k: int = 10) -> DataFrame:
+    """``rank_feature`` query in a bool ``should`` beside a match clause
+    — the web-scale static-signal boost (pagerank/url_length/popularity):
+    final = BM25(match) + boost · saturation(f) with
+    saturation(f) = f / (f + pivot), the rank_feature default function.
+    The feature contribution is ADDITIVE (a should clause sums — unlike
+    function_score's boost_mode=multiply) and bounded by ``boost``, so a
+    runaway feature can never drown the lexical score.
+
+    The feature reads from the column-pruned docs scan (Lucene keeps
+    rank_feature values in a dedicated feature index; the columnar docs
+    table is this engine's doc-values). Base scores round 4 dp before
+    the add; the sum rounds 4 dp before ranking.
+
+    Returns the standard RANKED page."""
+    paths = IndexPaths(index_dir)
+    stats = load_stats(spark, index_dir)
+    scored = _full_bm25_scores(spark, paths, stats, queries)
+    if scored is None:
+        return spark.createDataFrame([], RANKED)
+    feats = (spark.read.parquet(paths.docs)
+             .select("doc_id", *feature_cols)
+             .select("doc_id",
+                     F.expr(feature_expr).cast("double").alias("f")))
+    sat = F.col("f") / (F.col("f") + F.lit(float(pivot)))
+    scored = (scored.join(feats, "doc_id")
+              .withColumn("score",
+                          F.round(F.col("score")
+                                  + F.lit(float(boost)) * sat, 4)))
+    return _ranked_page(scored, k)
+
+
+def build_bigram_table(spark: SparkSession, index_dir: str) -> str:
+    """Offline bigram model for the ``phrase`` suggester: counts of
+    ADJACENT analyzer-token pairs over the indexed corpus, stored at
+    ``<root>/bigrams`` (w1, w2, count). OpenSearch keeps the same model
+    as the shingle sub-field its phrase suggester reads; here it is one
+    tokenize pass (Arrow kernel) + zip_with(slice, slice) pair explode +
+    a map-side-combined count — a single shuffle, no skew (pair space is
+    much flatter than the unigram Zipf head)."""
+    from .analyzer import tokenize_udf
+
+    paths = IndexPaths(index_dir)
+    out = f"{paths.root}/bigrams"
+    toks = (spark.read.parquet(paths.docs)
+            .select(tokenize_udf(F.col("text")).alias("t"))
+            .filter(F.size("t") >= 2))
+    pairs = toks.select(F.explode(F.expr(
+        "zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1),"
+        " (a, b) -> struct(a AS w1, b AS w2))")).alias("p"))
+    (pairs.select("p.w1", "p.w2")
+     .groupBy("w1", "w2").agg(F.count("*").alias("count"))
+     .write.mode("overwrite").parquet(out))
+    return out
+
+
+def phrase_suggest(spark: SparkSession, index_dir: str, text: str,
+                   size: int = 3, max_edits: int = 2,
+                   max_candidates: int = 3) -> DataFrame:
+    """The OpenSearch ``phrase`` suggester: whole-phrase did-you-mean —
+    per-position candidate generation (the term suggester's
+    DirectSpellChecker rule) rescored by a corpus LANGUAGE MODEL, so the
+    winning correction is the candidate COMBINATION the corpus actually
+    says, not the per-token nearest strings.
+
+    Deterministic contract (stated relationally for the SQL twin):
+
+    * position i's candidates = dictionary terms with
+      levenshtein ≤ ``max_edits`` of token i, ranked by the term
+      suggester's (similarity desc, df desc, term asc), top
+      ``max_candidates`` — the identity term (distance 0,
+      similarity 1.0) outranks every edit when the token is in-vocab.
+    * each candidate phrase scores under a Laplace bigram model built by
+      :func:`build_bigram_table`:
+      ln((cf(w₁)+1)/(T+V)) + Σᵢ ln((C(wᵢ₋₁,wᵢ)+1)/(cf(wᵢ₋₁)+V))
+      with cf from the dictionary, T total tokens, V vocab size —
+      OpenSearch's default is Lucene's stupid-backoff over shingles;
+      Laplace has the closed per-pair statement an oracle can reproduce.
+    * top ``size`` phrases per input (score desc, suggestion asc).
+
+    Physical shape: one broadcast dictionary pass generates ALL
+    positions' candidates (no per-token jobs); the bigram table is read
+    with candidate-pruned predicates (a point-read, pushed to parquet);
+    only the ≤ n·max_candidates candidate rows and the ≤ (n−1)·mc²
+    pair counts reach the driver, where the ≤ mcⁿ path enumeration is
+    arithmetic on a handful of floats (n is capped at 5)."""
+    import itertools
+    import math
+
+    paths = IndexPaths(index_dir)
+    toks = tokenize_text(text)
+    out_schema = "src string, suggestion string, score double, rank int"
+    if not toks:
+        return spark.createDataFrame([], out_schema)
+    if len(toks) > 5:
+        raise ValueError("phrase_suggest caps the phrase at 5 tokens; "
+                         f"got {len(toks)}")
+    dictionary = spark.read.parquet(paths.dictionary)
+    tot = dictionary.agg(F.count("*").alias("v"),
+                         F.sum("cf").alias("t")).collect()[0]
+    v_size, t_tokens = int(tot["v"]), int(tot["t"])
+    src_df = spark.createDataFrame(list(enumerate(toks)),
+                                   "pos int, src string")
+    cand = (dictionary.join(F.broadcast(src_df))
+            .withColumn("dist",
+                        F.levenshtein(F.col("term"), F.col("src"),
+                                      max_edits).cast("int"))
+            .filter(F.col("dist") >= 0)
+            .withColumn("sim",
+                        F.round(1.0 - F.col("dist") /
+                                F.least(F.length("src"),
+                                        F.length("term")), 4)))
+    w = Window.partitionBy("pos").orderBy(
+        F.col("sim").desc(), F.col("df").desc(), F.col("term").asc())
+    kept = (cand.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= max_candidates)
+            .select("pos", "term", "cf").collect())
+    by_pos: dict[int, list] = {}
+    cf: dict[str, int] = {}
+    for r in kept:
+        by_pos.setdefault(int(r["pos"]), []).append(r["term"])
+        cf[r["term"]] = int(r["cf"])
+    if any(i not in by_pos for i in range(len(toks))):
+        return spark.createDataFrame([], out_schema)  # a position has
+        # no in-edit candidate: the suggester returns nothing
+    for i in by_pos:
+        by_pos[i].sort()  # deterministic enumeration order
+    bg_counts: dict[tuple, int] = {}
+    if len(toks) >= 2:
+        w1s = sorted({t for i in range(len(toks) - 1)
+                      for t in by_pos[i]})
+        w2s = sorted({t for i in range(1, len(toks))
+                      for t in by_pos[i]})
+        bg = (spark.read.parquet(f"{paths.root}/bigrams")
+              .filter(F.col("w1").isin(w1s) & F.col("w2").isin(w2s))
+              .collect())
+        bg_counts = {(r["w1"], r["w2"]): int(r["count"]) for r in bg}
+    scored = []
+    for combo in itertools.product(*[by_pos[i]
+                                     for i in range(len(toks))]):
+        s = math.log((cf[combo[0]] + 1) / (t_tokens + v_size))
+        for a, b in zip(combo, combo[1:]):
+            s += math.log((bg_counts.get((a, b), 0) + 1)
+                          / (cf[a] + v_size))
+        scored.append((" ".join(combo), round(s, 4)))
+    scored.sort(key=lambda ps: (-ps[1], ps[0]))
+    rows = [(text, p, s, i + 1) for i, (p, s) in
+            enumerate(scored[:size])]
+    return spark.createDataFrame(rows, out_schema)

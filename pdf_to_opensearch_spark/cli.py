@@ -112,6 +112,58 @@ def main(argv: list[str] | None = None, keep_session: bool = False) -> int:
     sp.add_argument("--end", type=int, default=5)
     sp.add_argument("-k", type=int, default=10)
 
+    sn = sub.add_parser("spannear", help="span_near in_order=false: all "
+                                         "terms within an unordered "
+                                         "proximity window")
+    sn.add_argument("--index", required=True)
+    sn.add_argument("-q", "--query", action="append", required=True)
+    sn.add_argument("--slop", type=int, default=2)
+    sn.add_argument("-k", type=int, default=10)
+
+    rf = sub.add_parser("rankfeature", help="rank_feature should-clause: "
+                                            "BM25 + boost*f/(f+pivot)")
+    rf.add_argument("--index", required=True)
+    rf.add_argument("-q", "--query", action="append", required=True)
+    rf.add_argument("--feature", default="length(text)",
+                    help="SQL expression over docs columns")
+    rf.add_argument("--feature-cols", default="text",
+                    help="comma-separated docs columns the expr needs")
+    rf.add_argument("--pivot", type=float, default=500.0)
+    rf.add_argument("--boost", type=float, default=1.0)
+    rf.add_argument("-k", type=int, default=10)
+
+    sc = sub.add_parser("scroll", help="sliced scroll: export the full "
+                                       "hit set as independent paged "
+                                       "slices")
+    sc.add_argument("--index", required=True)
+    sc.add_argument("-q", "--query", action="append", required=True)
+    sc.add_argument("--slices", type=int, default=4)
+    sc.add_argument("--page-size", type=int, default=100)
+    sc.add_argument("--limit", type=int, default=100,
+                    help="display cap")
+
+    ri = sub.add_parser("reindex", help="_reindex: rebuild a new index "
+                                        "from an existing one's docs")
+    ri.add_argument("--index", required=True)
+    ri.add_argument("--out", required=True)
+    ri.add_argument("--where", default=None,
+                    help="SQL predicate over the source docs")
+    ri.add_argument("--set", action="append", default=[],
+                    help="col=SQL_EXPR transform (repeatable)")
+    ri.add_argument("--num-ranges", type=int, default=16)
+    ri.add_argument("--buckets", type=int, default=64)
+
+    al = sub.add_parser("alias", help="_aliases: atomic alias registry "
+                                      "(add / remove / swap / resolve)")
+    al.add_argument("--registry", required=True,
+                    help="path of the alias registry JSON")
+    al.add_argument("action", choices=["add", "remove", "swap",
+                                       "resolve", "list"])
+    al.add_argument("--alias", default=None)
+    al.add_argument("--target", default=None, help="index root")
+    al.add_argument("--old", default=None,
+                    help="swap: expected current target")
+
     fc = sub.add_parser("filterq", help="filter-context queries: exists / "
                                         "ids / terms (constant score, "
                                         "doc_id page order)")
@@ -179,7 +231,12 @@ def main(argv: list[str] | None = None, keep_session: bool = False) -> int:
                              "matrix_stats", "extended_stats",
                              "weighted_avg", "missing", "global",
                              "pipeline", "sampler",
-                             "diversified_sampler"])
+                             "diversified_sampler", "rare_terms",
+                             "multi_terms", "auto_date_histogram"])
+    ag.add_argument("--max-doc-count", type=int, default=1,
+                    help="rare_terms: bucket-count ceiling")
+    ag.add_argument("--target-buckets", type=int, default=10,
+                    help="auto_date_histogram: bucket budget")
     ag.add_argument("--shard-size", type=int, default=100)
     ag.add_argument("--max-per-value", type=int, default=2)
     ag.add_argument("--dedup-col", default="source")
@@ -269,6 +326,16 @@ def main(argv: list[str] | None = None, keep_session: bool = False) -> int:
     su.add_argument("--max-edits", type=int, default=2)
     su.add_argument("--mode", choices=["missing", "always"],
                     default="missing")
+    su.add_argument("--type", choices=["term", "phrase"], default="term",
+                    help="phrase: bigram-LM whole-phrase correction "
+                         "(build-bigrams first)")
+    su.add_argument("--max-candidates", type=int, default=3,
+                    help="phrase: per-position candidate pool")
+
+    bb = sub.add_parser("build-bigrams", help="build the bigram model "
+                                              "the phrase suggester "
+                                              "rescored with")
+    bb.add_argument("--index", required=True)
 
     bf = sub.add_parser("build-field", help="build the posting space for "
                                             "one analyzed field of the "
@@ -398,6 +465,66 @@ def main(argv: list[str] | None = None, keep_session: bool = False) -> int:
                                     end=args.end, k=args.k)
             for row in res.collect():
                 print(json.dumps(row.asDict()))
+        elif args.cmd == "spannear":
+            from .boolquery import span_near_search
+
+            res = span_near_search(spark, args.index,
+                                   list(enumerate(args.query, 1)),
+                                   slop=args.slop, k=args.k)
+            for row in res.collect():
+                print(json.dumps(row.asDict()))
+        elif args.cmd == "rankfeature":
+            from .boolquery import rank_feature_search
+
+            res = rank_feature_search(
+                spark, args.index, list(enumerate(args.query, 1)),
+                feature_expr=args.feature,
+                feature_cols=tuple(args.feature_cols.split(",")),
+                pivot=args.pivot, boost=args.boost, k=args.k)
+            for row in res.collect():
+                print(json.dumps(row.asDict()))
+        elif args.cmd == "scroll":
+            from .boolquery import scroll_export
+
+            res = scroll_export(spark, args.index,
+                                list(enumerate(args.query, 1)),
+                                n_slices=args.slices,
+                                page_size=args.page_size)
+            for row in res.limit(args.limit).collect():
+                print(json.dumps(row.asDict()))
+        elif args.cmd == "reindex":
+            from .maintenance import reindex
+
+            transform = dict(kv.split("=", 1) for kv in args.set) or None
+            reindex(spark, args.index, args.out, where=args.where,
+                    transform=transform, num_ranges=args.num_ranges,
+                    n_buckets=args.buckets)
+            print(json.dumps({"reindexed": args.out}))
+        elif args.cmd == "alias":
+            from .maintenance import (
+                read_aliases,
+                resolve_alias,
+                update_aliases,
+            )
+
+            if args.action == "list":
+                print(json.dumps(read_aliases(args.registry)))
+            elif args.action == "resolve":
+                print(json.dumps(
+                    {args.alias: resolve_alias(args.registry,
+                                               args.alias)}))
+            elif args.action == "swap":
+                out = update_aliases(args.registry, [
+                    {"remove": {"alias": args.alias, "index": args.old}},
+                    {"add": {"alias": args.alias, "index": args.target}},
+                ])
+                print(json.dumps(out))
+            else:
+                body = {"alias": args.alias}
+                if args.target:
+                    body["index"] = args.target
+                print(json.dumps(update_aliases(
+                    args.registry, [{args.action: body}])))
         elif args.cmd == "filterq":
             from . import boolquery as bq
 
@@ -600,6 +727,19 @@ def main(argv: list[str] | None = None, keep_session: bool = False) -> int:
                     spark, args.index, qs, ts_col=args.col,
                     calendar_interval=args.interval,
                     window=args.per_bucket)
+            elif args.type == "rare_terms":
+                res = boolquery.search_rare_terms(
+                    spark, args.index, qs, facet_col=args.col,
+                    max_doc_count=args.max_doc_count)
+            elif args.type == "multi_terms":
+                c0, c1 = args.sources.split(",")
+                res = boolquery.search_multi_terms(
+                    spark, args.index, qs, cols=(c0, c1),
+                    n=args.size)
+            elif args.type == "auto_date_histogram":
+                res = boolquery.search_auto_date_histogram(
+                    spark, args.index, qs, ts_col=args.col,
+                    target_buckets=args.target_buckets)
             elif args.type in ("sampler", "diversified_sampler"):
                 res = boolquery.search_sampler(
                     spark, args.index, qs, facet_col=args.col,
@@ -657,17 +797,34 @@ def main(argv: list[str] | None = None, keep_session: bool = False) -> int:
             for row in res.collect():
                 print(json.dumps(row.asDict()))
         elif args.cmd == "suggest":
-            from .boolquery import term_suggest
+            if args.type == "phrase":
+                from .boolquery import phrase_suggest
 
-            res = term_suggest(spark, args.index, args.query,
-                               size=args.size, max_edits=args.max_edits,
-                               mode=args.mode)
-            for row in res.collect():
-                print(json.dumps({"src": row["src"],
-                                  "suggestion": row["suggestion"],
-                                  "dist": row["dist"],
-                                  "score": row["score"],
-                                  "df": row["df"], "rank": row["rank"]}))
+                res = phrase_suggest(spark, args.index, args.query,
+                                     size=args.size,
+                                     max_edits=args.max_edits,
+                                     max_candidates=args.max_candidates)
+                for row in res.collect():
+                    print(json.dumps(row.asDict()))
+            else:
+                from .boolquery import term_suggest
+
+                res = term_suggest(spark, args.index, args.query,
+                                   size=args.size,
+                                   max_edits=args.max_edits,
+                                   mode=args.mode)
+                for row in res.collect():
+                    print(json.dumps({"src": row["src"],
+                                      "suggestion": row["suggestion"],
+                                      "dist": row["dist"],
+                                      "score": row["score"],
+                                      "df": row["df"],
+                                      "rank": row["rank"]}))
+        elif args.cmd == "build-bigrams":
+            from .boolquery import build_bigram_table
+
+            print(json.dumps(
+                {"bigrams": build_bigram_table(spark, args.index)}))
         elif args.cmd == "build-field":
             from .fields import build_field_index
 

@@ -235,3 +235,100 @@ def reingest(spark: SparkSession, source_docs: DataFrame, out_dir: str,
     """Delete-then-reinsert idempotency (uploader.py:218-229 semantics):
     a full rebuild from the current source of truth."""
     return build_index(spark, source_docs, out_dir, **build_kwargs)
+
+
+def reindex(spark: SparkSession, index_dir: str, out_dir: str,
+            where: str | None = None,
+            transform: dict[str, str] | None = None,
+            **build_kwargs) -> IndexPaths:
+    """The ``_reindex`` API: rebuild a NEW index from the stored docs of
+    an existing one, optionally filtered (``where`` — the reindex body's
+    query clause) and column-transformed (``transform``: column → SQL
+    expression, the painless ``script`` analogue, Catalyst-compiled).
+
+    Doc_ids are REASSIGNED by the destination build (url order), exactly
+    as reindexing into a fresh OpenSearch index re-ingests documents;
+    pair with :func:`update_aliases` for the blue/green alias swap that
+    makes the rebuilt index live atomically. The source is read from its
+    column-pruned docs table — engine-assigned columns (doc_id,
+    range_id, dl) are dropped so the destination recomputes them; one
+    distributed read → :func:`~pdf_to_opensearch_spark.indexer.build_index`,
+    nothing collects."""
+    paths = IndexPaths(index_dir)
+    docs = (spark.read.parquet(paths.docs)
+            .drop("doc_id", "range_id", "dl"))
+    if where:
+        docs = docs.filter(where)
+    if transform:
+        for col, expr in transform.items():
+            docs = docs.withColumn(col, F.expr(expr))
+    return build_index(spark, docs, out_dir, **build_kwargs)
+
+
+# ------------------------------------------------------------- aliases
+#
+# OpenSearch index aliases: a name → index indirection resolved at
+# request time, updated atomically (the `_aliases` actions API). The
+# registry is one JSON file swapped with os.replace (atomic on POSIX) —
+# readers see the old or the new mapping, never a partial write. This is
+# driver-side metadata (bytes, not data): at cluster scale it lives on
+# the shared FS next to the indexes it names.
+
+
+def read_aliases(registry_path: str) -> dict[str, str]:
+    """Current alias → index-root mapping ({} if no registry yet)."""
+    import json
+    import os
+
+    if not os.path.exists(registry_path):
+        return {}
+    with open(registry_path, encoding="utf-8") as fh:
+        return json.load(fh)
+
+
+def update_aliases(registry_path: str,
+                   actions: list[dict[str, dict[str, str]]]) -> dict[str, str]:
+    """Apply an ``_aliases``-style action list ATOMICALLY — the
+    OpenSearch contract is all-or-nothing, so a [remove old, add new]
+    pair is the zero-downtime blue/green swap:
+
+        update_aliases(reg, [
+            {"remove": {"alias": "live", "index": old_root}},
+            {"add": {"alias": "live", "index": new_root}},
+        ])
+
+    ``remove`` with a non-matching index raises (alias points elsewhere
+    — the remove would not have matched, same as OpenSearch's 404).
+    Returns the new mapping."""
+    import json
+    import os
+    import tempfile
+
+    aliases = read_aliases(registry_path)
+    for action in actions:
+        (verb, body), = action.items()
+        alias, index = body["alias"], body.get("index")
+        if verb == "add":
+            aliases[alias] = index
+        elif verb == "remove":
+            if alias not in aliases:
+                raise KeyError(f"alias not found: {alias!r}")
+            if index is not None and aliases[alias] != index:
+                raise ValueError(
+                    f"alias {alias!r} points at {aliases[alias]!r}, "
+                    f"not {index!r}")
+            del aliases[alias]
+        else:
+            raise ValueError(f"unknown alias action: {verb!r}")
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(registry_path) or ".",
+                               suffix=".aliases")
+    with os.fdopen(fd, "w", encoding="utf-8") as fh:
+        json.dump(aliases, fh, indent=1, sort_keys=True)
+    os.replace(tmp, registry_path)
+    return aliases
+
+
+def resolve_alias(registry_path: str, name: str) -> str:
+    """Index root for ``name``: an alias if registered, else the name
+    itself (OpenSearch resolves concrete index names the same way)."""
+    return read_aliases(registry_path).get(name, name)

@@ -1230,3 +1230,311 @@ def test_percolate_doc_filter(spark, index_dir, corpus):
             if d % 2 == 0}
     assert set(got["doc_id"].astype(int)) == want
     assert want, "fixture must keep some even-doc matches"
+
+
+def test_span_near_unordered_window(spark, index_dir, corpus):
+    """span_near in_order=false: tf counts anchor occurrences of the
+    first clause term with every other term within ±(slop + n − 1);
+    order does not matter (the query reverses the corpus phrase)."""
+    from pdf_to_opensearch_spark.boolquery import span_near_search
+    from pdf_to_opensearch_spark.oracle import idf as idf_fn
+
+    query, slop = "merge posting", 2  # "posting merge" lives in the corpus
+    terms = tokenize_text(query)
+    win = slop + len(terms) - 1
+    got = (span_near_search(spark, index_dir, [(1, query)], slop=slop,
+                            k=1 << 20)
+           .toPandas().set_index("doc_id")["score"])
+    texts = (spark.read.parquet(f"{index_dir}/docs")
+             .selectExpr("doc_id", "text").toPandas()
+             .set_index("doc_id")["text"])
+    toks = {d: tokenize_text(t) for d, t in texts.items()}
+    dls = {d: len(t) for d, t in toks.items()}
+    avgdl = sum(dls.values()) / len(dls)
+    idf = sum(
+        float(idf_fn(len(toks),
+                     np.array([sum(1 for t in toks.values()
+                                   if w in t)]))[0])
+        for w in terms)
+    want = {}
+    backwards_only = 0
+    for d, t in toks.items():
+        pos = {w: [i for i, x in enumerate(t) if x == w]
+               for w in set(terms)}
+        anchors = [p for p in pos.get(terms[0], [])
+                   if all(any(abs(q - p) <= win for q in pos.get(w, []))
+                          for w in terms[1:])]
+        tf = len(anchors)
+        if tf:
+            want[d] = round(idf * tf * 2.2
+                            / (tf + 1.2 * (1 - 0.75 + 0.75
+                                           * dls[d] / avgdl)), 4)
+            # at least one match must rely on the UNORDERED window
+            # (second term strictly before the anchor)
+            if anchors and all(
+                    not any(p < q <= p + win for q in pos[terms[1]])
+                    for p in anchors):
+                backwards_only += 1
+    assert dict(got) == want
+    assert want, "fixture must produce span_near hits"
+    assert backwards_only, "fixture must exercise the unordered case"
+
+
+@pytest.fixture(scope="module")
+def rich_index_dir(spark, tmp_path_factory):
+    """Index whose docs table carries source + a multi-year warc_ts
+    (the agg surfaces read facet columns from the stored docs table)."""
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path_factory.mktemp("richindex"))
+    pages = make_pages(spark, n_docs=250, seed=7, partitions=4)
+    docs = (extract_docs(pages)
+            .withColumn("source",
+                        F.concat(F.lit("s"), (F.crc32("url") % 4)
+                                 .cast("string")))
+            .withColumn("warc_ts", F.expr(
+                "timestamp'2025-01-01 00:00:00' + make_interval("
+                "0, 0, 0, CAST(crc32(url) % 400 AS INT), 0, 0, 0)")))
+    build_index(spark, docs, root, num_ranges=4, n_buckets=8,
+                id_partitions=4)
+    return root
+
+
+def _hit_docs(spark, index_dir, query):
+    """Brute ANY-term hit set + the stored docs table as pandas."""
+    docs = (spark.read.parquet(f"{index_dir}/docs").toPandas()
+            .set_index("doc_id").sort_index())
+    terms = set(tokenize_text(query))
+    hits = [d for d, text in docs["text"].items()
+            if terms & set(tokenize_text(text))]
+    return docs, hits
+
+
+def test_rare_terms_long_tail(spark, rich_index_dir):
+    """rare_terms: only buckets with doc_count ≤ max_doc_count survive,
+    rarest first."""
+    from pdf_to_opensearch_spark.boolquery import search_rare_terms
+
+    query = "spark document"
+    docs, hits = _hit_docs(spark, rich_index_dir, query)
+    counts: dict[str, int] = {}
+    for d in hits:
+        v = str(docs.loc[d, "source"])
+        counts[v] = counts.get(v, 0) + 1
+    thr = min(counts.values())
+    got = search_rare_terms(spark, rich_index_dir, [(1, query)],
+                            facet_col="source",
+                            max_doc_count=thr).toPandas()
+    want = sorted(((c, v) for v, c in counts.items() if c <= thr))
+    assert [(r.doc_count, r.facet_value)
+            for r in got.itertuples()] == want
+    assert len(want) < len(counts), "threshold must exclude buckets"
+
+
+def test_multi_terms_tuple_buckets(spark, rich_index_dir):
+    """multi_terms: buckets keyed by the (lang, source) tuple."""
+    from pdf_to_opensearch_spark.boolquery import search_multi_terms
+
+    query = "spark document"
+    docs, hits = _hit_docs(spark, rich_index_dir, query)
+    counts: dict[tuple, int] = {}
+    for d in hits:
+        k = (str(docs.loc[d, "lang"]), str(docs.loc[d, "source"]))
+        counts[k] = counts.get(k, 0) + 1
+    n = 5
+    want = sorted(counts.items(),
+                  key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))[:n]
+    got = (search_multi_terms(spark, rich_index_dir, [(1, query)],
+                              cols=("lang", "source"), n=n)
+           .toPandas().sort_values("rank", ignore_index=True))
+    assert [((r.key1, r.key2), r.doc_count)
+            for r in got.itertuples()] == want
+
+
+def test_auto_date_histogram_ladder(spark, rich_index_dir):
+    """auto_date_histogram: finest calendar interval with ≤ target
+    non-empty buckets; buckets re-aggregate exactly."""
+    import pandas as pd
+
+    from pdf_to_opensearch_spark.boolquery import (
+        _AUTO_DH_LADDER,
+        search_auto_date_histogram,
+    )
+
+    query, target = "spark document", 10
+    docs, hits = _hit_docs(spark, rich_index_dir, query)
+    ts = pd.to_datetime(docs.loc[hits, "warc_ts"])
+    trunc = {
+        "day": ts.dt.floor("D"),
+        "week": ts.dt.to_period("W-SUN").dt.start_time,  # ISO Monday
+        "month": ts.dt.to_period("M").dt.start_time,
+        "quarter": ts.dt.to_period("Q").dt.start_time,
+        "year": ts.dt.to_period("Y").dt.start_time,
+    }
+    lvl = "year"
+    for cand in _AUTO_DH_LADDER:
+        if trunc[cand].nunique() <= target:
+            lvl = cand
+            break
+    want = trunc[lvl].value_counts().sort_index()
+    got = (search_auto_date_histogram(spark, rich_index_dir, [(1, query)],
+                                      target_buckets=target)
+           .toPandas().sort_values("bucket_start", ignore_index=True))
+    assert set(got["interval"]) == {lvl}
+    assert list(pd.to_datetime(got["bucket_start"])) == list(want.index)
+    assert list(got["doc_count"]) == list(want.values)
+    assert lvl != "day", "fixture must exercise the coarsening ladder"
+
+
+def test_scroll_export_slices_and_pages(spark, index_dir, corpus):
+    """Sliced scroll: slice = doc_id % n, per-slice rounded-score pages;
+    the union of all slices is exactly the full hit set."""
+    from pdf_to_opensearch_spark.boolquery import scroll_export
+    from pdf_to_opensearch_spark.query import search
+
+    query, n_slices, page_size = "spark document", 3, 5
+    got = scroll_export(spark, index_dir, [(1, query)],
+                        n_slices=n_slices,
+                        page_size=page_size).toPandas()
+    full = search(spark, index_dir, [(1, query)], k=1 << 20).toPandas()
+    assert set(got.doc_id) == set(full.doc_id)  # exports EVERY hit
+    assert set(got.slice_id) == set(got.doc_id % n_slices)
+    scores = full.set_index("doc_id")["score"].round(4)
+    for sl, grp in got.groupby("slice_id"):
+        grp = grp.sort_values(["page", "seq"], ignore_index=True)
+        want = sorted(grp.doc_id, key=lambda d: (-scores[d], d))
+        assert list(grp.doc_id) == want  # per-slice score order
+        assert list(grp.seq) == [i % page_size for i in range(len(grp))]
+        assert list(grp.page) == [i // page_size for i in range(len(grp))]
+    assert got.page.max() > 0, "fixture must span multiple pages"
+
+
+def test_reindex_alias_swap(spark, index_dir, tmp_path):
+    """_reindex + _aliases: the filtered rebuild reassigns doc_ids in
+    url order; the alias swap is atomic and remove validates the
+    current target."""
+    import pytest as _pytest
+
+    from pdf_to_opensearch_spark.maintenance import (
+        reindex,
+        resolve_alias,
+        update_aliases,
+    )
+    from pdf_to_opensearch_spark.query import search
+
+    dst = str(tmp_path / "reidx")
+    reindex(spark, index_dir, dst, where="lang = 'en'",
+            transform={"lang": "upper(lang)"},
+            num_ranges=2, n_buckets=4, id_partitions=2)
+    old = (spark.read.parquet(f"{index_dir}/docs")
+           .filter("lang = 'en'").orderBy("url")
+           .select("url").toPandas())
+    new = (spark.read.parquet(f"{dst}/docs")
+           .orderBy("doc_id").select("url", "lang").toPandas())
+    assert list(new.url) == list(old.url)  # url order == new doc_id order
+    assert set(new.lang) == {"EN"}  # transform applied
+    reg = str(tmp_path / "aliases.json")
+    update_aliases(reg, [{"add": {"alias": "live", "index": index_dir}}])
+    assert resolve_alias(reg, "live") == index_dir
+    # blue/green swap in ONE atomic action list
+    update_aliases(reg, [
+        {"remove": {"alias": "live", "index": index_dir}},
+        {"add": {"alias": "live", "index": dst}},
+    ])
+    assert resolve_alias(reg, "live") == dst
+    assert resolve_alias(reg, dst) == dst  # concrete names resolve as-is
+    with _pytest.raises(ValueError):
+        update_aliases(reg, [
+            {"remove": {"alias": "live", "index": index_dir}}])
+    # the swapped alias actually serves
+    hits = search(spark, resolve_alias(reg, "live"), [(1, "spark")],
+                  k=5).toPandas()
+    assert len(hits) > 0
+
+
+def test_rank_feature_additive_saturation(spark, index_dir, corpus):
+    """rank_feature: BM25 + boost·f/(f+pivot) — additive and bounded by
+    boost (unlike function_score's multiply)."""
+    from pdf_to_opensearch_spark.boolquery import rank_feature_search
+    from pdf_to_opensearch_spark.query import search
+
+    query, pivot, boost = "spark document", 200.0, 3.0
+    base = (search(spark, index_dir, [(1, query)], k=1 << 20)
+            .toPandas().set_index("doc_id")["score"].round(4))
+    texts = (spark.read.parquet(f"{index_dir}/docs")
+             .selectExpr("doc_id", "length(text) AS f").toPandas()
+             .set_index("doc_id")["f"])
+    want = {}
+    for d, s in base.items():
+        f = float(texts[d])
+        want[d] = round(s + boost * f / (f + pivot), 4)
+    got = (rank_feature_search(spark, index_dir, [(1, query)],
+                               feature_expr="length(text)",
+                               pivot=pivot, boost=boost, k=1 << 20)
+           .toPandas().set_index("doc_id")["score"])
+    assert dict(got) == want
+    # the feature contribution is bounded by boost (saturation < 1)
+    assert (got - base[got.index]).max() <= boost + 1e-9
+
+
+def test_phrase_suggest_bigram_rescoring(spark, index_dir, corpus):
+    """phrase suggester: per-position candidates, Laplace bigram path
+    scores — brute-recomputed from the raw token streams."""
+    import itertools
+    import math
+
+    from pdf_to_opensearch_spark.boolquery import (
+        build_bigram_table,
+        phrase_suggest,
+    )
+
+    build_bigram_table(spark, index_dir)
+    text, me, mc, size = "postng merge", 2, 3, 3
+    got = phrase_suggest(spark, index_dir, text, size=size,
+                         max_edits=me, max_candidates=mc).toPandas()
+    texts = (spark.read.parquet(f"{index_dir}/docs")
+             .selectExpr("doc_id", "text").toPandas())
+    streams = [tokenize_text(t) for t in texts["text"]]
+    cf: dict[str, int] = {}
+    df: dict[str, int] = {}
+    bg: dict[tuple, int] = {}
+    for st in streams:
+        for w in st:
+            cf[w] = cf.get(w, 0) + 1
+        for w in set(st):
+            df[w] = df.get(w, 0) + 1
+        for a, b in zip(st, st[1:]):
+            bg[(a, b)] = bg.get((a, b), 0) + 1
+    v_size, t_tokens = len(cf), sum(cf.values())
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    cands = []
+    for tok in tokenize_text(text):
+        pool = []
+        for term in cf:
+            d = lev(term, tok)
+            if d <= me:
+                sim = round(1.0 - d / min(len(tok), len(term)), 4)
+                pool.append((-sim, -df[term], term))
+        pool.sort()
+        cands.append([t for _s, _d, t in pool[:mc]])
+    want = []
+    for combo in itertools.product(*cands):
+        s = math.log((cf[combo[0]] + 1) / (t_tokens + v_size))
+        for a, b in zip(combo, combo[1:]):
+            s += math.log((bg.get((a, b), 0) + 1) / (cf[a] + v_size))
+        want.append((" ".join(combo), round(s, 4)))
+    want.sort(key=lambda ps: (-ps[1], ps[0]))
+    assert [(r.suggestion, r.score) for r in got.itertuples()] == \
+        want[:size]
+    # the top correction is the in-corpus phrase, not the raw input
+    assert got.suggestion.iloc[0].split()[0] != "postng"
