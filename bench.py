@@ -615,6 +615,33 @@ def _windowed_scaling(run_fn, corpus: str, base_reps: int,
             c_lo = reg(lambda: _pool_control(corpus, SCALE_LO))
             s_hi, k_hi = reg(lambda: run_fn(SCALE_HI))
             c_hi = reg(lambda: _pool_control(corpus, SCALE_HI))
+        # ---- control re-measure (round 5c, INSTRUMENT repair): the
+        # control exists to characterize the machine, and a steal burst
+        # landing inside one control region can push the window's
+        # ctrl_eff outside the sane band while every Spark-region
+        # instrument is green — run10's w2: spark_eff 0.9026, screened
+        # out solely for ctrl_eff 1.0852 (its ctrl_lo caught a burst,
+        # making the CONTROL look super-linear). When that happens and
+        # the wall allows, re-measure the two CONTROL regions once and
+        # keep the min per level — the same only-ever-inflates/min-is-
+        # cleanest estimator the whole protocol is built on. The Spark
+        # measurements are never touched, and the repair fires in BOTH
+        # out-of-band directions (a too-fast ctrl_hi raising the
+        # envelope is repaired the same as a too-fast ctrl_lo lowering
+        # it), so it cannot bias the envelope — it only restores a
+        # window the screen would otherwise discard on a corrupted
+        # instrument reading.
+        ctrl_remeasures = 0
+        w_ctrl0 = (c_lo / c_hi) / ratio
+        if ((w_ctrl0 < CTRL_BAND[0] or w_ctrl0 > CTRL_BAND[1])
+                and _GATE_TIMEOUTS[0] - gt0 == 0 and post_fails == 0
+                and time.monotonic() + c_hi + c_lo + RETRY_WAIT_S
+                < region_dl):
+            _wait_calm(min(region_dl,
+                           time.monotonic() + RETRY_WAIT_S))
+            c_hi = min(c_hi, reg(lambda: _pool_control(corpus, SCALE_HI)))
+            c_lo = min(c_lo, reg(lambda: _pool_control(corpus, SCALE_LO)))
+            ctrl_remeasures = 1
         times[SCALE_HI].append(s_hi)
         times[SCALE_LO].append(s_lo)
         ktimes[SCALE_HI].append(k_hi)
@@ -642,6 +669,10 @@ def _windowed_scaling(run_fn, corpus: str, base_reps: int,
             # regions rerun after a failed post-probe (kept attempt is
             # the instrument-clean one; see _region_retry)
             "retries": retries,
+            # 1 ⇒ the window's CONTROL pair landed outside CTRL_BAND
+            # with all Spark-region instruments green, so the control
+            # regions were re-measured once (min per level kept)
+            "ctrl_remeasures": ctrl_remeasures,
         })
         print(f"[bench] {tag} window {pair}: {windows[-1]}",
               file=sys.stderr, flush=True)
