@@ -6216,3 +6216,617 @@ def oracle_sql():  # noqa: F811
         "percolate_matches": _percolate_oracle_sql(),
     })
     return _reorder(out)
+
+
+# ------------------------------------------ round-5d widening (aggs II +
+# query family: the remaining OpenSearch search-body surfaces)
+
+PCTRANK_VALUES = (250.0, 500.0)
+TOPM_SIZE = 3
+DATE_RANGE_BOUNDS = ("2025-02-01", "2025-03-01")
+TV_DOC_IDS = [3, 17, 42]
+DF_ORIGIN = "2025-02-15 00:00:00"
+DF_PIVOT_S = 7 * 86400.0
+DF_BOOST = 2.0
+PINNED_IDS = {1: [42, 7], 2: [5], 3: [13, 2]}
+SPAN_NOT_DIST = 2
+SYNONYMS = {"join": ["merge"], "filter": ["window"],
+            "customer": ["supplier"]}
+NAMED_CLAUSES: dict[int, dict[str, str]] = {
+    1: {"lexical": "spark join", "extra": "filter"},
+    2: {"who": "customer", "pace": "the slow"},
+}
+
+
+def _percentile_ranks_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentile_ranks aggregation (exact ECDF): % of hit-set
+    length(text) values ≤ each given value —
+    boolquery.search_percentile_ranks."""
+    _ensure_pkg(spark)
+    from pdf_to_opensearch_spark.boolquery import search_percentile_ranks
+
+    out = _ensure_engine_index(spark, sf_dir)
+    return search_percentile_ranks(spark, out, list(BM25_QUERIES.items()),
+                                   value_expr="length(text)",
+                                   values=PCTRANK_VALUES)
+
+
+def _percentile_ranks_oracle_sql() -> str:
+    vals = ", ".join(f"({v!r})" for v in PCTRANK_VALUES)
+    return f"""{_matches_cte()}
+SELECT m.query_id, v.value, round(
+         100.0 * count(*) FILTER (WHERE length(d.text) <= v.value)
+         / count(*), 4) AS percent
+FROM matches m JOIN docs0 d USING (doc_id)
+CROSS JOIN (VALUES {vals}) v(value)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def _boxplot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """boxplot aggregation: min/q1/q2/q3/max of length(text) over the
+    hit set (exact interpolated quartiles) — boolquery.search_boxplot."""
+    _ensure_pkg(spark)
+    from pdf_to_opensearch_spark.boolquery import search_boxplot
+
+    out = _ensure_engine_index(spark, sf_dir)
+    return search_boxplot(spark, out, list(BM25_QUERIES.items()),
+                          value_expr="length(text)")
+
+
+def _boxplot_oracle_sql() -> str:
+    return f"""{_matches_cte()}
+SELECT m.query_id,
+       round(min(length(d.text))::DOUBLE, 4) AS vmin,
+       round(quantile_cont(length(d.text)::DOUBLE, 0.25), 4) AS q1,
+       round(quantile_cont(length(d.text)::DOUBLE, 0.5), 4) AS q2,
+       round(quantile_cont(length(d.text)::DOUBLE, 0.75), 4) AS q3,
+       round(max(length(d.text))::DOUBLE, 4) AS vmax
+FROM matches m JOIN docs0 d USING (doc_id)
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def _mad_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """median_absolute_deviation aggregation (exact):
+    median(|x − median(x)|) of length(text) — boolquery.search_mad."""
+    _ensure_pkg(spark)
+    from pdf_to_opensearch_spark.boolquery import search_mad
+
+    out = _ensure_engine_index(spark, sf_dir)
+    return search_mad(spark, out, list(BM25_QUERIES.items()),
+                      value_expr="length(text)")
+
+
+def _mad_oracle_sql() -> str:
+    return f"""{_matches_cte()},
+vals AS (
+  SELECT m.query_id, length(d.text)::DOUBLE AS v
+  FROM matches m JOIN docs0 d USING (doc_id)
+),
+med AS (SELECT query_id, quantile_cont(v, 0.5) AS med
+        FROM vals GROUP BY 1)
+SELECT v.query_id,
+       round(quantile_cont(abs(v.v - med.med), 0.5), 4) AS mad
+FROM vals v JOIN med USING (query_id)
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def _string_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """string_stats aggregation: doc count, char-length min/max/avg,
+    Shannon entropy (log2) of the analyzer token distribution —
+    boolquery.search_string_stats."""
+    _ensure_pkg(spark)
+    from pdf_to_opensearch_spark.boolquery import search_string_stats
+
+    out = _ensure_engine_index(spark, sf_dir)
+    return search_string_stats(spark, out, list(BM25_QUERIES.items()))
+
+
+def _string_stats_oracle_sql() -> str:
+    return f"""{_matches_cte()},
+hits AS (
+  SELECT m.query_id, d.doc_id, d.text
+  FROM matches m JOIN docs0 d USING (doc_id)
+),
+lens AS (
+  SELECT query_id, count(*)::BIGINT AS doc_count,
+         min(length(text))::BIGINT AS min_len,
+         max(length(text))::BIGINT AS max_len,
+         round(avg(length(text)), 4) AS avg_len
+  FROM hits GROUP BY 1
+),
+tc AS (
+  SELECT query_id, term, count(*)::DOUBLE AS c
+  FROM (SELECT query_id, unnest({_TOKS_SQL}) AS term FROM hits)
+  GROUP BY 1, 2
+),
+tot AS (SELECT query_id, sum(c) AS total FROM tc GROUP BY 1),
+ent AS (
+  SELECT tc.query_id,
+         round(-sum((c / total) * log2(c / total)), 4) AS entropy
+  FROM tc JOIN tot USING (query_id) GROUP BY 1
+)
+SELECT l.query_id, doc_count, min_len, max_len, avg_len, entropy
+FROM lens l JOIN ent USING (query_id) ORDER BY 1
+"""
+
+
+def _top_metrics_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """top_metrics aggregation: dl of the TOPM_SIZE hit docs with the
+    largest length(text) — boolquery.search_top_metrics."""
+    _ensure_pkg(spark)
+    from pdf_to_opensearch_spark.boolquery import search_top_metrics
+
+    out = _ensure_engine_index(spark, sf_dir)
+    return search_top_metrics(spark, out, list(BM25_QUERIES.items()),
+                              sort_expr="length(text)", metric_expr="dl",
+                              size=TOPM_SIZE)
+
+
+def _top_metrics_oracle_sql() -> str:
+    return f"""{_matches_cte()}
+SELECT query_id, rank, doc_id, sort_value, metric FROM (
+  SELECT m.query_id, d.doc_id,
+         length(d.text)::DOUBLE AS sort_value,
+         len({_TOKS_SQL.replace('text', 'd.text')})::DOUBLE AS metric,
+         row_number() OVER (
+             PARTITION BY m.query_id
+             ORDER BY length(d.text) DESC, d.doc_id)::INTEGER AS rank
+  FROM matches m JOIN docs0 d USING (doc_id)
+) WHERE rank <= {TOPM_SIZE} ORDER BY query_id, rank
+"""
+
+
+def _date_range_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """date_range aggregation: hit counts in the half-open crawl-ts
+    intervals (from incl, to excl) — boolquery.search_date_range."""
+    _ensure_pkg(spark)
+    from pdf_to_opensearch_spark.boolquery import search_date_range
+
+    out = _ensure_engine_index(spark, sf_dir)
+    return search_date_range(spark, out, list(BM25_QUERIES.items()),
+                             ts_col="warc_ts",
+                             boundaries=DATE_RANGE_BOUNDS)
+
+
+def _date_range_oracle_sql() -> str:
+    b0, b1 = DATE_RANGE_BOUNDS
+    return f"""{_matches_cte()},
+ts AS (SELECT doc_id, {_WARC_TS_SQL} AS ts FROM docs0)
+SELECT m.query_id,
+       CASE WHEN t.ts < TIMESTAMP '{b0}' THEN '*..{b0}'
+            WHEN t.ts < TIMESTAMP '{b1}' THEN '{b0}..{b1}'
+            ELSE '{b1}..*' END AS bucket,
+       count(*)::BIGINT AS doc_count
+FROM matches m JOIN ts t USING (doc_id)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def _t_test_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t_test aggregation (paired): Student's t on per-doc
+    length(text) − dl over the hit set — boolquery.search_t_test."""
+    _ensure_pkg(spark)
+    from pdf_to_opensearch_spark.boolquery import search_t_test
+
+    out = _ensure_engine_index(spark, sf_dir)
+    return search_t_test(spark, out, list(BM25_QUERIES.items()),
+                         a_expr="length(text)", b_expr="dl")
+
+
+def _t_test_oracle_sql() -> str:
+    return f"""{_matches_cte()},
+diffs AS (
+  SELECT m.query_id,
+         length(d.text)::DOUBLE - len({_TOKS_SQL.replace('text', 'd.text')}
+         )::DOUBLE AS dd
+  FROM matches m JOIN docs0 d USING (doc_id)
+)
+SELECT query_id,
+       round(avg(dd) / (stddev_samp(dd) / sqrt(count(*))), 4) AS t_value,
+       count(*)::BIGINT AS n
+FROM diffs GROUP BY 1 ORDER BY 1
+"""
+
+
+def _termvectors_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """_termvectors with term_statistics: per requested doc every
+    analyzer term with tf plus corpus df/ttf — boolquery.termvectors."""
+    _ensure_pkg(spark)
+    from pdf_to_opensearch_spark.boolquery import termvectors
+
+    out = _ensure_engine_index(spark, sf_dir)
+    res = termvectors(spark, out, TV_DOC_IDS)
+    return res.select("doc_id", "term",
+                      F.col("tf").cast("long").alias("tf"),
+                      F.col("df").cast("long").alias("df"),
+                      F.col("ttf").cast("long").alias("ttf"))
+
+
+def _termvectors_oracle_sql() -> str:
+    ids = ", ".join(str(i) for i in TV_DOC_IDS)
+    return f"""
+WITH docs0 AS (SELECT * FROM documents),
+toks AS (SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM docs0),
+tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks
+  WHERE doc_id IN ({ids}) GROUP BY 1, 2
+),
+cstats AS (
+  SELECT term, count(DISTINCT doc_id)::BIGINT AS df,
+         count(*)::BIGINT AS ttf
+  FROM toks GROUP BY 1
+)
+SELECT t.doc_id, t.term, t.tf, s.df, s.ttf
+FROM tf t JOIN cstats s USING (term)
+ORDER BY 1, 2
+"""
+
+
+def _distance_feature_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """distance_feature (date form) in a bool should: BM25 +
+    boost·pivot/(pivot + |warc_ts − origin|), the recency boost —
+    boolquery.distance_feature_search."""
+    _ensure_pkg(spark)
+    from pdf_to_opensearch_spark.boolquery import distance_feature_search
+
+    out = _ensure_engine_index(spark, sf_dir)
+    return distance_feature_search(spark, out, list(BM25_QUERIES.items()),
+                                   origin=DF_ORIGIN, ts_col="warc_ts",
+                                   pivot_seconds=DF_PIVOT_S,
+                                   boost=DF_BOOST, k=BM25_K)
+
+
+def _distance_feature_oracle_sql() -> str:
+    bonus = (f"{DF_BOOST} * {DF_PIVOT_S} / ({DF_PIVOT_S}"
+             f" + abs(epoch(({_WARC_TS_SQL}))"
+             f" - epoch(TIMESTAMP '{DF_ORIGIN}')))")
+    return f"""{_matches_cte()},
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, len({_TOKS_SQL})::DOUBLE AS dl FROM docs0),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+dfreq AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tf
+  WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY 1
+),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         round(sum( ln(1.0 + (s.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                    * tf.tf * 2.2
+                    / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) ),
+               4) AS score
+  FROM tf
+  JOIN q USING (term) JOIN dfreq USING (term) JOIN dl USING (doc_id)
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+)
+SELECT query_id, rank, doc_id, score FROM (
+  SELECT sc.query_id, sc.doc_id,
+         round(sc.score + {bonus}, 4) AS score,
+         row_number() OVER (
+             PARTITION BY sc.query_id
+             ORDER BY round(sc.score + {bonus}, 4) DESC,
+                      sc.doc_id)::INTEGER AS rank
+  FROM scores sc JOIN docs0 d USING (doc_id)
+) WHERE rank <= {BM25_K}
+"""
+
+
+def _pinned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pinned query: the listed ids occupy the top ranks in list order
+    (sentinel scores PINNED_BASE − i), organic BM25 follows —
+    boolquery.pinned_search."""
+    _ensure_pkg(spark)
+    from pdf_to_opensearch_spark.boolquery import pinned_search
+
+    out = _ensure_engine_index(spark, sf_dir)
+    return pinned_search(spark, out, list(BM25_QUERIES.items()),
+                         pinned=PINNED_IDS, k=BM25_K)
+
+
+def _pinned_oracle_sql() -> str:
+    PINNED_BASE = 1_000_000_000.0  # boolquery.PINNED_BASE twin (no
+    # package import here: oracle_sql() must stay importable driver-side)
+    pin_vals = ", ".join(
+        f"({qid}, {d}, {PINNED_BASE - i!r})"
+        for qid, ids in sorted(PINNED_IDS.items())
+        for i, d in enumerate(ids))
+    return f"""
+WITH docs0 AS (SELECT * FROM documents),
+q(query_id, term) AS (VALUES {_qvals(BM25_QUERIES)}),
+{_BM25_CORE_SQL},
+pins(query_id, doc_id, score) AS (VALUES {pin_vals}),
+organic AS (
+  SELECT s.* FROM scores s
+  WHERE NOT EXISTS (SELECT 1 FROM pins p
+                    WHERE p.query_id = s.query_id
+                      AND p.doc_id = s.doc_id)
+),
+allrows AS (
+  SELECT * FROM organic UNION ALL
+  SELECT query_id, doc_id::BIGINT, score FROM pins
+)
+SELECT query_id, rank, doc_id, score FROM (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id)::INTEGER AS rank,
+         doc_id, score
+  FROM allrows
+) WHERE rank <= {BM25_K}
+"""
+
+
+SPAN_NOT_QUERIES: dict[int, str] = {
+    1: "join customer",
+    2: "hash table",
+    3: "group merge",
+}
+
+
+def _span_not_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """span_not (pre=post=SPAN_NOT_DIST): include-term occurrences with
+    no exclude term within ±dist — boolquery.span_not_search."""
+    _ensure_pkg(spark)
+    from pdf_to_opensearch_spark.boolquery import span_not_search
+
+    out = _ensure_engine_index(spark, sf_dir)
+    return span_not_search(spark, out, list(SPAN_NOT_QUERIES.items()),
+                           dist=SPAN_NOT_DIST, k=BM25_K)
+
+
+def _span_not_oracle_sql() -> str:
+    """span_not oracle: tf = include positions with NO exclude term in
+    the ±dist window (negated list_filter), idf = include idf only."""
+    parts, idf_parts = [], []
+    for qid, q in sorted(SPAN_NOT_QUERIES.items()):
+        toks = q.split()
+        inc, excludes = toks[0], toks[1:]
+        far = "\n                  AND ".join(
+            f"""len(list_filter(range(greatest(1, i - {SPAN_NOT_DIST}),
+                        least(len(t), i + {SPAN_NOT_DIST}) + 1),
+                        j -> t[j] = '{ex}')) = 0"""
+            for ex in excludes)
+        parts.append(f"""
+  SELECT {qid} AS query_id, doc_id, len(t)::DOUBLE AS dl,
+         len(list_filter(range(1, len(t) + 1),
+             i -> t[i] = '{inc}'
+                  AND {far}))::DOUBLE AS tf
+  FROM toks""")
+        idf_parts.append(f"""  SELECT {qid} AS query_id,
+         (SELECT ln(1.0 + (s.n - df + 0.5) / (df + 0.5))
+          FROM term_df CROSS JOIN stats s WHERE term = '{inc}') AS idf""")
+    body = "\n  UNION ALL\n".join(parts)
+    idf_body = "\n  UNION ALL\n".join(idf_parts)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+),
+stats AS (
+  SELECT count(*)::DOUBLE AS n, avg(len(t))::DOUBLE AS avgdl FROM toks
+),
+term_df AS (
+  SELECT term, count(DISTINCT doc_id)::DOUBLE AS df
+  FROM (SELECT doc_id, unnest(t) AS term FROM toks) GROUP BY 1
+),
+pf AS ({body}),
+idfs AS ({idf_body}),
+scores AS (
+  SELECT p.query_id, p.doc_id,
+         round(i.idf * p.tf * 2.2
+               / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * p.dl / s.avgdl)),
+               4) AS score
+  FROM pf p JOIN idfs i USING (query_id) CROSS JOIN stats s
+  WHERE p.tf >= 1
+)
+SELECT query_id, rank, doc_id, score FROM (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id)::INTEGER AS rank,
+         doc_id, score
+  FROM scores
+) WHERE rank <= {BM25_K}
+"""
+
+
+def _synonym_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """query-time synonym expansion (SynonymQuery semantics: per group
+    tf = Σ member tfs, df = max member df) —
+    boolquery.synonym_search."""
+    _ensure_pkg(spark)
+    from pdf_to_opensearch_spark.boolquery import synonym_search
+
+    out = _ensure_engine_index(spark, sf_dir)
+    return synonym_search(spark, out, list(BM25_QUERIES.items()),
+                          synonyms=SYNONYMS, k=BM25_K)
+
+
+def _synonym_oracle_sql() -> str:
+    """SynonymQuery oracle: group tables (query_id, gid, term) from the
+    same expansion; tf summed within group per doc, df = max over the
+    group's corpus-present members."""
+    g_vals = []
+    for qid, q in sorted(BM25_QUERIES.items()):
+        for gid, t in enumerate(q.split()):
+            for m in sorted({t, *SYNONYMS.get(t, [])}):
+                g_vals.append(f"({qid}, {gid}, '{m}')")
+    groups = ", ".join(g_vals)
+    return f"""
+WITH docs0 AS (SELECT * FROM documents),
+toks AS (
+  SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM docs0
+),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, len({_TOKS_SQL})::DOUBLE AS dl FROM docs0),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+g(query_id, gid, term) AS (VALUES {groups}),
+term_df AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tf
+  WHERE term IN (SELECT DISTINCT term FROM g) GROUP BY 1
+),
+gdf AS (
+  SELECT g.query_id, g.gid, max(td.df) AS df
+  FROM g JOIN term_df td USING (term) GROUP BY 1, 2
+),
+gtf AS (
+  SELECT g.query_id, g.gid, tf.doc_id, sum(tf.tf) AS tf
+  FROM g JOIN tf USING (term) GROUP BY 1, 2, 3
+),
+scores AS (
+  SELECT gtf.query_id, gtf.doc_id,
+         round(sum( ln(1.0 + (s.n - gdf.df + 0.5) / (gdf.df + 0.5))
+                    * gtf.tf * 2.2
+                    / (gtf.tf + 1.2 * (1.0 - 0.75
+                                       + 0.75 * dl.dl / s.avgdl)) ),
+               4) AS score
+  FROM gtf
+  JOIN gdf USING (query_id, gid) JOIN dl USING (doc_id)
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+)
+SELECT query_id, rank, doc_id, score FROM (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id)::INTEGER AS rank,
+         doc_id, score
+  FROM scores
+) WHERE rank <= {BM25_K}
+"""
+
+
+def _matched_queries_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """named should clauses + matched_queries annotation: score = Σ
+    per-clause BM25, matched = sorted clause names that hit —
+    boolquery.named_bool_search."""
+    _ensure_pkg(spark)
+    from pdf_to_opensearch_spark.boolquery import named_bool_search
+
+    out = _ensure_engine_index(spark, sf_dir)
+    return named_bool_search(spark, out,
+                             [(qid, dict(cl)) for qid, cl
+                              in sorted(NAMED_CLAUSES.items())],
+                             k=BM25_K)
+
+
+def _matched_queries_oracle_sql() -> str:
+    sub_terms, name_vals = [], []
+    width = max(len(cl) for cl in NAMED_CLAUSES.values())
+    for qi, (qid, clauses) in enumerate(sorted(NAMED_CLAUSES.items())):
+        for ci, (name, text) in enumerate(sorted(clauses.items())):
+            sid = qi * width + ci
+            name_vals.append(f"({sid}, {qid}, '{name}')")
+            for t in sorted(set(text.split())):
+                sub_terms.append(f"({sid}, '{t}')")
+    return f"""
+WITH docs0 AS (SELECT * FROM documents),
+toks AS (
+  SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM docs0
+),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, len({_TOKS_SQL})::DOUBLE AS dl FROM docs0),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+q(sub_id, term) AS (VALUES {", ".join(sub_terms)}),
+names(sub_id, query_id, name) AS (VALUES {", ".join(name_vals)}),
+dfreq AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tf
+  WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY 1
+),
+cl_scores AS (
+  SELECT q.sub_id, tf.doc_id,
+         round(sum( ln(1.0 + (s.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                    * tf.tf * 2.2
+                    / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) ),
+               4) AS score
+  FROM tf
+  JOIN q USING (term) JOIN dfreq USING (term) JOIN dl USING (doc_id)
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+agg AS (
+  SELECT n.query_id, c.doc_id, round(sum(c.score), 4) AS score,
+         string_agg(n.name, ',' ORDER BY n.name) AS matched
+  FROM cl_scores c JOIN names n USING (sub_id)
+  GROUP BY 1, 2
+)
+SELECT query_id, rank, doc_id, score, matched FROM (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id)::INTEGER AS rank,
+         doc_id, score, matched
+  FROM agg
+) WHERE rank <= {BM25_K}
+"""
+
+
+def _split_requery(spark, sf_dir):
+    """_split/_shrink: re-shard the engine index 8 → 16 ranges from its
+    stored docs (maintenance.reindex at a different num_ranges /
+    id_partitions). doc_ids are PRESERVED BY CONSTRUCTION — dense rank
+    by url is partition-count-invariant (indexer.assign_doc_ids) — so
+    the oracle is the plain corpus BM25: a hash-green row here proves
+    rank identity across the resharding, the property that lets an
+    operator re-shard a live 10^12-doc index without invalidating any
+    stored doc reference."""
+    import shutil
+
+    from pdf_to_opensearch_spark.maintenance import reindex
+    from pdf_to_opensearch_spark.query import search
+
+    _ensure_pkg(spark)
+    src = _ensure_engine_index(spark, sf_dir)
+    dst = src + "_split16"
+    if dst not in _BUILT_INDEXES:
+        shutil.rmtree(dst, ignore_errors=True)
+        reindex(spark, src, dst, num_ranges=16, n_buckets=8,
+                id_partitions=16)
+        _BUILT_INDEXES.add(dst)
+    res = search(spark, dst, list(BM25_QUERIES.items()),
+                 k=BM25_K + _RERANK_MARGIN, prune=True)
+    return _rerank_rounded(res, BM25_K)
+
+
+_prev_queries_5d = queries
+_prev_oracles_5d = oracle_sql
+
+
+def queries():  # noqa: F811 — round-5d widening layer
+    out = dict(_prev_queries_5d())
+    out.update({
+        "percentile_ranks_agg": _percentile_ranks_agg,
+        "boxplot_agg": _boxplot_agg,
+        "mad_agg": _mad_agg,
+        "string_stats_agg": _string_stats_agg,
+        "top_metrics_agg": _top_metrics_agg,
+        "date_range_agg": _date_range_agg,
+        "t_test_agg": _t_test_agg,
+        "termvectors_api": _termvectors_api,
+        "distance_feature_topk": _distance_feature_topk,
+        "pinned_topk": _pinned_topk,
+        "span_not_topk": _span_not_topk,
+        "synonym_topk": _synonym_topk,
+        "matched_queries_topk": _matched_queries_topk,
+        "split_requery": _split_requery,
+    })
+    return _reorder(out)
+
+
+def oracle_sql():  # noqa: F811 — round-5d widening layer
+    out = dict(_prev_oracles_5d())
+    out.update({
+        "percentile_ranks_agg": _percentile_ranks_oracle_sql(),
+        "boxplot_agg": _boxplot_oracle_sql(),
+        "mad_agg": _mad_oracle_sql(),
+        "string_stats_agg": _string_stats_oracle_sql(),
+        "top_metrics_agg": _top_metrics_oracle_sql(),
+        "date_range_agg": _date_range_oracle_sql(),
+        "t_test_agg": _t_test_oracle_sql(),
+        "termvectors_api": _termvectors_oracle_sql(),
+        "distance_feature_topk": _distance_feature_oracle_sql(),
+        "pinned_topk": _pinned_oracle_sql(),
+        "span_not_topk": _span_not_oracle_sql(),
+        "synonym_topk": _synonym_oracle_sql(),
+        "matched_queries_topk": _matched_queries_oracle_sql(),
+        "split_requery": _bm25_oracle_sql(),
+    })
+    return out

@@ -2744,3 +2744,599 @@ def phrase_suggest(spark: SparkSession, index_dir: str, text: str,
     rows = [(text, p, s, i + 1) for i, (p, s) in
             enumerate(scored[:size])]
     return spark.createDataFrame(rows, out_schema)
+
+
+# --------------------------------------------- round-5d agg widening
+#
+# Second metric-aggregation sweep: percentile_ranks / boxplot /
+# median_absolute_deviation / string_stats / top_metrics / date_range /
+# t_test — the remaining numeric aggs of the OpenSearch search body the
+# reference's loader can attach to any match query
+# (opensearch_loader.py:386-408's query builder + aggs block). All run
+# over the shared :func:`_match_docs` hit set: one pruned postings scan,
+# one distributed join against the column-pruned docs table, one
+# map-side-combined aggregation — no collect, no extra shuffle beyond
+# the groupBy.
+
+
+def search_percentile_ranks(spark: SparkSession, index_dir: str,
+                            queries: list[tuple[int, str]],
+                            value_expr: str = "length(text)",
+                            values: tuple[float, ...] = (250.0, 500.0),
+                            ) -> DataFrame:
+    """The ``percentile_ranks`` aggregation, exact-ECDF contract: for
+    each given value x, the percentage of hit-set values ≤ x (the CDF
+    OpenSearch's TDigest estimates; exact here, like the percentiles
+    agg's quantile_cont twin). Rounded 4 dp.
+
+    Returns DataFrame(query_id, value, percent) ordered by value."""
+    paths = IndexPaths(index_dir)
+    stats = load_stats(spark, index_dir)
+    out_schema = "query_id int, value double, percent double"
+    matches = _match_docs(spark, paths, stats, queries)
+    if matches is None:
+        return spark.createDataFrame([], out_schema)
+    vals = (spark.read.parquet(paths.docs)
+            .select("doc_id", F.expr(value_expr).cast("double").alias("v")))
+    j = matches.join(vals, "doc_id")
+    aggs = []
+    for x in values:
+        aggs.append(F.round(
+            100.0 * F.sum(F.when(F.col("v") <= float(x), 1)
+                          .otherwise(0)) / F.count("*"), 4)
+            .alias(f"p_{len(aggs)}"))
+    wide = j.groupBy("query_id").agg(*aggs)
+    pairs = F.array(*[
+        F.struct(F.lit(float(x)).alias("value"),
+                 F.col(f"p_{i}").alias("percent"))
+        for i, x in enumerate(values)])
+    return (wide.select("query_id", F.explode(pairs).alias("e"))
+            .select("query_id", F.col("e.value").alias("value"),
+                    F.col("e.percent").alias("percent"))
+            .orderBy("query_id", "value"))
+
+
+def search_boxplot(spark: SparkSession, index_dir: str,
+                   queries: list[tuple[int, str]],
+                   value_expr: str = "length(text)") -> DataFrame:
+    """The ``boxplot`` aggregation: min / q1 / q2 / q3 / max of a
+    numeric expression over the hit set. Quartiles are the exact
+    linear-interpolation estimator (Spark ``percentile`` ≡ DuckDB
+    ``quantile_cont``, the value TDigest converges to); whiskers are
+    min/max (the OpenSearch default). Rounded 4 dp.
+
+    Returns DataFrame(query_id, vmin, q1, q2, q3, vmax)."""
+    paths = IndexPaths(index_dir)
+    stats = load_stats(spark, index_dir)
+    out_schema = ("query_id int, vmin double, q1 double, q2 double, "
+                  "q3 double, vmax double")
+    matches = _match_docs(spark, paths, stats, queries)
+    if matches is None:
+        return spark.createDataFrame([], out_schema)
+    vals = (spark.read.parquet(paths.docs)
+            .select("doc_id", F.expr(value_expr).cast("double").alias("v")))
+    return (matches.join(vals, "doc_id")
+            .groupBy("query_id")
+            .agg(F.round(F.min("v"), 4).alias("vmin"),
+                 F.round(F.expr("percentile(v, 0.25D)"), 4).alias("q1"),
+                 F.round(F.expr("percentile(v, 0.5D)"), 4).alias("q2"),
+                 F.round(F.expr("percentile(v, 0.75D)"), 4).alias("q3"),
+                 F.round(F.max("v"), 4).alias("vmax"))
+            .orderBy("query_id"))
+
+
+def search_mad(spark: SparkSession, index_dir: str,
+               queries: list[tuple[int, str]],
+               value_expr: str = "length(text)") -> DataFrame:
+    """The ``median_absolute_deviation`` aggregation, exact:
+    median(|x − median(x)|) with the interpolated median (the DuckDB
+    ``mad()`` twin; OpenSearch estimates the same statistic from its
+    TDigest sketch). Two distributed passes: median per query, then the
+    median of absolute deviations — both map-side-combined aggs over
+    the same joined frame. Rounded 4 dp.
+
+    Returns DataFrame(query_id, mad)."""
+    paths = IndexPaths(index_dir)
+    stats = load_stats(spark, index_dir)
+    out_schema = "query_id int, mad double"
+    matches = _match_docs(spark, paths, stats, queries)
+    if matches is None:
+        return spark.createDataFrame([], out_schema)
+    vals = (spark.read.parquet(paths.docs)
+            .select("doc_id", F.expr(value_expr).cast("double").alias("v")))
+    j = matches.join(vals, "doc_id")
+    med = (j.groupBy("query_id")
+           .agg(F.expr("percentile(v, 0.5D)").alias("med")))
+    return (j.join(med, "query_id")
+            .groupBy("query_id")
+            .agg(F.round(F.expr("percentile(abs(v - med), 0.5D)"), 4)
+                 .alias("mad"))
+            .orderBy("query_id"))
+
+
+def search_string_stats(spark: SparkSession, index_dir: str,
+                        queries: list[tuple[int, str]]) -> DataFrame:
+    """The ``string_stats`` aggregation over the text field of the hit
+    set: doc count, min/max/avg character length, and the Shannon
+    entropy (log₂) of the term distribution. OpenSearch computes its
+    ``show_distribution`` entropy over characters of the keyword bytes;
+    this engine's documented contract is the FROZEN ANALYZER's token
+    distribution — the same statistic family over the unit the index
+    actually stores, and exactly reproducible relationally. avg/entropy
+    rounded 4 dp.
+
+    Scale shape: lengths come from the column-pruned docs scan; the
+    token distribution re-analyzes hit docs through the Arrow tokenizer
+    (at full scale the per-term counts come from the index's tf stream
+    instead — same statistic, fewer bytes; the re-analyze keeps this
+    function index-layout-independent).
+
+    Returns DataFrame(query_id, doc_count, min_len, max_len, avg_len,
+    entropy)."""
+    from .analyzer import with_tokens
+
+    paths = IndexPaths(index_dir)
+    stats = load_stats(spark, index_dir)
+    out_schema = ("query_id int, doc_count long, min_len long, "
+                  "max_len long, avg_len double, entropy double")
+    matches = _match_docs(spark, paths, stats, queries)
+    if matches is None:
+        return spark.createDataFrame([], out_schema)
+    docs = spark.read.parquet(paths.docs).select("doc_id", "text")
+    hit_docs = matches.join(docs, "doc_id")
+    lens = (hit_docs.groupBy("query_id")
+            .agg(F.count("*").alias("doc_count"),
+                 F.min(F.length("text")).cast("long").alias("min_len"),
+                 F.max(F.length("text")).cast("long").alias("max_len"),
+                 F.round(F.avg(F.length("text")), 4).alias("avg_len")))
+    toks = (with_tokens(hit_docs.select("query_id", "text"))
+            .select("query_id", F.explode("tokens").alias("term")))
+    tc = toks.groupBy("query_id", "term").agg(F.count("*").alias("c"))
+    tot = tc.groupBy("query_id").agg(F.sum("c").alias("total"))
+    ent = (tc.join(tot, "query_id")
+           .withColumn("p", F.col("c") / F.col("total"))
+           .groupBy("query_id")
+           .agg(F.round(-F.sum(F.col("p") * F.log2("p")), 4)
+                .alias("entropy")))
+    return (lens.join(ent, "query_id")
+            .select("query_id", "doc_count", "min_len", "max_len",
+                    "avg_len", "entropy")
+            .orderBy("query_id"))
+
+
+def search_top_metrics(spark: SparkSession, index_dir: str,
+                       queries: list[tuple[int, str]],
+                       sort_expr: str = "length(text)",
+                       metric_expr: str = "dl",
+                       size: int = 3) -> DataFrame:
+    """The ``top_metrics`` aggregation: the metric value(s) taken from
+    the ``size`` hit-set docs with the largest sort value (descending;
+    doc_id ascending breaks ties — the deterministic order every ranked
+    surface uses). The lighter sibling of ``top_hits``: one window over
+    the hit set, only the metric column carried.
+
+    Returns DataFrame(query_id, rank, doc_id, sort_value, metric)."""
+    paths = IndexPaths(index_dir)
+    stats = load_stats(spark, index_dir)
+    out_schema = ("query_id int, rank int, doc_id long, "
+                  "sort_value double, metric double")
+    matches = _match_docs(spark, paths, stats, queries)
+    if matches is None:
+        return spark.createDataFrame([], out_schema)
+    vals = (spark.read.parquet(paths.docs)
+            .select("doc_id",
+                    F.expr(sort_expr).cast("double").alias("sort_value"),
+                    F.expr(metric_expr).cast("double").alias("metric")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sort_value").desc(), F.col("doc_id").asc())
+    return (matches.join(vals, "doc_id")
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= int(size))
+            .select("query_id", "rank", "doc_id", "sort_value", "metric")
+            .orderBy("query_id", "rank"))
+
+
+def search_date_range(spark: SparkSession, index_dir: str,
+                      queries: list[tuple[int, str]],
+                      ts_col: str = "warc_ts",
+                      boundaries: tuple[str, ...] = ("2025-02-01",
+                                                     "2025-03-01"),
+                      ) -> DataFrame:
+    """The ``date_range`` aggregation: hit-set doc counts in the
+    half-open intervals the boundary list induces (from inclusive, to
+    exclusive — the OpenSearch range contract), keyed
+    ``"<from>..<to>"`` with ``*`` for the open ends. Empty buckets are
+    omitted (relational GROUP BY semantics, declared).
+
+    Returns DataFrame(query_id, bucket, doc_count)."""
+    paths = IndexPaths(index_dir)
+    stats = load_stats(spark, index_dir)
+    out_schema = "query_id int, bucket string, doc_count long"
+    matches = _match_docs(spark, paths, stats, queries)
+    if matches is None:
+        return spark.createDataFrame([], out_schema)
+    bs = list(boundaries)
+    cond = F.when(F.col("ts") < F.lit(bs[0]).cast("timestamp"),
+                  F.lit(f"*..{bs[0]}"))
+    for lo, hi in zip(bs, bs[1:]):
+        cond = cond.when(F.col("ts") < F.lit(hi).cast("timestamp"),
+                         F.lit(f"{lo}..{hi}"))
+    cond = cond.otherwise(F.lit(f"{bs[-1]}..*"))
+    vals = (spark.read.parquet(paths.docs)
+            .select("doc_id", F.col(ts_col).alias("ts")))
+    return (matches.join(vals, "doc_id")
+            .withColumn("bucket", cond)
+            .groupBy("query_id", "bucket")
+            .agg(F.count("*").alias("doc_count"))
+            .orderBy("query_id", "bucket"))
+
+
+def search_t_test(spark: SparkSession, index_dir: str,
+                  queries: list[tuple[int, str]],
+                  a_expr: str = "length(text)",
+                  b_expr: str = "dl") -> DataFrame:
+    """The ``t_test`` aggregation, ``type=paired``: Student's t on the
+    per-doc differences d = a − b over the hit set —
+    t = mean(d) / (stddev_samp(d) / √n). One map-side-combined agg
+    (sum, sum-of-squares, count). Rounded 4 dp.
+
+    Returns DataFrame(query_id, t_value, n)."""
+    paths = IndexPaths(index_dir)
+    stats = load_stats(spark, index_dir)
+    out_schema = "query_id int, t_value double, n long"
+    matches = _match_docs(spark, paths, stats, queries)
+    if matches is None:
+        return spark.createDataFrame([], out_schema)
+    vals = (spark.read.parquet(paths.docs)
+            .select("doc_id",
+                    (F.expr(a_expr).cast("double")
+                     - F.expr(b_expr).cast("double")).alias("d")))
+    return (matches.join(vals, "doc_id")
+            .groupBy("query_id")
+            .agg(F.round(F.avg("d")
+                         / (F.stddev_samp("d")
+                            / F.sqrt(F.count("*").cast("double"))), 4)
+                 .alias("t_value"),
+                 F.count("*").alias("n"))
+            .orderBy("query_id"))
+
+
+# --------------------------------------------- round-5d query widening
+
+
+def termvectors(spark: SparkSession, index_dir: str,
+                doc_ids: list[int]) -> DataFrame:
+    """The ``_termvectors`` API with ``term_statistics=true``: per
+    requested doc, every analyzer term with its in-doc frequency plus
+    the corpus statistics (df = docs containing the term, ttf = total
+    collection frequency). tf is recomputed from the doc's stored text
+    through the FROZEN analyzer (byte-identical to what the index
+    stores — the analyzer is the invariant); df/ttf are the
+    dictionary's own (term, df, cf) rows.
+
+    Point API: the docs read is an id-pruned scan of a handful of rows;
+    the dictionary join is left-semi-prunable by Catalyst. Nothing
+    collects.
+
+    Returns DataFrame(doc_id, term, tf, df, ttf) ordered (doc_id,
+    term)."""
+    from .analyzer import with_tokens
+
+    paths = IndexPaths(index_dir)
+    ids = sorted({int(d) for d in doc_ids})
+    docs = (spark.read.parquet(paths.docs)
+            .filter(F.col("doc_id").isin(ids))
+            .select("doc_id", "text"))
+    tf = (with_tokens(docs)
+          .select("doc_id", F.explode("tokens").alias("term"))
+          .groupBy("doc_id", "term").agg(F.count("*").alias("tf")))
+    dictionary = (spark.read.parquet(paths.dictionary)
+                  .select("term", "df", F.col("cf").alias("ttf")))
+    return (tf.join(dictionary, "term", "left")
+            .select("doc_id", "term", "tf", "df", "ttf")
+            .orderBy("doc_id", "term"))
+
+
+def distance_feature_search(spark: SparkSession, index_dir: str,
+                            queries: list[tuple[int, str]],
+                            origin: str, ts_col: str = "warc_ts",
+                            pivot_seconds: float = 7 * 86400.0,
+                            boost: float = 1.0, k: int = 10) -> DataFrame:
+    """The ``distance_feature`` query in a bool ``should`` beside a
+    match clause — the recency/proximity boost:
+    final = BM25 + boost · pivot / (pivot + |field − origin|), the
+    distance_feature date form (rank_feature's saturation with the
+    DISTANCE from origin as the feature, so docs AT the origin gain the
+    full ``boost`` and the bonus halves at ``pivot`` away). Base scores
+    round 4 dp before the add; the sum rounds 4 dp before ranking.
+
+    The timestamp reads from the column-pruned docs scan (the engine's
+    doc-values). Returns the standard RANKED page."""
+    paths = IndexPaths(index_dir)
+    stats = load_stats(spark, index_dir)
+    scored = _full_bm25_scores(spark, paths, stats, queries)
+    if scored is None:
+        return spark.createDataFrame([], RANKED)
+    feats = (spark.read.parquet(paths.docs)
+             .select("doc_id",
+                     F.abs(F.unix_timestamp(F.col(ts_col))
+                           - F.unix_timestamp(
+                               F.lit(origin).cast("timestamp")))
+                     .cast("double").alias("dist")))
+    piv = float(pivot_seconds)
+    bonus = F.lit(float(boost)) * F.lit(piv) / (F.lit(piv)
+                                                + F.col("dist"))
+    scored = (scored.join(feats, "doc_id")
+              .withColumn("score", F.round(F.col("score") + bonus, 4)))
+    return _ranked_page(scored, k)
+
+
+PINNED_BASE = 1_000_000_000.0
+
+
+def pinned_search(spark: SparkSession, index_dir: str,
+                  queries: list[tuple[int, str]],
+                  pinned: dict[int, list[int]], k: int = 10) -> DataFrame:
+    """The ``pinned`` query: per query, the listed doc_ids occupy the
+    top ranks IN LIST ORDER regardless of their lexical score, followed
+    by the organic BM25 hits (pinned ids excluded from the organic
+    list). Pinned scores are the deterministic sentinel
+    ``PINNED_BASE − position`` — the same decreasing-constant device
+    Lucene's PinnedQuery uses so the pins sort as ordinary scores.
+
+    Returns the standard RANKED page."""
+    paths = IndexPaths(index_dir)
+    stats = load_stats(spark, index_dir)
+    scored = _full_bm25_scores(spark, paths, stats, queries)
+    pin_rows = [(int(qid), int(d), PINNED_BASE - i)
+                for qid, ids in pinned.items()
+                for i, d in enumerate(ids)]
+    pins = spark.createDataFrame(
+        pin_rows, "query_id int, doc_id long, score double")
+    if scored is None:
+        return _ranked_topk(pins, k)
+    organic = scored.join(pins.select("query_id", "doc_id"),
+                          ["query_id", "doc_id"], "left_anti")
+    return _ranked_topk(organic.unionByName(pins), k)
+
+
+def span_not_search(spark: SparkSession, index_dir: str,
+                    queries: list[tuple[int, str]],
+                    dist: int = 2, k: int = 10) -> DataFrame:
+    """Lucene/OpenSearch ``span_not`` with symmetric ``pre = post =
+    dist``: occurrences of the FIRST query token (the include span)
+    count only when NO other query token (the exclude spans) occurs
+    within ``dist`` positions in the same doc. tf = surviving include
+    occurrences; score = idf(include) · BM25 tf-norm — SpanWeight's
+    freq-of-matching-spans scoring, the negative-space sibling of
+    :func:`span_near_search`. An exclude term absent from the corpus
+    excludes nothing (the plain TermQuery degenerate, as in Lucene).
+
+    Physical shape: dictionary point-lookup → bucket/term-pruned
+    positional postings scan → per-range vectorized searchsorted kernel
+    → global top-k window.
+
+    Returns the standard RANKED page."""
+    paths = IndexPaths(index_dir)
+    stats = load_stats(spark, index_dir)
+    parsed: dict[int, tuple[str, list[str]]] = {}
+    for qid, text in queries:
+        toks = tokenize_text(text)
+        if toks:
+            parsed[int(qid)] = (toks[0], toks[1:])
+    if not parsed:
+        return spark.createDataFrame([], RANKED)
+    includes = sorted({inc for inc, _ex in parsed.values()})
+    dict_rows = _filter_in(spark.read.parquet(paths.dictionary),
+                           "term", includes).collect()
+    dfs = {r["term"]: int(r["df"]) for r in dict_rows}
+    idfs = {t: float(idf_fn(stats.N, np.array([dfs[t]]))[0])
+            for t in includes if t in dfs}
+    parsed = {qid: (inc, ex) for qid, (inc, ex) in parsed.items()
+              if inc in idfs}
+    if not parsed:
+        return spark.createDataFrame([], RANKED)
+    k1, b, avgdl = stats.k1, stats.b, stats.avgdl
+    dist_i = int(dist)
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        by_term = {rec["term"]: rec for rec in pdf.to_dict("records")}
+        out_q, out_d, out_s = [], [], []
+        for qid, (inc, excludes) in parsed.items():
+            rec = by_term.get(inc)
+            if rec is None:
+                continue
+            doc_ids, tfs, dls = decode_postings(rec)
+            if doc_ids.size == 0:
+                continue
+            poss = decode_positions(rec["poss"], tfs)
+            anchors = ((np.repeat(doc_ids, tfs).astype(np.uint64)
+                        << _SF_POS_SHIFT) | poss.astype(np.uint64))
+            alive = np.ones(anchors.size, dtype=bool)
+            for ex in excludes:
+                rec_e = by_term.get(ex)
+                if rec_e is None:
+                    continue
+                e_ids, e_tfs, _e_dls = decode_postings(rec_e)
+                e_pos = decode_positions(rec_e["poss"], e_tfs)
+                e_keys = np.sort(
+                    (np.repeat(e_ids, e_tfs).astype(np.uint64)
+                     << _SF_POS_SHIFT) | e_pos.astype(np.uint64))
+                for off in range(-dist_i, dist_i + 1):
+                    if off == 0:
+                        continue  # two terms can't share a position
+                    if off < 0:
+                        ok = poss >= np.uint64(-off)
+                        probe = anchors + np.uint64(
+                            (1 << 64) + off)  # two's-complement add
+                    else:
+                        ok = np.ones(anchors.size, dtype=bool)
+                        probe = anchors + np.uint64(off)
+                    ix = np.searchsorted(e_keys, probe)
+                    hit = (ix < e_keys.size) & ok
+                    hit[hit] &= e_keys[ix[hit]] == probe[hit]
+                    alive &= ~hit
+            if not alive.any():
+                continue
+            seg = np.repeat(np.arange(doc_ids.size), tfs)
+            qtf = np.bincount(seg[alive], minlength=doc_ids.size)
+            keep = qtf > 0
+            sc = idfs[inc] * tf_norm(qtf[keep], dls[keep], avgdl, k1, b)
+            out_q.extend([qid] * int(keep.sum()))
+            out_d.extend(doc_ids[keep].tolist())
+            out_s.extend(sc.tolist())
+        return pd.DataFrame({
+            "query_id": pd.Series(out_q, dtype="int32"),
+            "doc_id": pd.Series(out_d, dtype="int64"),
+            "score": pd.Series(out_s, dtype="float64"),
+        })
+
+    live = sorted({t for inc, ex in parsed.values()
+                   for t in [inc] + ex})
+    postings = _pruned_postings(spark, paths, stats.n_buckets, live)
+    scored = (postings.groupBy("range_id")
+              .applyInPandas(kernel, schema=RESULT_SCHEMA)
+              .withColumn("score", F.round("score", 4)))
+    return _ranked_page(scored, k)
+
+
+def synonym_search(spark: SparkSession, index_dir: str,
+                   queries: list[tuple[int, str]],
+                   synonyms: dict[str, list[str]],
+                   k: int = 10) -> DataFrame:
+    """Query-time synonym expansion under Lucene ``SynonymQuery``
+    semantics (what a ``synonym_graph`` token filter on the search
+    analyzer produces for single-token synonyms): each query token t
+    becomes the group {t} ∪ synonyms[t]; the group scores as ONE term
+    with tf = Σ member tfs and df = max member df — never as separate
+    should clauses, so a doc saying the same thing two ways doesn't
+    outrank one saying it twice. score = Σ_groups idf(df_group) ·
+    BM25 tf-norm(tf_group).
+
+    Returns the standard RANKED page."""
+    paths = IndexPaths(index_dir)
+    stats = load_stats(spark, index_dir)
+    q_groups: dict[int, list[list[str]]] = {}
+    for qid, text in queries:
+        groups = []
+        for t in tokenize_text(text):
+            groups.append(sorted({t, *synonyms.get(t, [])}))
+        if groups:
+            q_groups[int(qid)] = groups
+    if not q_groups:
+        return spark.createDataFrame([], RANKED)
+    terms = sorted({t for gs in q_groups.values()
+                    for g in gs for t in g})
+    dict_rows = _filter_in(spark.read.parquet(paths.dictionary),
+                           "term", terms).collect()
+    dfs = {r["term"]: int(r["df"]) for r in dict_rows}
+    qinfo: dict[int, list[tuple[list[str], float]]] = {}
+    for qid, gs in q_groups.items():
+        scored_groups = []
+        for g in gs:
+            present = [t for t in g if t in dfs]
+            if not present:
+                continue
+            df_g = max(dfs[t] for t in present)
+            scored_groups.append(
+                (present,
+                 float(idf_fn(stats.N, np.array([df_g]))[0])))
+        if scored_groups:
+            qinfo[qid] = scored_groups
+    if not qinfo:
+        return spark.createDataFrame([], RANKED)
+    k1, b, avgdl = stats.k1, stats.b, stats.avgdl
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        by_term = {rec["term"]: rec for rec in pdf.to_dict("records")}
+        dec: dict[str, tuple] = {}
+        out_q, out_d, out_s = [], [], []
+        for qid, groups in qinfo.items():
+            acc: dict[int, float] = {}
+            doc_dl: dict[int, float] = {}
+            for members, g_idf in groups:
+                idss, tfss = [], []
+                for t in members:
+                    rec = by_term.get(t)
+                    if rec is None:
+                        continue
+                    d = dec.get(t)
+                    if d is None:
+                        d = dec[t] = decode_postings(rec)
+                    idss.append(d[0])
+                    tfss.append(d[1])
+                    doc_dl.update(zip(d[0].tolist(), d[2].tolist()))
+                if not idss:
+                    continue
+                all_ids = np.concatenate(idss)
+                all_tfs = np.concatenate(tfss).astype(np.float64)
+                uniq, inv = np.unique(all_ids, return_inverse=True)
+                g_tf = np.bincount(inv, weights=all_tfs)
+                g_dl = np.array([doc_dl[d] for d in uniq.tolist()])
+                g_sc = g_idf * tf_norm(g_tf, g_dl, avgdl, k1, b)
+                for d, s in zip(uniq.tolist(), g_sc.tolist()):
+                    acc[d] = acc.get(d, 0.0) + s
+            out_q.extend([qid] * len(acc))
+            out_d.extend(acc.keys())
+            out_s.extend(acc.values())
+        return pd.DataFrame({
+            "query_id": pd.Series(out_q, dtype="int32"),
+            "doc_id": pd.Series(out_d, dtype="int64"),
+            "score": pd.Series(out_s, dtype="float64"),
+        })
+
+    live = sorted({t for groups in qinfo.values()
+                   for members, _ in groups for t in members})
+    postings = _pruned_postings(spark, paths, stats.n_buckets, live)
+    scored = (postings.groupBy("range_id")
+              .applyInPandas(kernel, schema=RESULT_SCHEMA)
+              .withColumn("score", F.round("score", 4)))
+    return _ranked_page(scored, k)
+
+
+def named_bool_search(spark: SparkSession, index_dir: str,
+                      queries: list[tuple[int, dict[str, str]]],
+                      k: int = 10) -> DataFrame:
+    """Named ``should`` clauses with ``matched_queries`` annotation:
+    each clause is a match query carrying a ``_name``; a hit's score is
+    the SUM of its per-clause BM25 scores (bool should semantics, each
+    clause rounded 4 dp, the sum rounded 4 dp) and its ``matched``
+    column lists the names of the clauses that hit it
+    (comma-joined, sorted — OpenSearch's matched_queries array as a
+    deterministic scalar).
+
+    Implementation: clauses become synthetic sub-query ids through the
+    shared full-scoring kernel (one pruned postings pass for ALL
+    clauses of ALL queries), then one groupBy re-aggregates scores and
+    names — no per-clause rescan.
+
+    Returns DataFrame(query_id, rank, doc_id, score, matched)."""
+    paths = IndexPaths(index_dir)
+    stats = load_stats(spark, index_dir)
+    sub: list[tuple[int, str]] = []
+    names: dict[int, tuple[int, str]] = {}
+    width = max((len(cl) for _qid, cl in queries), default=0) or 1
+    for qi, (qid, clauses) in enumerate(queries):
+        for ci, (name, text) in enumerate(sorted(clauses.items())):
+            sid = qi * width + ci
+            sub.append((sid, text))
+            names[sid] = (int(qid), name)
+    scored = _full_bm25_scores(spark, paths, stats, sub)
+    out_schema = ("query_id int, rank int, doc_id long, score double, "
+                  "matched string")
+    if scored is None:
+        return spark.createDataFrame([], out_schema)
+    name_rows = [(sid, qid, nm) for sid, (qid, nm) in names.items()]
+    name_df = F.broadcast(spark.createDataFrame(
+        name_rows, "sub_id int, query_id int, name string"))
+    agg = (scored.withColumnRenamed("query_id", "sub_id")
+           .join(name_df, "sub_id")
+           .groupBy("query_id", "doc_id")
+           .agg(F.round(F.sum("score"), 4).alias("score"),
+                F.array_join(F.array_sort(F.collect_set("name")), ",")
+                .alias("matched")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc())
+    return (agg.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "doc_id", "score", "matched"))

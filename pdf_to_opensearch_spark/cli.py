@@ -132,6 +132,59 @@ def main(argv: list[str] | None = None, keep_session: bool = False) -> int:
     rf.add_argument("--boost", type=float, default=1.0)
     rf.add_argument("-k", type=int, default=10)
 
+    so = sub.add_parser("spannot", help="span_not: include-term hits "
+                                        "with no exclude term within "
+                                        "+/-dist (query = 'include "
+                                        "exclude...')")
+    so.add_argument("--index", required=True)
+    so.add_argument("-q", "--query", action="append", required=True)
+    so.add_argument("--dist", type=int, default=2)
+    so.add_argument("-k", type=int, default=10)
+
+    tv = sub.add_parser("termvectors", help="_termvectors: per-doc "
+                                            "term tf + corpus df/ttf")
+    tv.add_argument("--index", required=True)
+    tv.add_argument("--ids", required=True,
+                    help="comma-separated doc_ids")
+
+    pq = sub.add_parser("pinned", help="pinned query: listed ids take "
+                                       "the top ranks, organic BM25 "
+                                       "follows")
+    pq.add_argument("--index", required=True)
+    pq.add_argument("-q", "--query", required=True)
+    pq.add_argument("--ids", required=True,
+                    help="comma-separated doc_ids to pin, in order")
+    pq.add_argument("-k", type=int, default=10)
+
+    sy = sub.add_parser("synonyms", help="query-time synonym expansion "
+                                         "(SynonymQuery: tf sum, df "
+                                         "max per group)")
+    sy.add_argument("--index", required=True)
+    sy.add_argument("-q", "--query", action="append", required=True)
+    sy.add_argument("--map", required=True,
+                    help="JSON object token -> [synonyms...]")
+    sy.add_argument("-k", type=int, default=10)
+
+    dfq = sub.add_parser("distancefeature", help="distance_feature "
+                                                 "(date): BM25 + boost*"
+                                                 "pivot/(pivot+|ts-"
+                                                 "origin|)")
+    dfq.add_argument("--index", required=True)
+    dfq.add_argument("-q", "--query", action="append", required=True)
+    dfq.add_argument("--origin", required=True)
+    dfq.add_argument("--ts-col", default="warc_ts")
+    dfq.add_argument("--pivot-seconds", type=float, default=7 * 86400.0)
+    dfq.add_argument("--boost", type=float, default=1.0)
+    dfq.add_argument("-k", type=int, default=10)
+
+    rz = sub.add_parser("resize", help="_split/_shrink: re-shard an "
+                                       "index (doc_ids preserved)")
+    rz.add_argument("--index", required=True)
+    rz.add_argument("--out", required=True)
+    rz.add_argument("--num-ranges", type=int, required=True)
+    rz.add_argument("--id-partitions", type=int, default=None)
+    rz.add_argument("--n-buckets", type=int, default=8)
+
     sc = sub.add_parser("scroll", help="sliced scroll: export the full "
                                        "hit set as independent paged "
                                        "slices")
@@ -483,6 +536,56 @@ def main(argv: list[str] | None = None, keep_session: bool = False) -> int:
                 pivot=args.pivot, boost=args.boost, k=args.k)
             for row in res.collect():
                 print(json.dumps(row.asDict()))
+        elif args.cmd == "spannot":
+            from .boolquery import span_not_search
+
+            res = span_not_search(spark, args.index,
+                                  list(enumerate(args.query, 1)),
+                                  dist=args.dist, k=args.k)
+            for row in res.collect():
+                print(json.dumps(row.asDict()))
+        elif args.cmd == "termvectors":
+            from .boolquery import termvectors
+
+            ids = [int(x) for x in args.ids.split(",")]
+            for row in termvectors(spark, args.index, ids).collect():
+                print(json.dumps(row.asDict()))
+        elif args.cmd == "pinned":
+            from .boolquery import pinned_search
+
+            ids = [int(x) for x in args.ids.split(",")]
+            res = pinned_search(spark, args.index, [(1, args.query)],
+                                pinned={1: ids}, k=args.k)
+            for row in res.collect():
+                print(json.dumps(row.asDict()))
+        elif args.cmd == "synonyms":
+            from .boolquery import synonym_search
+
+            res = synonym_search(spark, args.index,
+                                 list(enumerate(args.query, 1)),
+                                 synonyms=json.loads(args.map), k=args.k)
+            for row in res.collect():
+                print(json.dumps(row.asDict()))
+        elif args.cmd == "distancefeature":
+            from .boolquery import distance_feature_search
+
+            res = distance_feature_search(
+                spark, args.index, list(enumerate(args.query, 1)),
+                origin=args.origin, ts_col=args.ts_col,
+                pivot_seconds=args.pivot_seconds, boost=args.boost,
+                k=args.k)
+            for row in res.collect():
+                print(json.dumps(row.asDict()))
+        elif args.cmd == "resize":
+            from .maintenance import reindex
+
+            reindex(spark, args.index, args.out,
+                    num_ranges=args.num_ranges,
+                    n_buckets=args.n_buckets,
+                    id_partitions=(args.id_partitions
+                                   or args.num_ranges))
+            print(json.dumps({"resized": args.out,
+                              "num_ranges": args.num_ranges}))
         elif args.cmd == "scroll":
             from .boolquery import scroll_export
 

@@ -1538,3 +1538,185 @@ def test_phrase_suggest_bigram_rescoring(spark, index_dir, corpus):
         want[:size]
     # the top correction is the in-corpus phrase, not the raw input
     assert got.suggestion.iloc[0].split()[0] != "postng"
+
+
+def test_span_not_window_exclusion(spark, index_dir, corpus):
+    """span_not: an include occurrence counts only with no exclude term
+    within ±dist — tf recomputed brute-force from the corpus tokens."""
+    import math
+
+    from pdf_to_opensearch_spark.boolquery import span_not_search
+    from pdf_to_opensearch_spark.oracle import idf as idf_fn
+
+    pdf, oracle = corpus
+    inc, ex, dist = "spark", "index", 2
+    want = {}
+    df_inc = len(oracle.index.get(inc, {}))
+    w = math.log(1.0 + (oracle.N - df_inc + 0.5) / (df_inc + 0.5))
+    for i, toks in enumerate(oracle.doc_tokens):
+        tf = 0
+        for p, t in enumerate(toks):
+            if t != inc:
+                continue
+            lo, hi = max(0, p - dist), min(len(toks), p + dist + 1)
+            if ex not in toks[lo:hi]:
+                tf += 1
+        if tf:
+            dl = oracle.dl[i]
+            norm = (tf * (oracle.k1 + 1)
+                    / (tf + oracle.k1 * (1 - oracle.b
+                                         + oracle.b * dl / oracle.avgdl)))
+            want[int(oracle.doc_ids[i])] = round(w * norm, 4)
+    got = (span_not_search(spark, index_dir, [(1, f"{inc} {ex}")],
+                           dist=dist, k=1 << 20)
+           .toPandas().set_index("doc_id")["score"])
+    assert dict(got) == want
+    # an absent exclude term excludes nothing: plain TermQuery scores
+    from pdf_to_opensearch_spark.query import search
+
+    plain = (search(spark, index_dir, [(1, inc)], k=1 << 20)
+             .toPandas().set_index("doc_id")["score"].round(4))
+    noex = (span_not_search(spark, index_dir,
+                            [(1, f"{inc} zzzabsentterm")],
+                            dist=dist, k=1 << 20)
+            .toPandas().set_index("doc_id")["score"])
+    assert dict(noex) == dict(plain)
+
+
+def test_synonym_group_tf_sum_df_max(spark, index_dir, corpus):
+    """SynonymQuery semantics: the group scores as ONE term with
+    tf = Σ member tfs and df = max member df."""
+    import math
+
+    from pdf_to_opensearch_spark.boolquery import synonym_search
+
+    pdf, oracle = corpus
+    t, syn = "index", "posting"
+    members = [t, syn]
+    df_g = max(len(oracle.index.get(m, {})) for m in members)
+    w = math.log(1.0 + (oracle.N - df_g + 0.5) / (df_g + 0.5))
+    want = {}
+    for i in range(oracle.N):
+        tf = sum(oracle.index.get(m, {}).get(i, 0) for m in members)
+        if tf:
+            dl = oracle.dl[i]
+            norm = (tf * (oracle.k1 + 1)
+                    / (tf + oracle.k1 * (1 - oracle.b
+                                         + oracle.b * dl / oracle.avgdl)))
+            want[int(oracle.doc_ids[i])] = round(w * norm, 4)
+    got = (synonym_search(spark, index_dir, [(1, t)],
+                          synonyms={t: [syn]}, k=1 << 20)
+           .toPandas().set_index("doc_id")["score"])
+    assert dict(got) == want
+
+
+def test_pinned_order_and_exclusion(spark, index_dir, corpus):
+    """pinned: listed ids take ranks 1..m in list order; organic hits
+    follow with the pinned ids removed."""
+    from pdf_to_opensearch_spark.boolquery import pinned_search
+    from pdf_to_opensearch_spark.query import search
+
+    query, pins = "spark index", [42, 7]
+    got = (pinned_search(spark, index_dir, [(1, query)],
+                         pinned={1: pins}, k=K)
+           .orderBy("rank").toPandas())
+    assert got["doc_id"].tolist()[:2] == pins
+    organic = [d for (d, _s) in
+               [(r["doc_id"], r["score"]) for _, r in
+                search(spark, index_dir, [(1, query)], k=K + 2)
+                .orderBy("rank").toPandas().iterrows()]
+               if d not in pins]
+    assert got["doc_id"].tolist()[2:] == organic[:K - 2]
+
+
+def test_termvectors_tf_df_ttf(spark, index_dir, corpus):
+    """_termvectors: tf from the doc's own analyzer stream, df/ttf from
+    the corpus."""
+    from pdf_to_opensearch_spark.boolquery import termvectors
+
+    pdf, oracle = corpus
+    ids = [3, 11]
+    got = termvectors(spark, index_dir, ids).toPandas()
+    for i in ids:
+        toks = oracle.doc_tokens[i]
+        sub = got[got["doc_id"] == i].set_index("term")
+        assert set(sub.index) == set(toks)
+        for term in set(toks):
+            assert sub.loc[term, "tf"] == toks.count(term)
+            assert sub.loc[term, "df"] == len(oracle.index[term])
+            assert sub.loc[term, "ttf"] == sum(
+                oracle.index[term].values())
+
+
+def test_boxplot_mad_exact(spark, index_dir, corpus):
+    """boxplot quartiles = numpy linear interpolation; mad = exact
+    median absolute deviation — over the brute ANY-term hit set."""
+    import numpy as np
+
+    from pdf_to_opensearch_spark.boolquery import search_boxplot, search_mad
+
+    query = "spark document"
+    docs = (spark.read.parquet(f"{index_dir}/docs")
+            .selectExpr("doc_id", "text", "length(text) AS v").toPandas())
+    terms = set(tokenize_text(query))
+    hit = docs[[bool(terms & set(tokenize_text(t)))
+                for t in docs["text"]]]
+    v = hit["v"].to_numpy(dtype=float)
+    box = (search_boxplot(spark, index_dir, [(1, query)],
+                          value_expr="length(text)")
+           .toPandas().iloc[0])
+    assert box["vmin"] == v.min() and box["vmax"] == v.max()
+    for q, col in [(0.25, "q1"), (0.5, "q2"), (0.75, "q3")]:
+        assert box[col] == round(float(np.quantile(v, q)), 4)
+    med = np.quantile(v, 0.5)
+    want_mad = round(float(np.quantile(np.abs(v - med), 0.5)), 4)
+    mad = (search_mad(spark, index_dir, [(1, query)],
+                      value_expr="length(text)").toPandas().iloc[0])
+    assert mad["mad"] == want_mad
+
+
+def test_resize_preserves_doc_ids(spark, index_dir, tmp_path, corpus):
+    """_split/_shrink: rebuilding at a different range/partition count
+    preserves every doc_id (dense url rank is partition-count-invariant)
+    and therefore every search result."""
+    from pdf_to_opensearch_spark.maintenance import reindex
+    from pdf_to_opensearch_spark.query import search
+
+    dst = str(tmp_path / "split8")
+    reindex(spark, index_dir, dst, num_ranges=8, n_buckets=8,
+            id_partitions=8)
+    src_map = (spark.read.parquet(f"{index_dir}/docs")
+               .select("url", "doc_id").toPandas()
+               .set_index("url")["doc_id"])
+    dst_map = (spark.read.parquet(f"{dst}/docs")
+               .select("url", "doc_id").toPandas()
+               .set_index("url")["doc_id"])
+    assert dict(src_map) == dict(dst_map)
+    q = [(1, "spark index"), (2, "document query")]
+    a = search(spark, index_dir, q, k=K).toPandas()
+    b = search(spark, dst, q, k=K).toPandas()
+    assert a.to_dict("records") == b.to_dict("records")
+
+
+def test_named_bool_matched_names(spark, index_dir, corpus):
+    """matched_queries: score = Σ per-clause BM25 (each rounded),
+    matched = sorted names of the clauses that hit."""
+    from pdf_to_opensearch_spark.boolquery import named_bool_search
+
+    pdf, oracle = corpus
+    clauses = {"a": "spark", "b": "index posting"}
+    got = (named_bool_search(spark, index_dir, [(1, clauses)], k=1 << 20)
+           .toPandas().set_index("doc_id"))
+    sa = dict(oracle.search("spark", k=1 << 20))
+    sb = dict(oracle.search("index posting", k=1 << 20))
+    for d, row in got.iterrows():
+        names = []
+        s = 0.0
+        if d in sa:
+            names.append("a")
+            s += round(sa[d], 4)
+        if d in sb:
+            names.append("b")
+            s += round(sb[d], 4)
+        assert row["matched"] == ",".join(names)
+        assert row["score"] == round(s, 4)
