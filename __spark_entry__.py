@@ -6786,6 +6786,193 @@ def _split_requery(spark, sf_dir):
     return _rerank_rounded(res, BM25_K)
 
 
+BP2_LAG = 2
+BP2_MIN = 1
+BP2_TOP = 5
+
+
+def _sibling_bucket_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max/min/avg/sum/stats_bucket sibling pipelines over the weekly
+    date_histogram — boolquery.search_sibling_bucket_aggs."""
+    _ensure_pkg(spark)
+    from pdf_to_opensearch_spark.boolquery import search_sibling_bucket_aggs
+
+    out = _ensure_engine_index(spark, sf_dir)
+    return search_sibling_bucket_aggs(spark, out,
+                                      list(BM25_QUERIES.items()),
+                                      ts_col="warc_ts",
+                                      calendar_interval=DATE_HIST_INTERVAL)
+
+
+def _sibling_bucket_oracle_sql() -> str:
+    return f"""{_matches_cte()},
+ts AS (SELECT doc_id, {_WARC_TS_SQL} AS warc_ts FROM docs0),
+buckets AS (
+  SELECT m.query_id,
+         date_trunc('{DATE_HIST_INTERVAL}', t.warc_ts) AS bucket_start,
+         count(*)::BIGINT AS doc_count
+  FROM matches m JOIN ts t USING (doc_id) GROUP BY 1, 2
+),
+winner AS (
+  SELECT query_id, bucket_start AS max_key FROM (
+    SELECT query_id, bucket_start,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY doc_count DESC,
+                                       bucket_start ASC) AS r
+    FROM buckets
+  ) WHERE r = 1
+)
+SELECT b.query_id, w.max_key,
+       max(doc_count)::BIGINT AS max_count,
+       min(doc_count)::BIGINT AS min_count,
+       round(avg(doc_count), 4) AS avg_count,
+       sum(doc_count)::BIGINT AS sum_count,
+       count(*)::BIGINT AS n_buckets
+FROM buckets b JOIN winner w USING (query_id)
+GROUP BY 1, 2 ORDER BY 1
+"""
+
+
+def _bucket_pipeline2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """serial_diff + bucket_script + bucket_selector + bucket_sort over
+    the weekly date_histogram — boolquery.search_bucket_pipeline2."""
+    _ensure_pkg(spark)
+    from pdf_to_opensearch_spark.boolquery import search_bucket_pipeline2
+
+    out = _ensure_engine_index(spark, sf_dir)
+    return search_bucket_pipeline2(spark, out, list(BM25_QUERIES.items()),
+                                   ts_col="warc_ts",
+                                   calendar_interval=DATE_HIST_INTERVAL,
+                                   lag=BP2_LAG, min_count=BP2_MIN,
+                                   top=BP2_TOP)
+
+
+def _bucket_pipeline2_oracle_sql() -> str:
+    return f"""{_matches_cte()},
+ts AS (SELECT doc_id, {_WARC_TS_SQL} AS warc_ts FROM docs0),
+buckets AS (
+  SELECT m.query_id,
+         date_trunc('{DATE_HIST_INTERVAL}', t.warc_ts) AS bucket_start,
+         count(*)::BIGINT AS doc_count
+  FROM matches m JOIN ts t USING (doc_id) GROUP BY 1, 2
+),
+staged AS (
+  SELECT query_id, bucket_start, doc_count,
+         (doc_count - lag(doc_count, {BP2_LAG}) OVER (
+              PARTITION BY query_id ORDER BY bucket_start))::BIGINT
+             AS serial_diff,
+         round(doc_count / sum(doc_count) OVER (PARTITION BY query_id),
+               4) AS ratio
+  FROM buckets
+)
+SELECT query_id, rank, bucket_start, doc_count, serial_diff, ratio
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY doc_count DESC,
+                                        bucket_start ASC)::INTEGER AS rank
+  FROM staged WHERE doc_count >= {BP2_MIN}
+) WHERE rank <= {BP2_TOP} ORDER BY query_id, rank
+"""
+
+
+def _mget_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """_mget: point-fetch stored fields for an id list —
+    boolquery.mget."""
+    _ensure_pkg(spark)
+    from pdf_to_opensearch_spark.boolquery import mget
+
+    out = _ensure_engine_index(spark, sf_dir)
+    res = mget(spark, out, TV_DOC_IDS, cols=("url", "lang", "dl"))
+    return res.select("doc_id", "url", "lang",
+                      F.col("dl").cast("long").alias("dl"))
+
+
+def _mget_oracle_sql() -> str:
+    ids = ", ".join(str(i) for i in TV_DOC_IDS)
+    return f"""
+SELECT doc_id,
+       'doc://' || lpad(doc_id::VARCHAR, 10, '0') AS url,
+       lang,
+       len({_TOKS_SQL})::BIGINT AS dl
+FROM documents WHERE doc_id IN ({ids}) ORDER BY doc_id
+"""
+
+
+INTERVALS_QUERIES: dict[int, str] = {
+    1: "hash table",
+    2: "customer join filter",
+    3: "group merge",
+}
+INTERVALS_GAPS = 3
+
+
+def _intervals_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """intervals match (ordered=true, max_gaps): greedy minimal ordered
+    chain per anchor — boolquery.intervals_search."""
+    _ensure_pkg(spark)
+    from pdf_to_opensearch_spark.boolquery import intervals_search
+
+    out = _ensure_engine_index(spark, sf_dir)
+    return intervals_search(spark, out, list(INTERVALS_QUERIES.items()),
+                            max_gaps=INTERVALS_GAPS, k=BM25_K)
+
+
+def _intervals_oracle_sql() -> str:
+    """intervals oracle: the greedy minimal chain inlined as nested
+    list_min(list_filter(range(p+1, …))) expressions per query (NULL
+    propagation kills broken chains), slack ≤ max_gaps."""
+    parts, idf_parts = [], []
+    for qid, q in sorted(INTERVALS_QUERIES.items()):
+        toks = q.split()
+        p = "i"
+        for t in toks[1:]:
+            p = (f"""list_min(list_filter(range(({p}) + 1, len(t) + 1),
+                        j -> t[j] = '{t}'))""")
+        cond = f"({p}) - i - {len(toks) - 1} <= {INTERVALS_GAPS}"
+        parts.append(f"""
+  SELECT {qid} AS query_id, doc_id, len(t)::DOUBLE AS dl,
+         len(list_filter(range(1, len(t) + 1),
+             i -> t[i] = '{toks[0]}'
+                  AND ({cond})))::DOUBLE AS tf
+  FROM toks""")
+        s_idf = " + ".join(
+            f"""(SELECT ln(1.0 + (s.n - df + 0.5) / (df + 0.5))
+                 FROM term_df CROSS JOIN stats s WHERE term = '{t}')"""
+            for t in toks)
+        idf_parts.append(f"  SELECT {qid} AS query_id, {s_idf} AS idf")
+    body = "\n  UNION ALL\n".join(parts)
+    idf_body = "\n  UNION ALL\n".join(idf_parts)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+),
+stats AS (
+  SELECT count(*)::DOUBLE AS n, avg(len(t))::DOUBLE AS avgdl FROM toks
+),
+term_df AS (
+  SELECT term, count(DISTINCT doc_id)::DOUBLE AS df
+  FROM (SELECT doc_id, unnest(t) AS term FROM toks) GROUP BY 1
+),
+pf AS ({body}),
+idfs AS ({idf_body}),
+scores AS (
+  SELECT p.query_id, p.doc_id,
+         round(i.idf * p.tf * 2.2
+               / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * p.dl / s.avgdl)),
+               4) AS score
+  FROM pf p JOIN idfs i USING (query_id) CROSS JOIN stats s
+  WHERE p.tf >= 1
+)
+SELECT query_id, rank, doc_id, score FROM (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id)::INTEGER AS rank,
+         doc_id, score
+  FROM scores
+) WHERE rank <= {BM25_K}
+"""
+
+
 _prev_queries_5d = queries
 _prev_oracles_5d = oracle_sql
 
@@ -6807,6 +6994,10 @@ def queries():  # noqa: F811 — round-5d widening layer
         "synonym_topk": _synonym_topk,
         "matched_queries_topk": _matched_queries_topk,
         "split_requery": _split_requery,
+        "sibling_bucket_aggs": _sibling_bucket_aggs,
+        "bucket_pipeline2": _bucket_pipeline2,
+        "mget_api": _mget_api,
+        "intervals_topk": _intervals_topk,
     })
     return _reorder(out)
 
@@ -6828,5 +7019,9 @@ def oracle_sql():  # noqa: F811 — round-5d widening layer
         "synonym_topk": _synonym_oracle_sql(),
         "matched_queries_topk": _matched_queries_oracle_sql(),
         "split_requery": _bm25_oracle_sql(),
+        "sibling_bucket_aggs": _sibling_bucket_oracle_sql(),
+        "bucket_pipeline2": _bucket_pipeline2_oracle_sql(),
+        "mget_api": _mget_oracle_sql(),
+        "intervals_topk": _intervals_oracle_sql(),
     })
     return out

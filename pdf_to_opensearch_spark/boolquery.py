@@ -3340,3 +3340,234 @@ def named_bool_search(spark: SparkSession, index_dir: str,
     return (agg.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("query_id", "rank", "doc_id", "score", "matched"))
+
+
+# -------------------------------------- round-5d pipeline/bucket family
+
+
+def search_sibling_bucket_aggs(spark: SparkSession, index_dir: str,
+                               queries: list[tuple[int, str]],
+                               ts_col: str = "warc_ts",
+                               calendar_interval: str = "week",
+                               ) -> DataFrame:
+    """The sibling pipeline aggregations — ``max_bucket`` /
+    ``min_bucket`` / ``avg_bucket`` / ``sum_bucket`` / ``stats_bucket``
+    — over a ``date_histogram``'s doc_counts: one summary row per query
+    with the extreme bucket's KEY (max_bucket reports which bucket won;
+    ties → earliest key, the OpenSearch keys-ordering determinization).
+    avg rounded 4 dp. All computed on the already-reduced bucket frame —
+    a second tiny aggregation, no rescan.
+
+    Returns DataFrame(query_id, max_key, max_count, min_count,
+    avg_count, sum_count, n_buckets)."""
+    base = search_date_histogram(spark, index_dir, queries, ts_col=ts_col,
+                                 calendar_interval=calendar_interval)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("doc_count").desc(), F.col("bucket_start").asc())
+    winner = (base.withColumn("r", F.row_number().over(w))
+              .filter(F.col("r") == 1)
+              .select("query_id",
+                      F.col("bucket_start").alias("max_key")))
+    summary = (base.groupBy("query_id")
+               .agg(F.max("doc_count").alias("max_count"),
+                    F.min("doc_count").alias("min_count"),
+                    F.round(F.avg("doc_count"), 4).alias("avg_count"),
+                    F.sum("doc_count").alias("sum_count"),
+                    F.count("*").alias("n_buckets")))
+    return (summary.join(winner, "query_id")
+            .select("query_id", "max_key", "max_count", "min_count",
+                    "avg_count", "sum_count", "n_buckets")
+            .orderBy("query_id"))
+
+
+def search_bucket_pipeline2(spark: SparkSession, index_dir: str,
+                            queries: list[tuple[int, str]],
+                            ts_col: str = "warc_ts",
+                            calendar_interval: str = "week",
+                            lag: int = 2, min_count: int = 1,
+                            top: int = 5) -> DataFrame:
+    """The remaining bucket-pipeline aggregations in one body, applied
+    in the OpenSearch evaluation order over a ``date_histogram``:
+
+    * ``serial_diff`` (lag = ``lag``): doc_count − doc_count[t − lag],
+      null while the lag window is incomplete;
+    * ``bucket_script``: ratio = doc_count / Σ doc_counts (rounded 4 dp);
+    * ``bucket_selector``: keep buckets with doc_count ≥ ``min_count``;
+    * ``bucket_sort``: doc_count desc (bucket_start asc tiebreak),
+      top ``top`` buckets, emitted with their sort rank.
+
+    serial_diff/bucket_script are computed BEFORE the selector/sort (the
+    pipeline sees the full histogram, then the presentation stages cut —
+    matching OpenSearch, where bucket_sort is a parent pipeline applied
+    last). All stages are window/filter ops on the reduced bucket frame.
+
+    Returns DataFrame(query_id, rank, bucket_start, doc_count,
+    serial_diff, ratio)."""
+    base = search_date_histogram(spark, index_dir, queries, ts_col=ts_col,
+                                 calendar_interval=calendar_interval)
+    wo = Window.partitionBy("query_id").orderBy("bucket_start")
+    tot = Window.partitionBy("query_id")
+    staged = (base
+              .withColumn("serial_diff",
+                          (F.col("doc_count")
+                           - F.lag("doc_count", lag).over(wo))
+                          .cast("long"))
+              .withColumn("ratio",
+                          F.round(F.col("doc_count")
+                                  / F.sum("doc_count").over(tot), 4))
+              .filter(F.col("doc_count") >= int(min_count)))
+    ws = Window.partitionBy("query_id").orderBy(
+        F.col("doc_count").desc(), F.col("bucket_start").asc())
+    return (staged.withColumn("rank", F.row_number().over(ws))
+            .filter(F.col("rank") <= int(top))
+            .select("query_id", "rank", "bucket_start", "doc_count",
+                    "serial_diff", "ratio")
+            .orderBy("query_id", "rank"))
+
+
+def mget(spark: SparkSession, index_dir: str, doc_ids: list[int],
+         cols: tuple[str, ...] = ("url", "lang", "dl")) -> DataFrame:
+    """The ``_mget`` API: point-fetch stored fields for a list of ids.
+    One id-pruned scan of the docs table (doc_id is correlated with the
+    range-aligned file layout, so row-group pruning applies); ``found``
+    mirrors OpenSearch's per-id flag — absent ids simply produce no row
+    here (relational contract, declared).
+
+    Returns DataFrame(doc_id, *cols) ordered by doc_id."""
+    ids = sorted({int(d) for d in doc_ids})
+    return (spark.read.parquet(IndexPaths(index_dir).docs)
+            .filter(F.col("doc_id").isin(ids))
+            .select("doc_id", *cols)
+            .orderBy("doc_id"))
+
+
+def validate_query(raw: str) -> dict:
+    """The ``_validate/query?explain=true`` API: parse a query_string
+    body WITHOUT executing it, reporting validity and the rewritten
+    clause structure (the ``explanation`` field). A query is invalid
+    when no clause survives analysis (nothing to execute — OpenSearch
+    returns valid=false for an unparseable/empty body) or when a
+    wildcard pattern has no literal character at all (`*`/`?` alone —
+    the match-everything rewrite the engine refuses, as
+    ``wildcard_search`` documents).
+
+    Pure driver-side metadata — no Spark job. Returns
+    {"valid": bool, "explanation": str}."""
+    must, must_not, should, wilds, phrases = parse_query_string(raw)
+    bad_wild = [w for w in wilds if not w.replace("%", "").replace("_", "")]
+    n_clauses = len(must) + len(should) + len(wilds) + len(phrases)
+    if bad_wild:
+        return {"valid": False,
+                "explanation": ("wildcard with no literal characters: "
+                                + ", ".join(sorted(bad_wild)))}
+    if n_clauses == 0:
+        return {"valid": False,
+                "explanation": "no executable clause after analysis"}
+    parts = []
+    for label, items in (("+", must), ("", should), ("-", must_not)):
+        parts.extend(f"{label}{t}" for t in items)
+    parts.extend(f'"{p}"' for p in phrases)
+    parts.extend(w.replace("%", "*").replace("_", "?") for w in wilds)
+    return {"valid": True, "explanation": " ".join(parts)}
+
+
+def intervals_search(spark: SparkSession, index_dir: str,
+                     queries: list[tuple[int, str]],
+                     max_gaps: int = 2, k: int = 10) -> DataFrame:
+    """The ``intervals`` query, ``match`` rule with ``ordered=true`` and
+    ``max_gaps``: a doc position i of the FIRST term starts a match when
+    the GREEDY MINIMAL ordered chain succeeds — p₁ = i, p₂ = the first
+    occurrence of term 2 after p₁, …, pₙ likewise — and the chain's
+    total slack pₙ − p₁ − (n − 1) is ≤ ``max_gaps``. Greedy minimal
+    next-occurrence is exactly Lucene's minimized ordered interval
+    iterator; tf = count of successful anchors, idf = Σ term idfs, BM25
+    tf-norm — the engine's uniform span-family scoring contract (Lucene
+    scores intervals by a width-weighted freq; the anchor-count
+    determinization keeps the oracle exact, as for span_near).
+
+    Physical shape: dictionary point-lookup → bucket/term-pruned
+    positional postings scan → per-range vectorized searchsorted chain
+    (one pass per clause term) → global top-k window.
+
+    Returns the standard RANKED page."""
+    paths = IndexPaths(index_dir)
+    stats = load_stats(spark, index_dir)
+    q_terms: dict[int, list[str]] = {}
+    for qid, text in queries:
+        toks = tokenize_text(text)
+        if len(toks) >= 2:
+            q_terms[int(qid)] = toks
+    if not q_terms:
+        return spark.createDataFrame([], RANKED)
+    terms = sorted({t for ts in q_terms.values() for t in ts})
+    dict_rows = _filter_in(spark.read.parquet(paths.dictionary),
+                           "term", terms).collect()
+    dfs = {r["term"]: int(r["df"]) for r in dict_rows}
+    qinfo: dict[int, dict] = {}
+    for qid, toks in q_terms.items():
+        if all(t in dfs for t in toks):
+            s_idf = float(sum(
+                idf_fn(stats.N, np.array([dfs[t]]))[0] for t in toks))
+            qinfo[qid] = {"terms": toks, "idf": s_idf}
+    if not qinfo:
+        return spark.createDataFrame([], RANKED)
+    k1, b, avgdl = stats.k1, stats.b, stats.avgdl
+    gaps = int(max_gaps)
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        by_term = {rec["term"]: rec for rec in pdf.to_dict("records")}
+        out_q, out_d, out_s = [], [], []
+        for qid, info in qinfo.items():
+            toks = info["terms"]
+            if any(t not in by_term for t in toks):
+                continue
+            decoded: dict[str, tuple] = {}
+            for t in set(toks):
+                rec = by_term[t]
+                doc_ids, tfs, dls = decode_postings(rec)
+                poss = decode_positions(rec["poss"], tfs)
+                keys = np.sort(
+                    (np.repeat(doc_ids, tfs).astype(np.uint64)
+                     << _SF_POS_SHIFT) | poss.astype(np.uint64))
+                decoded[t] = (doc_ids, tfs, dls, keys)
+            d0, tf0, dl0, keys0 = decoded[toks[0]]
+            cur = keys0.copy()
+            alive = np.ones(cur.size, dtype=bool)
+            for t in toks[1:]:
+                nxt_keys = decoded[t][3]
+                ix = np.searchsorted(nxt_keys, cur + np.uint64(1))
+                ok = ix < nxt_keys.size
+                nxt = np.zeros_like(cur)
+                nxt[ok] = nxt_keys[np.minimum(ix, nxt_keys.size - 1)][ok]
+                same_doc = ((nxt >> _SF_POS_SHIFT)
+                            == (cur >> _SF_POS_SHIFT))
+                alive &= ok & same_doc
+                cur = np.where(alive, nxt, cur)
+            n = len(toks)
+            slack = (cur & ((np.uint64(1) << _SF_POS_SHIFT)
+                            - np.uint64(1))).astype(np.int64) \
+                - (keys0 & ((np.uint64(1) << _SF_POS_SHIFT)
+                            - np.uint64(1))).astype(np.int64) - (n - 1)
+            hit = alive & (slack <= gaps)
+            if not hit.any():
+                continue
+            hit_docs = (keys0[hit] >> _SF_POS_SHIFT).astype(np.int64)
+            uniq, qtf = np.unique(hit_docs, return_counts=True)
+            dl_map = dl0[np.searchsorted(d0, uniq)]
+            sc = info["idf"] * tf_norm(qtf.astype(np.float64), dl_map,
+                                       avgdl, k1, b)
+            out_q.extend([qid] * uniq.size)
+            out_d.extend(uniq.tolist())
+            out_s.extend(sc.tolist())
+        return pd.DataFrame({
+            "query_id": pd.Series(out_q, dtype="int32"),
+            "doc_id": pd.Series(out_d, dtype="int64"),
+            "score": pd.Series(out_s, dtype="float64"),
+        })
+
+    live = sorted({t for info in qinfo.values() for t in info["terms"]})
+    postings = _pruned_postings(spark, paths, stats.n_buckets, live)
+    scored = (postings.groupBy("range_id")
+              .applyInPandas(kernel, schema=RESULT_SCHEMA)
+              .withColumn("score", F.round("score", 4)))
+    return _ranked_page(scored, k)

@@ -358,14 +358,145 @@ def prepare_docs(spark: SparkSession, docs_df: DataFrame, out_dir: str,
     return paths
 
 
+_POSTINGS_ARROW_SCHEMA = None
+
+
+def _postings_arrow_schema():
+    """pyarrow schema EXACTLY matching the JVM writer's parquet footer
+    (parquet column resolution is by name + type per file, so a pyio
+    file and a Spark-written file must agree field-for-field)."""
+    global _POSTINGS_ARROW_SCHEMA
+    if _POSTINGS_ARROW_SCHEMA is None:
+        import pyarrow as pa
+
+        _POSTINGS_ARROW_SCHEMA = pa.schema([
+            ("term", pa.string()), ("range_id", pa.int32()),
+            ("first_doc_id", pa.int64()), ("n", pa.int64()),
+            ("cf", pa.int64()), ("doc_ids", pa.binary()),
+            ("tfs", pa.binary()), ("dls", pa.binary()),
+            ("poss", pa.binary()), ("block_max_tf", pa.binary()),
+            ("block_min_dl", pa.binary()), ("max_tf", pa.int64()),
+            ("n_bytes", pa.int64()), ("wall_ms", pa.int64()),
+            ("bucket", pa.int32()),
+        ])
+    return _POSTINGS_ARROW_SCHEMA
+
+
+def _spimi_python_io(spark: SparkSession, paths: IndexPaths,
+                     n_buckets: int, mode: str,
+                     completed_ranges: set[int] | None) -> bool:
+    """The SPIMI stage with PYTHON-NATIVE I/O: Spark schedules one task
+    per range-aligned docs FILE; the task reads its file with pyarrow,
+    runs the same :func:`_spimi_batches` kernel, and writes its postings
+    parquet directly with pyarrow — the document bytes never cross the
+    JVM↔Python Arrow socket in either direction.
+
+    Why: the measured single-machine envelope (BENCH.md §6, round-5
+    diagnosis) shows the pure kernel scaling 1→4 cores at ~0.86 — like
+    the Spark-free pool control — while the JVM scan→Arrow→socket
+    transfer scales at ~0.60 and the Arrow-return→JVM-sort→write path at
+    ~0.62: the boundary crossings double memory traffic and hit the
+    shared-bandwidth wall first. Removing them makes the Spark stage the
+    pool control plus a scheduler. At cluster scale the same holds per
+    executor (Arrow IPC is intra-node but still 2× the bytes); pyarrow
+    reads object storage through fsspec the same way.
+
+    Contract parity with the JVM writer: identical columns and types
+    (:func:`_postings_arrow_schema`), rows sorted by (bucket, term)
+    within each file (row-group pruning), deterministic per-file names
+    (task retries overwrite idempotently — the manifest remains the
+    commit record, exactly as before). ``overwrite`` cleans the dir
+    driver-side first; ``append`` (resume/streaming) writes only
+    not-yet-committed ranges under names that cannot collide with
+    existing files.
+
+    Returns False when the layout doesn't allow it (no local
+    range-aligned docs files) — the caller falls back to the JVM path.
+    """
+    import glob as _glob
+    import os
+    import shutil
+
+    if not _is_local_path(paths.docs, spark):
+        return False
+    files = sorted(_glob.glob(os.path.join(paths.docs, "*.parquet")))
+    if not files:
+        return False
+    if mode == "overwrite":
+        shutil.rmtree(paths.postings, ignore_errors=True)
+    os.makedirs(paths.postings, exist_ok=True)
+    post_dir = paths.postings
+    nb = int(n_buckets)
+    skip = sorted(int(r) for r in (completed_ranges or ()))
+    spimi = _spimi_batches()
+
+    def task(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        # one C++ thread per task: Arrow's pool defaults to ALL host
+        # CPUs PER PROCESS, so N concurrent tasks would run N×cpus
+        # threads — oversubscription that erases the scaling win.
+        # Parallelism here comes from Spark's task slots, not Arrow.
+        pa.set_cpu_count(1)
+        pa.set_io_thread_count(1)
+        for fdf in it:
+            for path in fdf["path"]:
+                tbl = pq.read_table(
+                    path, columns=["doc_id", "text", "range_id"],
+                    use_threads=False)
+                dpdf = tbl.to_pandas()
+                if skip:
+                    dpdf = dpdf[~dpdf["range_id"].isin(skip)]
+                if not len(dpdf):
+                    continue
+                out = pd.concat(list(spimi(iter([dpdf]))),
+                                ignore_index=True)
+                if not len(out):
+                    continue
+                uniq, inv = np.unique(out["term"].to_numpy(str),
+                                      return_inverse=True)
+                b_u = np.fromiter(
+                    (zlib.crc32(t.encode("utf-8")) % nb for t in uniq),
+                    dtype=np.int32, count=uniq.size)
+                out["bucket"] = b_u[inv]
+                out = out.sort_values(["bucket", "term"],
+                                      kind="mergesort",
+                                      ignore_index=True)
+                out["range_id"] = out["range_id"].astype("int32")
+                ranges = out["range_id"].to_numpy()
+                lo, hi = int(ranges.min()), int(ranges.max())
+                fname = os.path.join(
+                    post_dir, f"part-pyio-r{lo:05d}-{hi:05d}.parquet")
+                patbl = pa.Table.from_pandas(
+                    out, schema=_postings_arrow_schema(),
+                    preserve_index=False)
+                pq.write_table(patbl, fname, compression="snappy")
+                yield pd.DataFrame({"n_files": [1],
+                                    "n_rows": [len(out)]})
+
+    fdf = spark.createDataFrame([(p,) for p in files], "path string")
+    (fdf.repartition(len(files))
+        .mapInPandas(task, schema="n_files long, n_rows long")
+        .collect())
+    return True
+
+
 def build_postings(spark: SparkSession, out_dir: str,
                    num_ranges: int = 16, n_buckets: int = DEFAULT_BUCKETS,
-                   completed_ranges: set[int] | None = None) -> IndexPaths:
+                   completed_ranges: set[int] | None = None,
+                   python_io: bool | None = None) -> IndexPaths:
     """Phase B: the indexing job — docs table → postings + dictionary +
     stats + manifest.
 
     ``completed_ranges`` (from :func:`resume_info`) skips already-committed
     ranges — the resumable-checkpoint path (manifest anti-join).
+
+    ``python_io``: True forces the python-native-I/O SPIMI stage
+    (:func:`_spimi_python_io`), False forces the JVM scan/write path,
+    None (default) auto-selects pyio when the docs table is local
+    range-aligned parquet and the target isn't a legacy
+    bucket-partitioned layout.
     """
     import os
 
@@ -403,38 +534,48 @@ def build_postings(spark: SparkSession, out_dir: str,
         docs_per_range = max(1, -(-N // num_ranges))  # ceil (legacy/stats)
         tick("stats_read")
 
-        if "range_id" in docs_tbl.columns:
-            indexable = docs_tbl  # prepare-assigned ranges: zero-shuffle
-            spimi_in = indexable.select("doc_id", "text", "range_id")
-        else:
-            # legacy docs table without stored ranges: derive fixed-width
-            # ranges from doc_id and shuffle once onto them
-            indexable = docs_tbl.withColumn(
-                "range_id",
-                (F.col("doc_id") / F.lit(docs_per_range)).cast("int"))
-            spimi_in = (indexable.select("doc_id", "text", "range_id")
-                        .repartitionByRange(num_ranges, "range_id"))
-        if completed_ranges:
-            spimi_in = spimi_in.filter(
-                ~F.col("range_id").isin(*[int(r) for r in completed_ranges]))
-        postings = spimi_in.mapInPandas(
-            _spimi_batches(), schema=POSTINGS_SCHEMA)
-        postings = postings.withColumn(
-            "bucket", term_bucket_col(F.col("term"), n_buckets))
-        # flat write, sorted by (bucket, term) within each task: query-time
-        # bucket/term filters prune via parquet row-group min/max stats —
-        # same pruning power as directory partitioning without the dynamic
-        # -partition writer's sort + many-small-files commit cost
-        w = postings.sortWithinPartitions("bucket", "term").write.mode(mode)
-        if mode == "append":
+        use_pyio = python_io
+        if use_pyio is None:
             from .streaming import _bucket_partitioned
-            if _bucket_partitioned(paths.postings):
-                # resuming onto a legacy bucket=N/ partitioned index: a
-                # root-level flat append would be invisible to partition
-                # discovery — keep the dir's own layout
-                w = w.partitionBy("bucket")
-        w.parquet(paths.postings)
-        tick("spimi_write")
+            use_pyio = ("range_id" in docs_tbl.columns
+                        and not (mode == "append"
+                                 and _bucket_partitioned(paths.postings)))
+        if use_pyio and _spimi_python_io(spark, paths, n_buckets, mode,
+                                         completed_ranges):
+            tick("spimi_write")
+        else:
+            if "range_id" in docs_tbl.columns:
+                indexable = docs_tbl  # prepare-assigned ranges: zero-shuffle
+                spimi_in = indexable.select("doc_id", "text", "range_id")
+            else:
+                # legacy docs table without stored ranges: derive fixed-width
+                # ranges from doc_id and shuffle once onto them
+                indexable = docs_tbl.withColumn(
+                    "range_id",
+                    (F.col("doc_id") / F.lit(docs_per_range)).cast("int"))
+                spimi_in = (indexable.select("doc_id", "text", "range_id")
+                            .repartitionByRange(num_ranges, "range_id"))
+            if completed_ranges:
+                spimi_in = spimi_in.filter(
+                    ~F.col("range_id").isin(*[int(r) for r in completed_ranges]))
+            postings = spimi_in.mapInPandas(
+                _spimi_batches(), schema=POSTINGS_SCHEMA)
+            postings = postings.withColumn(
+                "bucket", term_bucket_col(F.col("term"), n_buckets))
+            # flat write, sorted by (bucket, term) within each task: query-time
+            # bucket/term filters prune via parquet row-group min/max stats —
+            # same pruning power as directory partitioning without the dynamic
+            # -partition writer's sort + many-small-files commit cost
+            w = postings.sortWithinPartitions("bucket", "term").write.mode(mode)
+            if mode == "append":
+                from .streaming import _bucket_partitioned
+                if _bucket_partitioned(paths.postings):
+                    # resuming onto a legacy bucket=N/ partitioned index: a
+                    # root-level flat append would be invisible to partition
+                    # discovery — keep the dir's own layout
+                    w = w.partitionBy("bucket")
+            w.parquet(paths.postings)
+            tick("spimi_write")
     finally:
         for key, old in (("spark.sql.files.maxPartitionBytes", old_mpb),
                          ("spark.sql.files.openCostInBytes", old_ocb)):

@@ -332,3 +332,42 @@ def resolve_alias(registry_path: str, name: str) -> str:
     """Index root for ``name``: an alias if registered, else the name
     itself (OpenSearch resolves concrete index names the same way)."""
     return read_aliases(registry_path).get(name, name)
+
+
+def rollover(spark: SparkSession, registry_path: str, alias: str,
+             max_docs: int) -> dict:
+    """The ``_rollover`` API: when the index behind ``alias`` has grown
+    past ``max_docs``, advance the alias to the NEXT GENERATION root
+    (``<base>-000001`` → ``<base>-000002``; a bare root starts the
+    series at -000002) and report both names — the write-alias rotation
+    that keeps any one index's doc count bounded (OpenSearch ILM's
+    size/age-based rollover, age conditions being the caller's cron).
+    The new generation is NOT built here — exactly like OpenSearch,
+    rollover creates/points at a fresh empty target and the ingest
+    pipeline (build_index / streaming append) fills it; the alias swap
+    itself is the atomic action list of :func:`update_aliases`.
+
+    The doc count is the stats table's N — a one-row point read, no
+    scan. Returns {"rolled": bool, "old_index", "new_index",
+    "doc_count"}."""
+    import re
+
+    from .query import load_stats
+
+    old = resolve_alias(registry_path, alias)
+    n = int(load_stats(spark, old).N)
+    if n < int(max_docs):
+        return {"rolled": False, "old_index": old, "new_index": old,
+                "doc_count": n}
+    m = re.match(r"^(.*)-(\d{6})$", old)
+    if m:
+        new = f"{m.group(1)}-{int(m.group(2)) + 1:06d}"
+    else:
+        new = f"{old}-000002"
+    actions: list[dict[str, dict[str, str]]] = []
+    if alias in read_aliases(registry_path):
+        actions.append({"remove": {"alias": alias, "index": old}})
+    actions.append({"add": {"alias": alias, "index": new}})
+    update_aliases(registry_path, actions)
+    return {"rolled": True, "old_index": old, "new_index": new,
+            "doc_count": n}

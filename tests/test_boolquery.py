@@ -1720,3 +1720,155 @@ def test_named_bool_matched_names(spark, index_dir, corpus):
             s += round(sb[d], 4)
         assert row["matched"] == ",".join(names)
         assert row["score"] == round(s, 4)
+
+
+def test_sibling_bucket_aggs_summary(spark, rich_index_dir):
+    """sibling pipelines: max/min/avg/sum over the weekly histogram's
+    doc_counts, max_key = earliest bucket holding the max."""
+    from pdf_to_opensearch_spark.boolquery import (
+        search_date_histogram,
+        search_sibling_bucket_aggs,
+    )
+
+    q = [(1, "spark document")]
+    buckets = (search_date_histogram(spark, rich_index_dir, q,
+                                     calendar_interval="week")
+               .toPandas().sort_values("bucket_start"))
+    got = (search_sibling_bucket_aggs(spark, rich_index_dir, q,
+                                      calendar_interval="week")
+           .toPandas().iloc[0])
+    counts = buckets["doc_count"]
+    assert got["max_count"] == counts.max()
+    assert got["min_count"] == counts.min()
+    assert got["sum_count"] == counts.sum()
+    assert got["avg_count"] == round(float(counts.mean()), 4)
+    assert got["n_buckets"] == len(buckets)
+    winners = buckets[buckets["doc_count"] == counts.max()]
+    assert got["max_key"] == winners["bucket_start"].min()
+
+
+def test_bucket_pipeline2_stages(spark, rich_index_dir):
+    """serial_diff lag-2 over the FULL histogram, ratio = share of total,
+    selector cut then sort-desc page."""
+    from pdf_to_opensearch_spark.boolquery import (
+        search_bucket_pipeline2,
+        search_date_histogram,
+    )
+
+    q = [(1, "spark document")]
+    base = (search_date_histogram(spark, rich_index_dir, q,
+                                  calendar_interval="week")
+            .toPandas().sort_values("bucket_start", ignore_index=True))
+    total = base["doc_count"].sum()
+    thresh = int(base["doc_count"].median())
+    got = (search_bucket_pipeline2(spark, rich_index_dir, q,
+                                   lag=2, min_count=thresh, top=3)
+           .toPandas())
+    assert len(got) <= 3 and (got["doc_count"] >= thresh).all()
+    assert got["rank"].tolist() == sorted(got["rank"].tolist())
+    for _, row in got.iterrows():
+        i = base.index[base["bucket_start"] == row["bucket_start"]][0]
+        assert row["ratio"] == round(row["doc_count"] / total, 4)
+        if i >= 2:  # serial_diff computed on the PRE-selector frame
+            assert row["serial_diff"] == (base.loc[i, "doc_count"]
+                                          - base.loc[i - 2, "doc_count"])
+        else:
+            assert row["serial_diff"] is None or pd_isna(row["serial_diff"])
+
+
+def pd_isna(v):
+    import pandas as _pd
+
+    return _pd.isna(v)
+
+
+def test_mget_point_fetch(spark, index_dir, corpus):
+    """_mget: stored fields for an id list; absent ids yield no row."""
+    from pdf_to_opensearch_spark.boolquery import mget
+
+    got = mget(spark, index_dir, [2, 5, 10**9],
+               cols=("url", "dl")).toPandas()
+    assert got["doc_id"].tolist() == [2, 5]
+    docs = (spark.read.parquet(f"{index_dir}/docs")
+            .select("doc_id", "url", "dl").toPandas()
+            .set_index("doc_id"))
+    for d in (2, 5):
+        row = got[got["doc_id"] == d].iloc[0]
+        assert row["url"] == docs.loc[d, "url"]
+        assert row["dl"] == docs.loc[d, "dl"]
+
+
+def test_validate_query_api():
+    """_validate/query: parse-only validity + clause explanation."""
+    from pdf_to_opensearch_spark.boolquery import validate_query
+
+    ok = validate_query('+spark -legacy "posting list" ind*')
+    assert ok["valid"] is True
+    assert "+spark" in ok["explanation"]
+    assert '"posting list"' in ok["explanation"]
+    assert "ind*" in ok["explanation"]
+    assert validate_query("")["valid"] is False
+    assert validate_query("***")["valid"] is False
+    assert validate_query("- +")["valid"] is False
+
+
+def test_rollover_generation_swap(spark, index_dir, tmp_path):
+    """_rollover: past max_docs the alias advances to the next
+    generation name atomically; under it, nothing moves."""
+    from pdf_to_opensearch_spark.maintenance import (
+        resolve_alias,
+        rollover,
+        update_aliases,
+    )
+
+    reg = str(tmp_path / "aliases.json")
+    update_aliases(reg, [{"add": {"alias": "write", "index": index_dir}}])
+    res = rollover(spark, reg, "write", max_docs=10**9)
+    assert res["rolled"] is False
+    assert resolve_alias(reg, "write") == index_dir
+    res = rollover(spark, reg, "write", max_docs=1)
+    assert res["rolled"] is True
+    assert res["new_index"] == index_dir + "-000002"
+    assert resolve_alias(reg, "write") == index_dir + "-000002"
+    # a second rollover advances the generation counter
+    update_aliases(reg, [
+        {"remove": {"alias": "write", "index": index_dir + "-000002"}},
+        {"add": {"alias": "write", "index": index_dir}}])
+    res2 = rollover(spark, reg, "write", max_docs=1)
+    assert res2["new_index"].endswith("-000002")
+
+
+def test_intervals_ordered_chain(spark, index_dir, corpus):
+    """intervals(ordered=true): greedy minimal chain, slack ≤ max_gaps —
+    brute-verified; order matters (reversed-occurrence docs that
+    span_near admits are rejected)."""
+    import math
+
+    from pdf_to_opensearch_spark.boolquery import intervals_search
+
+    pdf, oracle = corpus
+    t1, t2, gaps = "spark", "index", 3
+    want = {}
+    df1 = len(oracle.index.get(t1, {}))
+    df2 = len(oracle.index.get(t2, {}))
+    w = (math.log(1.0 + (oracle.N - df1 + 0.5) / (df1 + 0.5))
+         + math.log(1.0 + (oracle.N - df2 + 0.5) / (df2 + 0.5)))
+    for i, toks in enumerate(oracle.doc_tokens):
+        tf = 0
+        for p, t in enumerate(toks):
+            if t != t1:
+                continue
+            nxt = next((j for j in range(p + 1, len(toks))
+                        if toks[j] == t2), None)
+            if nxt is not None and nxt - p - 1 <= gaps:
+                tf += 1
+        if tf:
+            dl = oracle.dl[i]
+            norm = (tf * (oracle.k1 + 1)
+                    / (tf + oracle.k1 * (1 - oracle.b
+                                         + oracle.b * dl / oracle.avgdl)))
+            want[int(oracle.doc_ids[i])] = round(w * norm, 4)
+    got = (intervals_search(spark, index_dir, [(1, f"{t1} {t2}")],
+                            max_gaps=gaps, k=1 << 20)
+           .toPandas().set_index("doc_id")["score"])
+    assert dict(got) == want

@@ -13,8 +13,8 @@ def test_entry_contract():
     import __spark_entry__ as e
 
     qs, oracles = e.queries(), e.oracle_sql()
-    assert len(qs) >= 139, len(qs)
-    assert len(oracles) >= 139, len(oracles)
+    assert len(qs) >= 143, len(qs)
+    assert len(oracles) >= 143, len(oracles)
     missing = set(oracles) - set(qs)
     assert not missing, f"oracles without queries: {missing}"
     rows_only = set(qs) - set(oracles)
