@@ -63,6 +63,128 @@ def _filter_in(df: DataFrame, col: str, values: list) -> DataFrame:
     return df.join(F.broadcast(vdf), col, "left_semi")
 
 
+_ALIGN_CACHE: dict[tuple, bool] = {}
+
+
+def _ranges_file_aligned(files: list[str]) -> bool:
+    """True iff every doc range's postings live WHOLLY in one file —
+    the property that lets a per-file task score its ranges completely.
+    Both builders write range-aligned files, but an external rewrite
+    (a crash-simulation overwrite, a third-party compaction) can
+    scatter a range across files, and a kernel that sees only part of
+    a range would emit wrong partial scores. Checked from parquet
+    FOOTER stats only (range_id min/max per file, pairwise-disjoint
+    intervals ⟹ aligned); memoized per (path, mtime, size) snapshot."""
+    import os
+
+    key = tuple((f, int(os.path.getmtime(f) * 1000), os.path.getsize(f))
+                for f in files)
+    hit = _ALIGN_CACHE.get(key)
+    if hit is not None:
+        return hit
+    import pyarrow.parquet as pq
+
+    spans = []
+    ok = True
+    for f in files:
+        try:
+            md = pq.ParquetFile(f).metadata
+            idx = md.schema.to_arrow_schema().names.index("range_id")
+            lo = hi = None
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                if st is None or not st.has_min_max:
+                    raise ValueError("no stats")
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+            if lo is None:
+                continue  # empty file
+            spans.append((lo, hi))
+        except Exception:
+            ok = False
+            break
+    if ok:
+        spans.sort()
+        ok = all(a_hi < b_lo for (_a, a_hi), (b_lo, _b)
+                 in zip(spans, spans[1:]))
+    if len(_ALIGN_CACHE) > 64:
+        _ALIGN_CACHE.clear()
+    _ALIGN_CACHE[key] = ok
+    return ok
+
+
+def _python_scan_per_range(spark: SparkSession, paths: IndexPaths,
+                           kernel, buckets: list[int], terms: list[str],
+                           need_positions: bool = False
+                           ) -> DataFrame | None:
+    """Fused postings scan + per-range kernel with PYTHON-NATIVE I/O:
+    one Spark task per postings FILE; the task reads its file with
+    pyarrow (``filters=`` gives C++-side bucket/term row-group pruning,
+    the same pruning the JVM scan did) and runs the scoring kernel on
+    each whole range inside it — the postings bytes never cross the
+    JVM↔Python Arrow socket and the ``groupBy(range_id)`` EXCHANGE
+    disappears (every range's rows live in exactly one file by the
+    build's range-alignment invariant, for both the JVM and the pyio
+    writer).
+
+    Why (BENCH.md §6 round-5 diagnosis): the kernel scales 1→4 cores
+    like the Spark-free pool control (~0.86) while the JVM→Arrow
+    transfer path scales at ~0.60 — the boundary doubles memory traffic
+    and hits the shared-bandwidth wall first; for the 2048-query batch
+    the transfer is the whole pruned postings table plus a shuffle of
+    it. ``need_positions=False`` additionally prunes the ``poss``
+    column (dead weight for pure BM25 — the JVM path shipped it).
+
+    Returns None when the layout doesn't allow it (non-local postings,
+    or the legacy ``bucket=N/`` partitioned dirs whose files lack the
+    bucket column) — callers fall back to the JVM scan. Disable
+    globally with SPARK_GRAFT_PYSCAN=0.
+    """
+    import glob
+    import os
+
+    if os.environ.get("SPARK_GRAFT_PYSCAN", "1") == "0":
+        return None
+    from .indexer import _is_local_path
+
+    if not _is_local_path(paths.postings, spark):
+        return None
+    files = sorted(glob.glob(os.path.join(paths.postings, "*.parquet")))
+    if not files or not _ranges_file_aligned(files):
+        return None
+    bucket_list = sorted(int(b) for b in buckets)
+    term_list = sorted(terms)
+
+    def task(it):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        # Spark's task slots are the parallelism; Arrow's own pool
+        # defaults to ALL host CPUs per process (oversubscription)
+        pa.set_cpu_count(1)
+        pa.set_io_thread_count(1)
+        filters = [("bucket", "in", bucket_list),
+                   ("term", "in", term_list)]
+        for fdf in it:
+            for path in fdf["path"]:
+                pf_names = pq.ParquetFile(path).schema_arrow.names
+                cols = [c for c in pf_names
+                        if need_positions or c != "poss"]
+                tbl = pq.read_table(path, columns=cols, filters=filters,
+                                    use_threads=False)
+                if tbl.num_rows == 0:
+                    continue
+                pdf = tbl.to_pandas()
+                for _rid, grp in pdf.groupby("range_id", sort=False):
+                    out = kernel(grp)
+                    if len(out):
+                        yield out
+
+    fdf = spark.createDataFrame([(p,) for p in files], "path string")
+    return (fdf.repartition(len(files))
+            .mapInPandas(task, schema=RESULT_SCHEMA))
+
+
 def _weighted_qinfo(q_terms: dict, idfs: dict) -> dict:
     """{query_id: {term: idf · occurrence-count}} — BM25 scores accumulate
     once per query-term OCCURRENCE (oracle.py:53-64 semantics), so repeated
@@ -450,12 +572,14 @@ def search(spark: SparkSession, index_dir: str, queries: list[tuple[int, str]],
                                        after_spec=after, msm_spec=msm_spec),
                          schema=RESULT_SCHEMA))
     else:
-        per_range = (postings
-                     .groupBy("range_id")
-                     .applyInPandas(_score_kernel(qinfo, k, stats, prune,
-                                                  after_spec=after,
-                                                  msm_spec=msm_spec),
-                                    schema=RESULT_SCHEMA))
+        kern = _score_kernel(qinfo, k, stats, prune, after_spec=after,
+                             msm_spec=msm_spec)
+        per_range = _python_scan_per_range(spark, paths, kern, buckets,
+                                           live_terms)
+        if per_range is None:
+            per_range = (postings
+                         .groupBy("range_id")
+                         .applyInPandas(kern, schema=RESULT_SCHEMA))
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("doc_id").asc())
     return (per_range
@@ -641,10 +765,13 @@ def phrase_search(spark: SparkSession, index_dir: str,
                                         slop=slop),
                          schema=RESULT_SCHEMA))
     else:
-        per_range = (postings.groupBy("range_id")
-                     .applyInPandas(_phrase_kernel(qinfo, k, stats,
-                                                   slop=slop),
-                                    schema=RESULT_SCHEMA))
+        kern = _phrase_kernel(qinfo, k, stats, slop=slop)
+        per_range = _python_scan_per_range(spark, paths, kern, buckets,
+                                           live_terms,
+                                           need_positions=True)
+        if per_range is None:
+            per_range = (postings.groupBy("range_id")
+                         .applyInPandas(kern, schema=RESULT_SCHEMA))
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("doc_id").asc())
     return (per_range
@@ -787,9 +914,12 @@ class Searcher:
                                            filtered=True),
                              schema=RESULT_SCHEMA))
         else:
-            per_range = (postings.groupBy("range_id")
-                         .applyInPandas(_score_kernel(qinfo, k, stats, prune),
-                                        schema=RESULT_SCHEMA))
+            kern = _score_kernel(qinfo, k, stats, prune)
+            per_range = _python_scan_per_range(self.spark, self.paths,
+                                               kern, buckets, live_terms)
+            if per_range is None:
+                per_range = (postings.groupBy("range_id")
+                             .applyInPandas(kern, schema=RESULT_SCHEMA))
         w = Window.partitionBy("query_id").orderBy(
             F.col("score").desc(), F.col("doc_id").asc())
         return (per_range
