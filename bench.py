@@ -368,6 +368,17 @@ def index_once(cores: int, index_dir: str) -> tuple[float, float]:
         docs = spark.read.parquet(f"{index_dir}/docs")
         (docs.limit(cores * 256).repartition(cores)
          .select(token_count_udf("text")).count())  # warm-up, all workers
+        # warm the ArrowPythonRunner/mapInPandas path too: the FIRST
+        # mapInPandas job in a JVM pays ~2.5s of one-time init (measured
+        # round 5; JIT + runner setup) that a UDF warm-up does not touch —
+        # steady-state throughput is what the two parallelism levels are
+        # being compared on.
+        def _idpdf(it):
+            for pdf in it:
+                yield pdf
+        (docs.limit(cores * 8).repartition(cores)
+         .select("doc_id").mapInPandas(_idpdf, schema="doc_id long")
+         .count())
         _gate()
         t0 = time.monotonic()
         paths = build_postings(spark, index_dir, num_ranges=NUM_RANGES,

@@ -384,7 +384,8 @@ def _postings_arrow_schema():
 
 def _spimi_python_io(spark: SparkSession, paths: IndexPaths,
                      n_buckets: int, mode: str,
-                     completed_ranges: set[int] | None) -> bool:
+                     completed_ranges: set[int] | None,
+                     collect_meta: bool = False):
     """The SPIMI stage with PYTHON-NATIVE I/O: Spark schedules one task
     per range-aligned docs FILE; the task reads its file with pyarrow,
     runs the same :func:`_spimi_batches` kernel, and writes its postings
@@ -412,6 +413,19 @@ def _spimi_python_io(spark: SparkSession, paths: IndexPaths,
 
     Returns False when the layout doesn't allow it (no local
     range-aligned docs files) — the caller falls back to the JVM path.
+
+    ``collect_meta=True`` (small-index builds only): each task also
+    YIELDS the two derived-tables grouping-set partials it can compute
+    locally — the manifest row of every range it wrote (complete: a
+    range never spans files) and its per-term (df, cf) partial sums —
+    and the function returns the collected partials DataFrame instead
+    of True. :func:`refresh_derived_tables` then finishes the
+    dictionary/manifest with a pandas groupby, so the whole build is
+    ONE Spark job: the epilogue's separate scan+aggregate job (the
+    serial Amdahl term of whole-job scaling) disappears. The collect
+    is bounded by Σ per-file vocabulary, which the
+    SMALL_DERIVED_DOCS_MAX guard keeps driver-sized; web-scale builds
+    keep the distributed epilogue.
     """
     import glob as _glob
     import os
@@ -472,14 +486,62 @@ def _spimi_python_io(spark: SparkSession, paths: IndexPaths,
                     out, schema=_postings_arrow_schema(),
                     preserve_index=False)
                 pq.write_table(patbl, fname, compression="snappy")
-                yield pd.DataFrame({"n_files": [1],
-                                    "n_rows": [len(out)]})
+                if not collect_meta:
+                    yield pd.DataFrame({"gid": [0], "term": [None],
+                                        "range_id": [-1],
+                                        "sum_n": [len(out)],
+                                        "sum_cf": [0], "n_terms": [0],
+                                        "bytes": [0], "wall_ms": [0]})
+                    continue
+                # derived-tables partials, computed while `out` is hot:
+                # gid=2 manifest rows (complete — a range never spans
+                # files), gid=1 per-term dictionary partial sums.
+                man = (out.groupby("range_id", sort=False)
+                       .agg(sum_n=("n", "sum"), n_terms=("term", "size"),
+                            bytes=("n_bytes", "sum"),
+                            wall_ms=("wall_ms", "max"))
+                       .reset_index())
+                man["gid"] = 2
+                man["term"] = None
+                man["sum_cf"] = 0
+                dic = (out.groupby("term", sort=False)
+                       .agg(sum_n=("n", "sum"), sum_cf=("cf", "sum"))
+                       .reset_index())
+                dic["gid"] = 1
+                dic["range_id"] = -1
+                dic["n_terms"] = 0
+                dic["bytes"] = 0
+                dic["wall_ms"] = 0
+                cols = ["gid", "term", "range_id", "sum_n", "sum_cf",
+                        "n_terms", "bytes", "wall_ms"]
+                yield pd.concat([man[cols], dic[cols]],
+                                ignore_index=True)
 
-    fdf = spark.createDataFrame([(p,) for p in files], "path string")
-    (fdf.repartition(len(files))
-        .mapInPandas(task, schema="n_files long, n_rows long")
-        .collect())
-    return True
+    # task granularity: ~2 waves of slots. Each mapInPandas task costs a
+    # fixed JVM↔worker turnaround (~0.25s measured), so one-file-per-task
+    # serializes len(files)×0.25s of overhead through the scheduler when
+    # files outnumber slots — pack files into min(len(files), 2·slots)
+    # bins instead, largest-first (LPT): even bins, short straggler tail,
+    # and the per-task constant is paid O(slots) times, not O(files).
+    # On a real cluster slots ≫ files/2 keeps one file per task.
+    slots = max(1, spark.sparkContext.defaultParallelism)
+    n_bins = max(1, min(len(files), 2 * slots))
+    bins: list[list[str]] = [[] for _ in range(n_bins)]
+    loads = [0] * n_bins
+    for f in sorted(files, key=os.path.getsize, reverse=True):
+        i = loads.index(min(loads))
+        bins[i].append(f)
+        loads[i] += os.path.getsize(f)
+    bins.sort(key=lambda b: -sum(os.path.getsize(f) for f in b))
+    rdd = (spark.sparkContext
+           .parallelize([[(p,) for p in b] for b in bins], n_bins)
+           .flatMap(lambda rows: rows))
+    meta = (spark.createDataFrame(rdd, "path string")
+            .mapInPandas(task, schema=(
+                "gid int, term string, range_id int, sum_n long, "
+                "sum_cf long, n_terms long, bytes long, wall_ms long"))
+            .toPandas())
+    return meta if collect_meta else True
 
 
 def build_postings(spark: SparkSession, out_dir: str,
@@ -540,8 +602,22 @@ def build_postings(spark: SparkSession, out_dir: str,
             use_pyio = ("range_id" in docs_tbl.columns
                         and not (mode == "append"
                                  and _bucket_partitioned(paths.postings)))
-        if use_pyio and _spimi_python_io(spark, paths, n_buckets, mode,
-                                         completed_ranges):
+        # piggy-back the derived-tables partials on the SPIMI job itself
+        # only when the whole index is being (re)built small enough for
+        # the driver-side epilogue — on append/resume the partials would
+        # miss the already-committed ranges.
+        want_meta = (N <= SMALL_DERIVED_DOCS_MAX and mode == "overwrite"
+                     and not completed_ranges)
+        meta_partials = None
+        pyio_done = False
+        if use_pyio:
+            r = _spimi_python_io(spark, paths, n_buckets, mode,
+                                 completed_ranges, collect_meta=want_meta)
+            if r is not False:
+                pyio_done = True
+                if want_meta and isinstance(r, pd.DataFrame):
+                    meta_partials = r
+        if pyio_done:
             tick("spimi_write")
         else:
             if "range_id" in docs_tbl.columns:
@@ -587,7 +663,7 @@ def build_postings(spark: SparkSession, out_dir: str,
     refresh_derived_tables(spark, paths, N=N, avgdl=avgdl,
                            docs_per_range=docs_per_range,
                            num_ranges=num_ranges, n_buckets=n_buckets,
-                           _tick=tick)
+                           meta_partials=meta_partials, _tick=tick)
     # stage wall-clock breakdown (spimi_write = the parallel kernel+write;
     # the rest is the small derived-tables epilogue) — bench.py reads this
     # to report kernel-level scaling next to whole-job scaling
@@ -599,6 +675,7 @@ def refresh_derived_tables(spark: SparkSession, paths: IndexPaths, *,
                            N: int, avgdl: float, docs_per_range: int,
                            num_ranges: int, n_buckets: int,
                            refresh_doc_stats: bool = False,
+                           meta_partials: pd.DataFrame | None = None,
                            _tick=None) -> None:
     """dictionary / stats / manifest from the postings table (shared by
     build, maintenance, and streaming rollback).
@@ -623,22 +700,44 @@ def refresh_derived_tables(spark: SparkSession, paths: IndexPaths, *,
     # serial Amdahl term of whole-job scaling at toy corpus sizes — one
     # scan + one aggregation is the floor for it.
     use_small = N <= SMALL_DERIVED_DOCS_MAX
-    meta_cols = spark.read.parquet(paths.postings).select(
-        "term", "range_id", "n", "cf", "n_bytes", "wall_ms")
-    fused = (meta_cols
-             .groupingSets([["term"], ["range_id"]], "term", "range_id")
-             .agg(F.sum("n").alias("sum_n"), F.sum("cf").alias("sum_cf"),
-                  F.countDistinct("term").alias("n_terms"),
-                  F.sum("n_bytes").alias("bytes"),
-                  F.max("wall_ms").alias("wall_ms"),
-                  F.grouping_id().alias("gid")))
-    if not use_small:
-        # two write jobs read the aggregate → materialize it once
-        fused = fused.persist()
-    # small path: ONE parallel collect of the aggregate (scan+agg tasks
-    # still run at full parallelism; only the tiny result crosses to the
-    # driver) — no persist, no second job, no CollectLimit funnel
-    probe = fused.toPandas() if use_small else None
+    fused = None
+    if meta_partials is not None and use_small:
+        # the SPIMI tasks already returned the two grouping-set partials
+        # (piggy-backed on the build job): finish them with a pandas
+        # groupby — NO epilogue Spark job at all. Manifest (gid=2) rows
+        # arrive complete (a range never spans files); dictionary
+        # (gid=1) partial sums fold across files here.
+        mp = meta_partials[meta_partials["gid"] != 0]
+        d = (mp[mp["gid"] == 1]
+             .groupby("term", sort=False, as_index=False)
+             .agg(sum_n=("sum_n", "sum"), sum_cf=("sum_cf", "sum")))
+        d["gid"] = 1
+        d["range_id"] = None
+        d["n_terms"] = 0
+        d["bytes"] = 0
+        d["wall_ms"] = 0
+        m = mp[mp["gid"] == 2].copy()
+        probe = pd.concat([d, m], ignore_index=True)
+    else:
+        meta_cols = spark.read.parquet(paths.postings).select(
+            "term", "range_id", "n", "cf", "n_bytes", "wall_ms")
+        fused = (meta_cols
+                 .groupingSets([["term"], ["range_id"]],
+                               "term", "range_id")
+                 .agg(F.sum("n").alias("sum_n"),
+                      F.sum("cf").alias("sum_cf"),
+                      F.countDistinct("term").alias("n_terms"),
+                      F.sum("n_bytes").alias("bytes"),
+                      F.max("wall_ms").alias("wall_ms"),
+                      F.grouping_id().alias("gid")))
+        if not use_small:
+            # two write jobs read the aggregate → materialize it once
+            fused = fused.persist()
+        # small path: ONE parallel collect of the aggregate (scan+agg
+        # tasks still run at full parallelism; only the tiny result
+        # crosses to the driver) — no persist, no second job, no
+        # CollectLimit funnel
+        probe = fused.toPandas() if use_small else None
 
     # split the grouping-sets result by grouping_id, NOT column nullness:
     # gid = grouping(term)·2 + grouping(range_id), so the (term) set is
