@@ -49,6 +49,14 @@ def _tokens(text_col):
                     lambda t: t != "")
 
 
+def _ntokens(text_col):
+    """size(_tokens(c)) as one codegen regexp_count — token-COUNT
+    consumers skip the array materialization and the per-element
+    interpreted lambda of the higher-order filter (bit-identical: both
+    count maximal [0-9a-z]+ runs of the lowercased text)."""
+    return F.regexp_count(F.lower(text_col), F.lit("[0-9a-z]+"))
+
+
 _TOKS_SQL = ("list_filter(regexp_split_to_array(lower(text), '[^0-9a-z]+'), "
              "t -> t <> '')")
 
@@ -86,7 +94,7 @@ def _brute_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("term"))
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     # dl over ALL docs (zero-token docs included) — matches len(list) oracle
-    dl = docs.select("doc_id", F.size(_tokens(F.col("text"))).alias("dl"))
+    dl = docs.select("doc_id", _ntokens(F.col("text")).alias("dl"))
     srow = dl.agg(F.count("*").alias("N"), F.avg("dl").alias("avgdl")).collect()[0]
     N, avgdl = float(srow["N"]), float(srow["avgdl"])
     qdf = spark.createDataFrame(
@@ -223,8 +231,15 @@ def _ensure_engine_index(spark: SparkSession, sf_dir: str) -> str:
                         warc_ts.alias("warc_ts"), "embedding",
                         F.coalesce(F.lag(docs.text).over(w_prev), F.lit(""))
                         .alias("text_prev")))
-        build_index(spark, unit, out, num_ranges=8, n_buckets=8,
-                    id_partitions=8)
+        # ranges = session cores (floor 8): doc_ids/scores are
+        # layout-independent (global url rank), so results are identical
+        # at any range count — but the tokenize/SPIMI stages parallelize
+        # per range, and the previous fixed 8 left 3/4 of a 32-core box
+        # idle during this build (the dominant cost of the first hybrid/
+        # engine entry in a session)
+        par = max(8, min(32, spark.sparkContext.defaultParallelism))
+        build_index(spark, unit, out, num_ranges=par, n_buckets=8,
+                    id_partitions=par)
         _BUILT_INDEXES.add(out)
     return out
 
@@ -3429,7 +3444,7 @@ SELECT query_id, rank, doc_id, score FROM (
 
 def _corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
-    dl = docs.select("doc_id", F.size(_tokens(F.col("text"))).alias("dl"))
+    dl = docs.select("doc_id", _ntokens(F.col("text")).alias("dl"))
     return dl.agg(
         F.count("*").cast("long").alias("n_docs"),
         F.round(F.avg("dl"), 6).alias("avgdl"),
@@ -3473,7 +3488,7 @@ SELECT rank, term, df FROM (
 
 def _doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _docs(spark, sf_dir).select(
-        "doc_id", F.size(_tokens(F.col("text"))).cast("long").alias("n_tokens"))
+        "doc_id", _ntokens(F.col("text")).cast("long").alias("n_tokens"))
 
 
 _DOC_TOKEN_SQL = f"SELECT doc_id, len({_TOKS_SQL})::BIGINT AS n_tokens FROM documents"

@@ -45,29 +45,44 @@ def _tokens(text_col):
     )
 
 
+def _stop_count_re(words) -> str:
+    """Regex counting tokens ∈ ``words``: the token-boundary lookarounds
+    pin each alternative to a WHOLE ``[0-9a-z]+`` run (backtracking tries
+    every alternative at a position, so alternation order is irrelevant) —
+    count of matches == count of tokens in the set, with no array
+    materialization or per-element interpreted lambda."""
+    return f"(?<![0-9a-z])(?:{'|'.join(words)})(?![0-9a-z])"
+
+
 def quality_scores(df: DataFrame, id_col: str = "doc_id",
                    text_col: str = "text") -> DataFrame:
     """Per-doc quality features: token count, mean token length, stopword
-    ratio (en), alpha ratio — the usual pre-training quality filters."""
-    toks = _tokens(F.col(text_col))
-    en_stop = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
-    n_tok = F.size(toks)
+    ratio (en), alpha ratio — the usual pre-training quality filters.
+
+    Pure regexp codegen expressions (regexp_count / regexp_replace): the
+    previous split→filter→aggregate higher-order-function pipeline ran
+    the Catalyst lambda interpreter per token (HOFs never reach
+    whole-stage codegen) and materialized a token array per row; counts
+    and sums over character runs need neither. Verified exactly equal
+    (bit-for-bit, all four columns) against the HOF form on the bench
+    corpus."""
+    low = F.lower(F.col(text_col))
+    n_tok = F.regexp_count(low, F.lit(_TOKEN_SQL_RE))
+    sum_len = F.length(F.regexp_replace(low, "[^0-9a-z]", ""))
+    stop_n = F.regexp_count(low, F.lit(_stop_count_re(STOPWORDS["en"])))
     return df.select(
         F.col(id_col),
         n_tok.cast("long").alias("n_tokens"),
         F.round(
-            F.when(n_tok > 0,
-                   F.aggregate(toks, F.lit(0).cast("long"),
-                               lambda acc, t: acc + F.length(t))
-                   .cast("double") / n_tok).otherwise(F.lit(0.0)), 6
+            F.when(n_tok > 0, sum_len.cast("double") / n_tok)
+            .otherwise(F.lit(0.0)), 6
         ).alias("mean_token_len"),
         F.round(
-            F.when(n_tok > 0,
-                   F.size(F.filter(toks, lambda t: F.array_contains(en_stop, t)))
-                   .cast("double") / n_tok).otherwise(F.lit(0.0)), 6
+            F.when(n_tok > 0, stop_n.cast("double") / n_tok)
+            .otherwise(F.lit(0.0)), 6
         ).alias("stopword_ratio"),
         F.round(
-            (F.length(F.regexp_replace(F.lower(F.col(text_col)), "[^a-z]", ""))
+            (F.length(F.regexp_replace(low, "[^a-z]", ""))
              .cast("double") /
              F.greatest(F.length(text_col), F.lit(1))), 6
         ).alias("alpha_ratio"),
@@ -109,11 +124,13 @@ def lang_id(df: DataFrame, id_col: str = "doc_id",
     the operator is about the dataflow shape, exercised for real on the
     Korean/mixed fixture rows.)
     """
-    toks = _tokens(F.col(text_col))
+    low = F.lower(F.col(text_col))
 
     def stop_count(words):
-        arr = F.array(*[F.lit(w) for w in words])
-        return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+        # regexp_count with token-boundary lookarounds == size(filter(
+        # tokens, in-set)) — see :func:`_stop_count_re`; codegen, no
+        # per-token interpreted lambda, no token-array materialization
+        return F.regexp_count(low, F.lit(_stop_count_re(words)))
 
     counts = [stop_count(words).alias(f"n_{lang}")
               for lang, words in STOPWORDS.items()]

@@ -180,8 +180,12 @@ def _python_scan_per_range(spark: SparkSession, paths: IndexPaths,
                     if len(out):
                         yield out
 
-    fdf = spark.createDataFrame([(p,) for p in files], "path string")
-    return (fdf.repartition(len(files))
+    # one path per partition via parallelize — the previous
+    # createDataFrame(...).repartition(len(files)) paid a full shuffle
+    # stage (plus an AQE query stage) per search call just to spread a
+    # tiny path list
+    rdd = spark.sparkContext.parallelize([(p,) for p in files], len(files))
+    return (spark.createDataFrame(rdd, "path string")
             .mapInPandas(task, schema=RESULT_SCHEMA))
 
 
