@@ -327,31 +327,111 @@ def prepare_docs(spark: SparkSession, docs_df: DataFrame, out_dir: str,
     Separated from :func:`build_postings` so the indexing job proper can be
     rerun/benchmarked/resumed against a fixed docs table (and at real scale
     the extract+prepare pass is I/O-bound while indexing is CPU-bound —
-    different cluster shapes)."""
-    from .analyzer import token_count_udf
+    different cluster shapes).
+
+    FUSED write (guide §4.1/§2.4): the id-assign ``mapInPandas`` computes
+    ``dl`` itself (one Arrow tokenize per batch) instead of a second
+    ``token_count_udf`` ArrowEvalPython node — the text column crosses
+    the JVM↔Python boundary ONCE, not twice. On a local FS with a
+    driver-sized corpus each task additionally side-writes its
+    partition's ``doc_stats`` (doc_id, dl) file with pyarrow
+    (deterministic per-partition names — retries overwrite idempotently,
+    the :func:`_spimi_python_io` pattern) and the N/sum_dl meta comes
+    from one driver-side pandas read — the separate doc_stats-write and
+    aggregate Spark jobs disappear (3 jobs instead of 5 per build).
+    Non-local targets / web-scale corpora keep the distributed writes."""
+    import os
+    import shutil
 
     paths = IndexPaths(out_dir)
-    with_ids = assign_doc_ids(docs_df, partitions=id_partitions,
-                              with_range_id=True)
+    ranged = (docs_df
+              .repartitionByRange(id_partitions, "url")
+              .sortWithinPartitions("url")
+              .withColumn("_pid", F.spark_partition_id()))
+    ranged = ranged.persist()
     try:
-        docs = with_ids.withColumn("dl", token_count_udf(F.col("text")))
+        counts = dict(
+            (r["_pid"], r["cnt"])
+            for r in ranged.groupBy("_pid").agg(
+                F.count("*").alias("cnt")).collect()
+        )
+        offsets = {}
+        acc = 0
+        for pid in sorted(counts):
+            offsets[pid] = acc
+            acc += counts[pid]
+        N = acc
+        local_stats = (_is_local_path(paths.doc_stats, spark)
+                       and N <= SMALL_DERIVED_DOCS_MAX)
+        stats_dir = paths.doc_stats
+        if local_stats:
+            shutil.rmtree(stats_dir, ignore_errors=True)
+            os.makedirs(stats_dir, exist_ok=True)
+
+        out_schema = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}"
+            for f in docs_df.schema.fields
+        ) + ", doc_id long, range_id int, dl int"
+
+        def add_ids(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            pa.set_cpu_count(1)
+            pa.set_io_thread_count(1)
+            seen = 0
+            pid = None
+            stat_chunks: list[pd.DataFrame] = []
+            for pdf in it:
+                if len(pdf) == 0:
+                    continue
+                pid = int(pdf["_pid"].iloc[0])
+                base = offsets[pid] + seen
+                seen += len(pdf)
+                out = pdf.drop(columns=["_pid"])
+                ids = np.arange(base, base + len(pdf), dtype=np.int64)
+                out["doc_id"] = ids
+                out["range_id"] = np.full(len(pdf), pid, dtype=np.int32)
+                # dl computed HERE (same Arrow kernel as token_count_udf)
+                # instead of a second Python crossing of the text column
+                dl = tokenize_arrow_batch(pdf["text"])["dl"].astype("int32")
+                out["dl"] = dl
+                if local_stats:
+                    stat_chunks.append(pd.DataFrame(
+                        {"doc_id": ids, "dl": dl}))
+                yield out
+            if local_stats and stat_chunks:
+                st = pd.concat(stat_chunks, ignore_index=True)
+                pq.write_table(
+                    pa.Table.from_pandas(st, preserve_index=False),
+                    os.path.join(stats_dir, f"part-r{pid:05d}.parquet"))
+
         # one file per id-partition → each docs file holds exactly one doc
         # range; build_postings exploits this to run with ZERO shuffle
+        docs = ranged.mapInPandas(add_ids, schema=out_schema)
         docs.write.mode("overwrite").parquet(paths.docs)
     finally:
         # unpersist even when the write fails: repeated builds in one
         # session must not accumulate cached partitions
-        with_ids._persisted_input.unpersist()
+        ranged.unpersist()
     # docs-derived tables belong to phase A: they never change during the
     # indexing job, so the job itself doesn't pay for them (and doesn't
     # rescan docs for N/avgdl — docs_meta is a one-row point read)
-    docs_tbl = spark.read.parquet(paths.docs)
-    (docs_tbl.select("doc_id", "dl")
-     .write.mode("overwrite").parquet(paths.doc_stats))
-    g = docs_tbl.agg(F.count("*").alias("N"),
-                     F.sum("dl").alias("sum_dl")).collect()[0]
-    N = int(g["N"])
-    sum_dl = int(g["sum_dl"] or 0)
+    if local_stats:
+        try:
+            st = pd.read_parquet(stats_dir, columns=["dl"])
+            sum_dl = int(st["dl"].sum())
+        except Exception:  # empty corpus: no side-written files
+            write_small_table(spark, pd.DataFrame(
+                {"doc_id": pd.Series(dtype="int64"),
+                 "dl": pd.Series(dtype="int32")}), stats_dir)
+            sum_dl = 0
+    else:
+        docs_tbl = spark.read.parquet(paths.docs)
+        (docs_tbl.select("doc_id", "dl")
+         .write.mode("overwrite").parquet(paths.doc_stats))
+        g = docs_tbl.agg(F.sum("dl").alias("sum_dl")).collect()[0]
+        sum_dl = int(g["sum_dl"] or 0)
     meta = pd.DataFrame([{"N": N, "sum_dl": sum_dl,
                           "avgdl": (sum_dl / N) if N else 0.0}])
     write_small_table(spark, meta, paths.docs_meta)
