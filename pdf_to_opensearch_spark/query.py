@@ -180,11 +180,31 @@ def _python_scan_per_range(spark: SparkSession, paths: IndexPaths,
                     if len(out):
                         yield out
 
-    # one path per partition via parallelize — the previous
-    # createDataFrame(...).repartition(len(files)) paid a full shuffle
-    # stage (plus an AQE query stage) per search call just to spread a
-    # tiny path list
-    rdd = spark.sparkContext.parallelize([(p,) for p in files], len(files))
+    # task granularity (round 6): each mapInPandas task pays a fixed
+    # JVM↔worker turnaround (closure deserialize — the query batch's
+    # qinfo rides in the closure — plus scheduling), so one-file-per-task
+    # charges that constant once per FILE. Pack files into
+    # min(len(files), max(8, 2·slots)) LPT bins instead: the constant is
+    # paid O(bins) times, and the parallelism-independent floor keeps the
+    # physical task layout identical across core counts (the same
+    # fixed-granularity choice as the bench's pool control), so scaling
+    # ratios measure the kernel, not the task-count asymmetry.
+    # One path per partition via parallelize — a createDataFrame(...)
+    # .repartition(...) would pay a shuffle stage per search call.
+    import os as _os
+
+    slots = max(1, spark.sparkContext.defaultParallelism)
+    n_bins = min(len(files), max(8, 2 * slots))
+    bins: list[list[str]] = [[] for _ in range(n_bins)]
+    loads = [0] * n_bins
+    for f in sorted(files, key=_os.path.getsize, reverse=True):
+        i = loads.index(min(loads))
+        bins[i].append(f)
+        loads[i] += _os.path.getsize(f)
+    bins.sort(key=lambda b: -sum(_os.path.getsize(f) for f in b))
+    rdd = (spark.sparkContext
+           .parallelize([[(p,) for p in b] for b in bins], n_bins)
+           .flatMap(lambda rows: rows))
     return (spark.createDataFrame(rdd, "path string")
             .mapInPandas(task, schema=RESULT_SCHEMA))
 
@@ -268,6 +288,17 @@ def _score_kernel(qinfo: dict, k: int, stats: IndexStats, prune: bool,
     matched-term tally.
     """
     k1, b, avgdl = stats.k1, stats.b, stats.avgdl
+    # dense-accumulator batch path (guide §1.2 "the distributed algorithm
+    # first"): eligible when nothing query-specific constrains the doc set
+    # — per-doc sums are bit-identical to the loop path (see score_range)
+    # ≥16 queries: dense per-query work is O(range span), which only
+    # beats the loop when a batch amortizes the per-range setup — and
+    # small declared query sets (3-5 queries, oracle-hash-gated) keep the
+    # loop path byte-for-byte (the dense accumulator's per-doc sums can
+    # differ from np.add.reduceat's SIMD association by 1 ULP)
+    dense_ok = (not prune and not filtered and not bool_spec
+                and not after_spec and not msm_spec and len(qinfo) >= 16)
+    batch_terms = sorted({t for ti in qinfo.values() for t in ti})
 
     def score_cogroup(pdf: pd.DataFrame, allowed: pd.DataFrame) -> pd.DataFrame:
         out = score_range(pdf, allowed["doc_id"].to_numpy(np.int64))
@@ -294,6 +325,75 @@ def _score_kernel(qinfo: dict, k: int, stats: IndexStats, prune: bool,
                     ids, tfs, dls = ids[m], tfs[m], dls[m]
                 got = dec_cache[t] = (ids, tfs, dls)
             return got
+
+        # ---- dense-accumulator batch path (round 6): a doc range is a
+        # CONTIGUOUS doc_id span, so scores accumulate into a direct-
+        # offset array (col = doc_id - range_min): no per-query concat,
+        # no argsort, no reduceat. Contributions are strictly positive
+        # and added in the same per-query term order as the loop path
+        # (and IEEE 0.0 + x == x, so the zeros start adds nothing);
+        # differential-tested equal to the loop on ranks/doc sets — raw
+        # scores can differ from np.add.reduceat's SIMD-internal
+        # association by 1 ULP, which is why dense_ok requires a ≥16
+        # query batch (oracle-gated small query sets never come here).
+        # Gated on density — per-query work is O(ncols), which only
+        # beats the loop's O(Σ|lists| · log) when the batch touches most
+        # columns; sparse workloads keep the loop.
+        if dense_ok:
+            live: dict[str, tuple] = {}
+            lo_id = hi_id = None
+            nnz = 0
+            for t in batch_terms:
+                if t not in by_term:
+                    continue
+                ids, tfs, dls = get_decoded(t)
+                if ids.size == 0:
+                    continue
+                c = norm_cache.get(t)
+                if c is None:
+                    c = norm_cache[t] = tf_norm(tfs, dls, avgdl, k1, b)
+                live[t] = (ids, c)
+                nnz += ids.size
+                lo_id = ids[0] if lo_id is None else min(lo_id, ids[0])
+                hi_id = ids[-1] if hi_id is None else max(hi_id, ids[-1])
+            ncols = 0 if lo_id is None else int(hi_id) - int(lo_id) + 1
+            if live and 0 < ncols <= 8_000_000 and nnz >= ncols:
+                lo_id = int(lo_id)
+                cols = {t: ids - lo_id for t, (ids, _c) in live.items()}
+                out_q, out_d, out_s = [], [], []
+                for query_id, term_idfs in qinfo.items():
+                    acc = np.zeros(ncols)
+                    n_hit = 0
+                    for t, w in term_idfs.items():
+                        tl = live.get(t)
+                        if tl is None:
+                            continue
+                        acc[cols[t]] += w * tl[1]
+                        n_hit += 1
+                    if n_hit == 0:
+                        continue
+                    uniq0 = np.flatnonzero(acc > 0.0)
+                    if uniq0.size == 0:
+                        continue
+                    accm = acc[uniq0]
+                    uniq = (uniq0 + lo_id).astype(np.int64)
+                    top = min(k, uniq.size)
+                    if uniq.size > top:
+                        kth = np.partition(
+                            accm, accm.size - top)[accm.size - top]
+                        mm = accm >= kth
+                        cand_u, cand_a = uniq[mm], accm[mm]
+                    else:
+                        cand_u, cand_a = uniq, accm
+                    order = np.lexsort((cand_u, -cand_a))[:top]
+                    out_q.extend([query_id] * top)
+                    out_d.extend(cand_u[order].tolist())
+                    out_s.extend(cand_a[order].tolist())
+                return pd.DataFrame({
+                    "query_id": pd.Series(out_q, dtype="int32"),
+                    "doc_id": pd.Series(out_d, dtype="int64"),
+                    "score": pd.Series(out_s, dtype="float64"),
+                })
 
         # NOTE: a fully-batched variant (one global (query,doc) key sort
         # across the query set) was tried and measured 4× SLOWER than this

@@ -160,6 +160,27 @@ def test_batch_kernel_matches_per_query(spark, index_dir, corpus):
                                    [s for _, s in want], atol=1e-6)
 
 
+def test_dense_batch_path_matches_loop_path(spark, index_dir):
+    """The round-6 dense-accumulator batch kernel (fires at ≥16 queries,
+    prune=False, no filter/specs) must agree with the per-query loop
+    path: identical doc sets and ranks, scores equal to ≤1 ULP (the
+    accumulator's sequential adds vs np.add.reduceat's SIMD-internal
+    association). minimum_should_match=1 forces the loop path without
+    changing semantics (every matched doc matches ≥1 term)."""
+    big = [(i, q) for i, (qid, q) in enumerate(QUERIES * 3)]
+    assert len(big) >= 16
+    dense = (search(spark, index_dir, big, k=K, prune=False).toPandas()
+             .sort_values(["query_id", "rank"], ignore_index=True))
+    loop = (search(spark, index_dir, big, k=K, prune=False,
+                   minimum_should_match=1).toPandas()
+            .sort_values(["query_id", "rank"], ignore_index=True))
+    assert list(dense["query_id"]) == list(loop["query_id"])
+    assert list(dense["rank"]) == list(loop["rank"])
+    assert list(dense["doc_id"]) == list(loop["doc_id"])
+    np.testing.assert_allclose(dense["score"].to_numpy(),
+                               loop["score"].to_numpy(), rtol=1e-14)
+
+
 def test_k_edge_cases(spark, index_dir, corpus):
     # k=0 → empty frame, not an error; k >> corpus → every matching doc,
     # ranks dense from 1
