@@ -168,10 +168,12 @@ def minhash_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
 
     With ``materialize=True`` (default) the candidate set — tiny by
     construction: it is bounded by the near-duplicate pair count — is
-    persisted and counted inside, after which the intermediate ``banded``
-    cache is released deterministically. ``materialize=False`` returns the
-    lazy plan (both intermediate frames stay persisted until the session's
-    LRU evicts them) — for plan inspection/tests only.
+    localCheckpoint'ed inside (materialized AND lineage-truncated, so
+    downstream consumers never re-analyze the signature DAG), after which
+    the intermediate ``banded`` cache is released deterministically.
+    ``materialize=False`` returns the lazy plan (intermediate frames stay
+    persisted until the session's LRU evicts them) — for plan
+    inspection/tests only.
     """
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n,
                               shingle_df=shingle_df, hash_family=hash_family)
@@ -210,15 +212,27 @@ def minhash_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
            .filter(F.col("bn") > max_bucket)
            .select("band", "bucket"))
     kept = banded.join(F.broadcast(big), ["band", "bucket"], "left_anti")
-    a = kept.select(F.col("id").alias("id_a"), "band", "bucket")
-    b = kept.select(F.col("id").alias("id_b"), "band", "bucket")
-    out = (a.join(b, ["band", "bucket"])
-           .filter(F.col("id_a") < F.col("id_b"))
-           .select("id_a", "id_b")
+    # pair generation via ONE groupBy + in-row combination explode (round
+    # 6): the previous a⋈b self-join shuffled the banded table twice and
+    # sorted/probed per bucket; collecting each bucket's ids (safe: the
+    # guard above bounds every surviving bucket at max_bucket) and
+    # exploding the i<j combinations inside the row emits the identical
+    # pair set with a single exchange and no join
+    grp = (kept.groupBy("band", "bucket")
+           .agg(F.collect_list("id").alias("ids"))
+           .filter(F.size("ids") >= 2))
+    out = (grp.select(F.explode("ids").alias("id_a"), "ids")
+           .select("id_a",
+                   F.explode(F.filter(F.col("ids"),
+                                      lambda x: x > F.col("id_a")))
+                   .alias("id_b"))
            .distinct())
     if materialize:
-        out = out.persist(StorageLevel.MEMORY_AND_DISK)
-        out.count()
+        # localCheckpoint materializes the (tiny) candidate set AND
+        # truncates its lineage — verification references the candidates
+        # twice, and without truncation every downstream action would
+        # re-analyze the whole shingle→signature→banding plan
+        out = out.localCheckpoint(eager=True)
         banded.unpersist()
     return out
 
@@ -257,6 +271,7 @@ def jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
         sh = distinct_shingles(df, id_col, text_col, shingle_n)
     else:
         sh = raw_shingles(df, id_col, text_col, shingle_n)
+    cand_shingles = None
     if candidates is not None:
         # shrink the shingle table to candidate docs BEFORE the heavy
         # self-join — avoids the all-pairs blowup at scale
@@ -269,6 +284,15 @@ def jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
         # flag, and the distinct runs over the candidate subset only
         if shingle_df is not None or not shingles_distinct:
             sh = sh.distinct()
+        # the candidate-restricted shingle sets feed THREE consumers
+        # (sizes, both self-join sides) — persist the tiny frame so the
+        # semi-join + distinct over the full shingle table runs once;
+        # exposed on the result as ``_cand_shingles`` so materializing
+        # callers can release it deterministically
+        from pyspark import StorageLevel
+
+        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+        cand_shingles = sh
     elif not shingles_distinct:
         sh = sh.distinct()
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
@@ -289,6 +313,7 @@ def jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
                        (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
            .filter(F.col("jaccard") >= threshold)
            .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")))
+    out._cand_shingles = cand_shingles
     return out
 
 
@@ -320,12 +345,16 @@ def minhash_near_duplicates(df: DataFrame, id_col: str = "doc_id",
                         candidates=cands, shingle_df=sh,
                         shingles_distinct=False)
     # materialize the (tiny) verified-pair result, then deterministically
-    # release the big shingle cache and the candidate cache — no frame
-    # outlives this call except the persisted result itself
+    # release the big shingle cache and the candidate-subset cache — no
+    # frame outlives this call except the persisted result itself (the
+    # candidate set is localCheckpoint'ed inside minhash_candidate_pairs;
+    # its blocks are freed by the context cleaner)
+    cand_sh = getattr(out, "_cand_shingles", None)
     out = out.persist(StorageLevel.MEMORY_AND_DISK)
     out.count()
     sh.unpersist()
-    cands.unpersist()
+    if cand_sh is not None:
+        cand_sh.unpersist()
     return out
 
 
