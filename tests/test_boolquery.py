@@ -112,6 +112,38 @@ def test_prefix_no_match_is_empty(spark, index_dir):
     assert len(got) == 0
 
 
+def test_prefix_batch_single_expansion_pass(spark, index_dir):
+    """Round-6 batching: a multi-prefix batch must (a) return exactly the
+    union of per-query results and (b) expand every prefix in ONE
+    dictionary job — the round-5 loop ran one Spark job per prefix."""
+    prefs = [(1, "po"), (2, "s"), (3, "do"), (4, "w00")]
+    per_q = {qid: (prefix_search(spark, index_dir, [(qid, p)], k=K)
+                   .toPandas().sort_values("rank", ignore_index=True))
+             for qid, p in prefs}
+    tracker = spark.sparkContext.statusTracker()
+
+    def count_jobs(tag, queries):
+        spark.sparkContext.setJobGroup(tag, "prefix batch")
+        try:
+            out = prefix_search(spark, index_dir, queries, k=K).toPandas()
+            return out, len(tracker.getJobIdsForGroup(tag))
+        finally:
+            spark.sparkContext.setJobGroup(None, None)
+
+    _one, jobs1 = count_jobs("prefix_b1", prefs[:1])
+    batch, jobs4 = count_jobs("prefix_b4", prefs)
+    # job count must be independent of the batch size (the round-5 loop
+    # ran one expansion job PER prefix: jobs4 ≈ jobs1 + 3)
+    assert jobs4 <= jobs1, f"1 prefix: {jobs1} jobs, 4 prefixes: {jobs4}"
+    for qid, _p in prefs:
+        sub = (batch[batch["query_id"] == qid]
+               .sort_values("rank", ignore_index=True))
+        want = per_q[qid]
+        assert list(sub["doc_id"]) == list(want["doc_id"]), qid
+        np.testing.assert_allclose(sub["score"].to_numpy(),
+                                   want["score"].to_numpy(), rtol=0)
+
+
 def test_facets_vs_brute(spark, index_dir, corpus):
     pdf, oracle = corpus
     query = "spark document"
