@@ -55,6 +55,7 @@ from .query import (
     _filter_in,
     _score_kernel,
     load_stats,
+    lookup_dict_rows,
 )
 
 RANKED = "query_id int, rank int, doc_id long, score double"
@@ -137,8 +138,7 @@ def boolean_search(spark: SparkSession, index_dir: str,
     all_terms = sorted({t for m, s, n in clauses.values() for t in m + s + n})
     if not all_terms:
         return spark.createDataFrame([], RANKED)
-    dict_rows = _filter_in(spark.read.parquet(paths.dictionary),
-                           "term", all_terms).collect()
+    dict_rows = lookup_dict_rows(spark, paths.dictionary, all_terms)
     dfs = {r["term"]: int(r["df"]) for r in dict_rows}
     idfs = {t: float(idf_fn(stats.N, np.array([dfs[t]]))[0])
             for t in all_terms if t in dfs}
@@ -429,8 +429,7 @@ def more_like_this(spark: SparkSession, index_dir: str,
                    for t, c in tf.items() if c >= min_term_freq})
     if not cand:
         return spark.createDataFrame([], RANKED)
-    dict_rows = _filter_in(spark.read.parquet(paths.dictionary),
-                           "term", cand).collect()
+    dict_rows = lookup_dict_rows(spark, paths.dictionary, cand)
     dfs = {r["term"]: int(r["df"]) for r in dict_rows}
     qinfo: dict[int, dict] = {}
     seed_of: dict[int, int] = {}
@@ -907,8 +906,7 @@ def search_top_hits(spark: SparkSession, index_dir: str,
     terms = sorted({t for toks in q_terms.values() for t in toks})
     if not terms:
         return spark.createDataFrame([], out_schema)
-    dict_rows = _filter_in(spark.read.parquet(paths.dictionary),
-                           "term", terms).collect()
+    dict_rows = lookup_dict_rows(spark, paths.dictionary, terms)
     dfs = {r["term"]: int(r["df"]) for r in dict_rows}
     idfs = {t: float(idf_fn(stats.N, np.array([dfs[t]]))[0])
             for t in terms if t in dfs}
@@ -969,8 +967,7 @@ def boosting_search(spark: SparkSession, index_dir: str,
         return spark.createDataFrame([], RANKED)
     all_terms = sorted({t for ts in pos_q.values() for t in ts}
                        | {t for ts in neg_q.values() for t in ts})
-    dict_rows = _filter_in(spark.read.parquet(paths.dictionary),
-                           "term", all_terms).collect()
+    dict_rows = lookup_dict_rows(spark, paths.dictionary, all_terms)
     dfs = {r["term"]: int(r["df"]) for r in dict_rows}
     idfs = {t: float(idf_fn(stats.N, np.array([dfs[t]]))[0])
             for t in all_terms if t in dfs}
@@ -1129,8 +1126,7 @@ def query_string_search(spark: SparkSession, index_dir: str,
                    for w in ws})
     dfs: dict[str, int] = {}
     if all_terms:
-        dict_rows = _filter_in(spark.read.parquet(paths.dictionary),
-                               "term", all_terms).collect()
+        dict_rows = lookup_dict_rows(spark, paths.dictionary, all_terms)
         dfs = {r["term"]: int(r["df"]) for r in dict_rows}
     exp: dict[int, list[tuple[str, int]]] = {}
     if pats:
@@ -1253,8 +1249,7 @@ def search_collapse(spark: SparkSession, index_dir: str,
     terms = sorted({t for toks in q_terms.values() for t in toks})
     if not terms:
         return spark.createDataFrame([], out_schema)
-    dict_rows = _filter_in(spark.read.parquet(paths.dictionary),
-                           "term", terms).collect()
+    dict_rows = lookup_dict_rows(spark, paths.dictionary, terms)
     dfs = {r["term"]: int(r["df"]) for r in dict_rows}
     idfs = {t: float(idf_fn(stats.N, np.array([dfs[t]]))[0])
             for t in terms if t in dfs}
@@ -1596,8 +1591,7 @@ def function_score_search(spark: SparkSession, index_dir: str,
     terms = sorted({t for toks in q_terms.values() for t in toks})
     if not terms:
         return spark.createDataFrame([], out_schema)
-    dict_rows = _filter_in(spark.read.parquet(paths.dictionary),
-                           "term", terms).collect()
+    dict_rows = lookup_dict_rows(spark, paths.dictionary, terms)
     dfs = {r["term"]: int(r["df"]) for r in dict_rows}
     idfs = {t: float(idf_fn(stats.N, np.array([dfs[t]]))[0])
             for t in terms if t in dfs}
@@ -1787,8 +1781,7 @@ def _full_bm25_scores(spark: SparkSession, paths: IndexPaths, stats,
     terms = sorted({t for toks in q_terms.values() for t in toks})
     if not terms:
         return None
-    dict_rows = _filter_in(spark.read.parquet(paths.dictionary),
-                           "term", terms).collect()
+    dict_rows = lookup_dict_rows(spark, paths.dictionary, terms)
     dfs = {r["term"]: int(r["df"]) for r in dict_rows}
     idfs = {t: float(idf_fn(stats.N, np.array([dfs[t]]))[0])
             for t in terms if t in dfs}
@@ -1937,8 +1930,7 @@ def span_first_search(spark: SparkSession, index_dir: str,
     if not q_term:
         return spark.createDataFrame([], RANKED)
     terms = sorted(set(q_term.values()))
-    dict_rows = _filter_in(spark.read.parquet(paths.dictionary),
-                           "term", terms).collect()
+    dict_rows = lookup_dict_rows(spark, paths.dictionary, terms)
     dfs = {r["term"]: int(r["df"]) for r in dict_rows}
     idfs = {t: float(idf_fn(stats.N, np.array([dfs[t]]))[0])
             for t in terms if t in dfs}
@@ -2277,8 +2269,7 @@ def percolate(spark: SparkSession, index_dir: str,
     out_schema = "query_id int, doc_id long"
     if not terms:
         return spark.createDataFrame([], out_schema)
-    dict_rows = _filter_in(spark.read.parquet(paths.dictionary),
-                           "term", terms).collect()
+    dict_rows = lookup_dict_rows(spark, paths.dictionary, terms)
     dfs = {r["term"]: int(r["df"]) for r in dict_rows}
     idfs = {t: float(idf_fn(stats.N, np.array([dfs[t]]))[0])
             for t in terms if t in dfs}
@@ -2345,8 +2336,7 @@ def span_near_search(spark: SparkSession, index_dir: str,
     if not q_terms:
         return spark.createDataFrame([], RANKED)
     terms = sorted({t for ts in q_terms.values() for t in ts})
-    dict_rows = _filter_in(spark.read.parquet(paths.dictionary),
-                           "term", terms).collect()
+    dict_rows = lookup_dict_rows(spark, paths.dictionary, terms)
     dfs = {r["term"]: int(r["df"]) for r in dict_rows}
     qinfo: dict[int, dict] = {}
     for qid, toks in q_terms.items():
@@ -3133,8 +3123,7 @@ def span_not_search(spark: SparkSession, index_dir: str,
     if not parsed:
         return spark.createDataFrame([], RANKED)
     includes = sorted({inc for inc, _ex in parsed.values()})
-    dict_rows = _filter_in(spark.read.parquet(paths.dictionary),
-                           "term", includes).collect()
+    dict_rows = lookup_dict_rows(spark, paths.dictionary, includes)
     dfs = {r["term"]: int(r["df"]) for r in dict_rows}
     idfs = {t: float(idf_fn(stats.N, np.array([dfs[t]]))[0])
             for t in includes if t in dfs}
@@ -3233,8 +3222,7 @@ def synonym_search(spark: SparkSession, index_dir: str,
         return spark.createDataFrame([], RANKED)
     terms = sorted({t for gs in q_groups.values()
                     for g in gs for t in g})
-    dict_rows = _filter_in(spark.read.parquet(paths.dictionary),
-                           "term", terms).collect()
+    dict_rows = lookup_dict_rows(spark, paths.dictionary, terms)
     dfs = {r["term"]: int(r["df"]) for r in dict_rows}
     qinfo: dict[int, list[tuple[list[str], float]]] = {}
     for qid, gs in q_groups.items():
@@ -3506,8 +3494,7 @@ def intervals_search(spark: SparkSession, index_dir: str,
     if not q_terms:
         return spark.createDataFrame([], RANKED)
     terms = sorted({t for ts in q_terms.values() for t in ts})
-    dict_rows = _filter_in(spark.read.parquet(paths.dictionary),
-                           "term", terms).collect()
+    dict_rows = lookup_dict_rows(spark, paths.dictionary, terms)
     dfs = {r["term"]: int(r["df"]) for r in dict_rows}
     qinfo: dict[int, dict] = {}
     for qid, toks in q_terms.items():

@@ -63,6 +63,36 @@ def _filter_in(df: DataFrame, col: str, values: list) -> DataFrame:
     return df.join(F.broadcast(vdf), col, "left_semi")
 
 
+def lookup_dict_rows(spark: SparkSession, dict_path: str,
+                     terms: list[str]) -> list:
+    """Dictionary point-lookup: (term, df, …) rows for ``terms``.
+
+    On a local FS this is a driver-side pyarrow read with a C++-side
+    ``term IN`` filter (parquet row-group min/max pruning — the same
+    pruning the Spark scan did) and NO Spark job: a search call's term
+    set is tiny, and the previous per-call scan job spent more wall on
+    scheduling than on I/O. The row-group pruning keeps this a point
+    read at any dictionary size (Lucene's term-dict seek analogue runs
+    on one node too). Non-local paths keep the pushed-down Spark scan.
+    """
+    import glob
+    import os
+
+    from .indexer import _is_local_path
+
+    if _is_local_path(dict_path, spark):
+        p = dict_path[7:] if dict_path.startswith("file://") else dict_path
+        files = sorted(glob.glob(os.path.join(p, "*.parquet")))
+        if files:
+            import pyarrow.parquet as pq
+
+            tbl = pq.read_table(files, filters=[("term", "in",
+                                                 list(terms))])
+            return tbl.to_pylist()
+    return _filter_in(spark.read.parquet(dict_path), "term",
+                      list(terms)).collect()
+
+
 _ALIGN_CACHE: dict[tuple, bool] = {}
 
 
@@ -359,16 +389,19 @@ def _score_kernel(qinfo: dict, k: int, stats: IndexStats, prune: bool,
             ncols = 0 if lo_id is None else int(hi_id) - int(lo_id) + 1
             if live and 0 < ncols <= 8_000_000 and nnz >= ncols:
                 lo_id = int(lo_id)
-                cols = {t: ids - lo_id for t, (ids, _c) in live.items()}
-                out_q, out_d, out_s = [], [], []
+                # pre-bind (cols, contrib) per term so the per-query loop
+                # does two dict gets and one fancy-indexed add per term
+                pre = {t: (ids - lo_id, c) for t, (ids, c) in live.items()}
+                parts_q, parts_d, parts_s = [], [], []
+                acc = np.empty(ncols)
                 for query_id, term_idfs in qinfo.items():
-                    acc = np.zeros(ncols)
+                    acc[:] = 0.0
                     n_hit = 0
                     for t, w in term_idfs.items():
-                        tl = live.get(t)
+                        tl = pre.get(t)
                         if tl is None:
                             continue
-                        acc[cols[t]] += w * tl[1]
+                        acc[tl[0]] += w * tl[1]
                         n_hit += 1
                     if n_hit == 0:
                         continue
@@ -386,13 +419,21 @@ def _score_kernel(qinfo: dict, k: int, stats: IndexStats, prune: bool,
                     else:
                         cand_u, cand_a = uniq, accm
                     order = np.lexsort((cand_u, -cand_a))[:top]
-                    out_q.extend([query_id] * top)
-                    out_d.extend(cand_u[order].tolist())
-                    out_s.extend(cand_a[order].tolist())
+                    parts_q.append(np.full(top, query_id, dtype=np.int32))
+                    parts_d.append(cand_u[order])
+                    parts_s.append(cand_a[order])
+                if parts_q:
+                    qcat = np.concatenate(parts_q)
+                    dcat = np.concatenate(parts_d)
+                    scat = np.concatenate(parts_s)
+                else:
+                    qcat = np.empty(0, dtype=np.int32)
+                    dcat = np.empty(0, dtype=np.int64)
+                    scat = np.empty(0)
                 return pd.DataFrame({
-                    "query_id": pd.Series(out_q, dtype="int32"),
-                    "doc_id": pd.Series(out_d, dtype="int64"),
-                    "score": pd.Series(out_s, dtype="float64"),
+                    "query_id": pd.Series(qcat, dtype="int32"),
+                    "doc_id": pd.Series(dcat, dtype="int64"),
+                    "score": pd.Series(scat, dtype="float64"),
                 })
 
         # NOTE: a fully-batched variant (one global (query,doc) key sort
@@ -651,8 +692,7 @@ def search(spark: SparkSession, index_dir: str, queries: list[tuple[int, str]],
     if not terms:
         return spark.createDataFrame([], "query_id int, rank int, doc_id long, score double")
     # dictionary point-lookup with pushdown (Lucene term-dict seek analogue)
-    dict_rows = _filter_in(spark.read.parquet(paths.dictionary),
-                           "term", terms).collect()
+    dict_rows = lookup_dict_rows(spark, paths.dictionary, terms)
     dfs = {r["term"]: int(r["df"]) for r in dict_rows}
     idfs = {t: float(idf_fn(stats.N, np.array([dfs[t]]))[0])
             for t in terms if t in dfs}
@@ -842,8 +882,7 @@ def phrase_search(spark: SparkSession, index_dir: str,
     empty = "query_id int, rank int, doc_id long, score double"
     if not terms:
         return spark.createDataFrame([], empty)
-    dict_rows = _filter_in(spark.read.parquet(paths.dictionary),
-                           "term", terms).collect()
+    dict_rows = lookup_dict_rows(spark, paths.dictionary, terms)
     dfs = {r["term"]: int(r["df"]) for r in dict_rows}
     qinfo = {}
     for qid, toks in q_terms.items():
@@ -916,8 +955,7 @@ def explain_scores(spark: SparkSession, index_dir: str,
                   "contribution double")
     if not terms:
         return spark.createDataFrame([], out_schema)
-    dict_rows = _filter_in(spark.read.parquet(paths.dictionary),
-                           "term", terms).collect()
+    dict_rows = lookup_dict_rows(spark, paths.dictionary, terms)
     dfs = {r["term"]: int(r["df"]) for r in dict_rows}
     # per-(query, term) weight = idf · occurrence count (search semantics)
     from collections import Counter
@@ -978,14 +1016,16 @@ class Searcher:
         self.stats = load_stats(spark, index_dir)
         self._dfs: dict[str, int] | None = None
         if preload_dictionary:
-            rows = spark.read.parquet(self.paths.dictionary).collect()
-            self._dfs = {r["term"]: int(r["df"]) for r in rows}
+            from .indexer import read_small_table
+
+            pdf = read_small_table(spark, self.paths.dictionary)
+            self._dfs = dict(zip(pdf["term"],
+                                 pdf["df"].astype(int).tolist()))
 
     def _lookup_dfs(self, terms: list[str]) -> dict[str, int]:
         if self._dfs is not None:
             return {t: self._dfs[t] for t in terms if t in self._dfs}
-        rows = _filter_in(self.spark.read.parquet(self.paths.dictionary),
-                          "term", terms).collect()
+        rows = lookup_dict_rows(self.spark, self.paths.dictionary, terms)
         return {r["term"]: int(r["df"]) for r in rows}
 
     def search(self, queries: list[tuple[int, str]], k: int = 10,
