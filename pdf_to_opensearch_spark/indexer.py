@@ -534,8 +534,9 @@ def _spimi_python_io(spark: SparkSession, paths: IndexPaths,
         # Parallelism here comes from Spark's task slots, not Arrow.
         pa.set_cpu_count(1)
         pa.set_io_thread_count(1)
+        partials: list[pd.DataFrame] = []
         for fdf in it:
-            for path in fdf["path"]:
+            for path in (p for b in fdf["bin"] for p in bins[int(b)]):
                 tbl = pq.read_table(
                     path, columns=["doc_id", "text", "range_id"],
                     use_threads=False)
@@ -567,42 +568,59 @@ def _spimi_python_io(spark: SparkSession, paths: IndexPaths,
                     preserve_index=False)
                 pq.write_table(patbl, fname, compression="snappy")
                 if not collect_meta:
-                    yield pd.DataFrame({"gid": [0], "term": [None],
-                                        "range_id": [-1],
-                                        "sum_n": [len(out)],
-                                        "sum_cf": [0], "n_terms": [0],
-                                        "bytes": [0], "wall_ms": [0]})
+                    partials.append(pd.DataFrame(
+                        {"gid": [0], "term": [None], "range_id": [-1],
+                         "sum_n": [len(out)], "sum_cf": [0],
+                         "n_terms": [0], "bytes": [0], "wall_ms": [0]}))
                     continue
-                # derived-tables partials, computed while `out` is hot:
-                # gid=2 manifest rows (complete — a range never spans
-                # files), gid=1 per-term dictionary partial sums.
-                man = (out.groupby("range_id", sort=False)
-                       .agg(sum_n=("n", "sum"), n_terms=("term", "size"),
-                            bytes=("n_bytes", "sum"),
-                            wall_ms=("wall_ms", "max"))
-                       .reset_index())
-                man["gid"] = 2
-                man["term"] = None
-                man["sum_cf"] = 0
-                dic = (out.groupby("term", sort=False)
-                       .agg(sum_n=("n", "sum"), sum_cf=("cf", "sum"))
-                       .reset_index())
-                dic["gid"] = 1
-                dic["range_id"] = -1
-                dic["n_terms"] = 0
-                dic["bytes"] = 0
-                dic["wall_ms"] = 0
-                cols = ["gid", "term", "range_id", "sum_n", "sum_cf",
-                        "n_terms", "bytes", "wall_ms"]
-                yield pd.concat([man[cols], dic[cols]],
-                                ignore_index=True)
+                # retain ONLY the metadata columns per file; the actual
+                # partial aggregation runs once per TASK below (the
+                # per-file pandas groupbys measured ~25 ms each — 0.8 s
+                # of serialized overhead across a 32-file build)
+                partials.append(out[["term", "range_id", "n", "cf",
+                                     "n_bytes", "wall_ms"]])
+        if not partials:
+            return
+        if not collect_meta:
+            yield pd.concat(partials, ignore_index=True)
+            return
+        # derived-tables partials, ONE aggregation pass per task:
+        # gid=2 manifest rows (complete — a range never spans files or
+        # tasks), gid=1 per-term dictionary partial sums folded across
+        # this task's files before they cross Arrow to the driver
+        # (collect volume = bins×vocab, not files×vocab rows).
+        # n_terms=('term','size') relies on the one-row-per-(term, range)
+        # invariant of the SPIMI kernel; sum_cf is computed for real so
+        # no column carries placeholder values a future consumer could
+        # misread; dropna=False keeps a genuinely-NULL term alive (the
+        # fused Spark epilogue's gid-split preserves it too).
+        m = pd.concat(partials, ignore_index=True)
+        man = (m.groupby("range_id", sort=False)
+               .agg(sum_n=("n", "sum"), sum_cf=("cf", "sum"),
+                    n_terms=("term", "size"),
+                    bytes=("n_bytes", "sum"),
+                    wall_ms=("wall_ms", "max"))
+               .reset_index())
+        man["gid"] = 2
+        man["term"] = None
+        dic = (m.groupby("term", sort=False, dropna=False)
+               .agg(sum_n=("n", "sum"), sum_cf=("cf", "sum"))
+               .reset_index())
+        dic["gid"] = 1
+        dic["range_id"] = -1
+        dic["n_terms"] = 0
+        dic["bytes"] = 0
+        dic["wall_ms"] = 0
+        cols = ["gid", "term", "range_id", "sum_n", "sum_cf",
+                "n_terms", "bytes", "wall_ms"]
+        yield pd.concat([man[cols], dic[cols]], ignore_index=True)
 
     # task granularity: ~2 waves of slots. Each mapInPandas task costs a
-    # fixed JVM↔worker turnaround (~0.25s measured), so one-file-per-task
-    # serializes len(files)×0.25s of overhead through the scheduler when
-    # files outnumber slots — pack files into min(len(files), 2·slots)
-    # bins instead, largest-first (LPT): even bins, short straggler tail,
-    # and the per-task constant is paid O(slots) times, not O(files).
+    # fixed JVM↔worker turnaround, so one-file-per-task serializes
+    # len(files) of that overhead through the scheduler when files
+    # outnumber slots — pack files into min(len(files), 2·slots) bins
+    # instead, largest-first (LPT): even bins, short straggler tail, and
+    # the per-task constant is paid O(slots) times, not O(files).
     # On a real cluster slots ≫ files/2 keeps one file per task.
     slots = max(1, spark.sparkContext.defaultParallelism)
     n_bins = max(1, min(len(files), 2 * slots))
@@ -613,10 +631,15 @@ def _spimi_python_io(spark: SparkSession, paths: IndexPaths,
         bins[i].append(f)
         loads[i] += os.path.getsize(f)
     bins.sort(key=lambda b: -sum(os.path.getsize(f) for f in b))
-    rdd = (spark.sparkContext
-           .parallelize([[(p,) for p in b] for b in bins], n_bins)
-           .flatMap(lambda rows: rows))
-    meta = (spark.createDataFrame(rdd, "path string")
+    # bin ids distributed via spark.range (one id per partition, pure
+    # JVM): the previous parallelize(...).flatMap path evaluated a
+    # pickled Python RDD under the mapInPandas stage, and the FIRST such
+    # chain in a JVM pays ~1s of plain-pickle worker/serializer init
+    # that the Arrow runner warm-up never touches (measured round 6:
+    # first-job task lag 1.21s vs 0.20s warm) — a pure constant inside
+    # the timed build. The bins list rides in the task closure.
+    meta = (spark.range(0, n_bins, 1, numPartitions=n_bins)
+            .withColumnRenamed("id", "bin")
             .mapInPandas(task, schema=(
                 "gid int, term string, range_id int, sum_n long, "
                 "sum_cf long, n_terms long, bytes long, wall_ms long"))

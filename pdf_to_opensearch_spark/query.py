@@ -196,7 +196,7 @@ def _python_scan_per_range(spark: SparkSession, paths: IndexPaths,
         filters = [("bucket", "in", bucket_list),
                    ("term", "in", term_list)]
         for fdf in it:
-            for path in fdf["path"]:
+            for path in (p for b in fdf["bin"] for p in bins[int(b)]):
                 pf_names = pq.ParquetFile(path).schema_arrow.names
                 cols = [c for c in pf_names
                         if need_positions or c != "poss"]
@@ -219,8 +219,9 @@ def _python_scan_per_range(spark: SparkSession, paths: IndexPaths,
     # physical task layout identical across core counts (the same
     # fixed-granularity choice as the bench's pool control), so scaling
     # ratios measure the kernel, not the task-count asymmetry.
-    # One path per partition via parallelize — a createDataFrame(...)
-    # .repartition(...) would pay a shuffle stage per search call.
+    # Bin ids ride a spark.range frame (one id per partition, pure JVM —
+    # no shuffle, no pickled-RDD evaluation under the Arrow runner); the
+    # bins themselves travel in the task closure next to qinfo.
     import os as _os
 
     slots = max(1, spark.sparkContext.defaultParallelism)
@@ -232,10 +233,8 @@ def _python_scan_per_range(spark: SparkSession, paths: IndexPaths,
         bins[i].append(f)
         loads[i] += _os.path.getsize(f)
     bins.sort(key=lambda b: -sum(_os.path.getsize(f) for f in b))
-    rdd = (spark.sparkContext
-           .parallelize([[(p,) for p in b] for b in bins], n_bins)
-           .flatMap(lambda rows: rows))
-    return (spark.createDataFrame(rdd, "path string")
+    return (spark.range(0, n_bins, 1, numPartitions=n_bins)
+            .withColumnRenamed("id", "bin")
             .mapInPandas(task, schema=RESULT_SCHEMA))
 
 
