@@ -615,15 +615,19 @@ def _spimi_python_io(spark: SparkSession, paths: IndexPaths,
                 "n_terms", "bytes", "wall_ms"]
         yield pd.concat([man[cols], dic[cols]], ignore_index=True)
 
-    # task granularity: ~2 waves of slots. Each mapInPandas task costs a
-    # fixed JVM↔worker turnaround, so one-file-per-task serializes
+    # task granularity: ONE wave of slots. Each mapInPandas task costs a
+    # fixed JVM↔worker turnaround (~140 ms measured on this sandbox —
+    # socket-heavy task protocol), so one-file-per-task serializes
     # len(files) of that overhead through the scheduler when files
-    # outnumber slots — pack files into min(len(files), 2·slots) bins
-    # instead, largest-first (LPT): even bins, short straggler tail, and
-    # the per-task constant is paid O(slots) times, not O(files).
-    # On a real cluster slots ≫ files/2 keeps one file per task.
+    # outnumber slots — pack files into min(len(files), slots) bins,
+    # largest-first (LPT, ≤4/3·OPT imbalance): the per-task constant is
+    # paid once per slot and there is no wave-boundary barrier (round 6;
+    # the previous 2·slots granularity cost an extra ~0.2 s at the
+    # scaling bench's local[4] level for no measurable balance win on
+    # near-uniform range files). On a real cluster slots ≫ files keeps
+    # one file per task.
     slots = max(1, spark.sparkContext.defaultParallelism)
-    n_bins = max(1, min(len(files), 2 * slots))
+    n_bins = max(1, min(len(files), slots))
     bins: list[list[str]] = [[] for _ in range(n_bins)]
     loads = [0] * n_bins
     for f in sorted(files, key=os.path.getsize, reverse=True):
