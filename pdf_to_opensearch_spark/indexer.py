@@ -520,6 +520,16 @@ def _spimi_python_io(spark: SparkSession, paths: IndexPaths,
         shutil.rmtree(paths.postings, ignore_errors=True)
     os.makedirs(paths.postings, exist_ok=True)
     post_dir = paths.postings
+    # derived-table partials return via SIDE FILES under _partials/ (a
+    # "_"-prefixed dir is invisible to both the Spark reader and the
+    # pyio globs): the Arrow collect of bins×vocab partial rows through
+    # mapInPandas→toPandas cost ~0.1-0.3 s of pure serial driver time
+    # per build; a pyarrow write per task + ONE driver read replaces it
+    # and the job's action shrinks to a count of one ack row per task
+    partials_dir = os.path.join(post_dir, "_partials")
+    shutil.rmtree(partials_dir, ignore_errors=True)
+    if collect_meta:
+        os.makedirs(partials_dir, exist_ok=True)
     nb = int(n_buckets)
     skip = sorted(int(r) for r in (completed_ranges or ()))
     spimi = _spimi_batches()
@@ -535,8 +545,15 @@ def _spimi_python_io(spark: SparkSession, paths: IndexPaths,
         pa.set_cpu_count(1)
         pa.set_io_thread_count(1)
         partials: list[pd.DataFrame] = []
+        seen_bins: list[int] = []
+
+        def _paths_of(b: int) -> list[str]:
+            seen_bins.append(b)
+            return bins[b]
+
         for fdf in it:
-            for path in (p for b in fdf["bin"] for p in bins[int(b)]):
+            for path in (p for b in fdf["bin"]
+                         for p in _paths_of(int(b))):
                 tbl = pq.read_table(
                     path, columns=["doc_id", "text", "range_id"],
                     use_threads=False)
@@ -568,10 +585,6 @@ def _spimi_python_io(spark: SparkSession, paths: IndexPaths,
                     preserve_index=False)
                 pq.write_table(patbl, fname, compression="snappy")
                 if not collect_meta:
-                    partials.append(pd.DataFrame(
-                        {"gid": [0], "term": [None], "range_id": [-1],
-                         "sum_n": [len(out)], "sum_cf": [0],
-                         "n_terms": [0], "bytes": [0], "wall_ms": [0]}))
                     continue
                 # retain ONLY the metadata columns per file; the actual
                 # partial aggregation runs once per TASK below (the
@@ -579,41 +592,46 @@ def _spimi_python_io(spark: SparkSession, paths: IndexPaths,
                 # of serialized overhead across a 32-file build)
                 partials.append(out[["term", "range_id", "n", "cf",
                                      "n_bytes", "wall_ms"]])
-        if not partials:
-            return
-        if not collect_meta:
-            yield pd.concat(partials, ignore_index=True)
-            return
-        # derived-tables partials, ONE aggregation pass per task:
-        # gid=2 manifest rows (complete — a range never spans files or
-        # tasks), gid=1 per-term dictionary partial sums folded across
-        # this task's files before they cross Arrow to the driver
-        # (collect volume = bins×vocab, not files×vocab rows).
-        # n_terms=('term','size') relies on the one-row-per-(term, range)
-        # invariant of the SPIMI kernel; sum_cf is computed for real so
-        # no column carries placeholder values a future consumer could
-        # misread; dropna=False keeps a genuinely-NULL term alive (the
-        # fused Spark epilogue's gid-split preserves it too).
-        m = pd.concat(partials, ignore_index=True)
-        man = (m.groupby("range_id", sort=False)
-               .agg(sum_n=("n", "sum"), sum_cf=("cf", "sum"),
-                    n_terms=("term", "size"),
-                    bytes=("n_bytes", "sum"),
-                    wall_ms=("wall_ms", "max"))
-               .reset_index())
-        man["gid"] = 2
-        man["term"] = None
-        dic = (m.groupby("term", sort=False, dropna=False)
-               .agg(sum_n=("n", "sum"), sum_cf=("cf", "sum"))
-               .reset_index())
-        dic["gid"] = 1
-        dic["range_id"] = -1
-        dic["n_terms"] = 0
-        dic["bytes"] = 0
-        dic["wall_ms"] = 0
-        cols = ["gid", "term", "range_id", "sum_n", "sum_cf",
-                "n_terms", "bytes", "wall_ms"]
-        yield pd.concat([man[cols], dic[cols]], ignore_index=True)
+        if collect_meta and partials:
+            # derived-tables partials, ONE aggregation pass per task:
+            # gid=2 manifest rows (complete — a range never spans files
+            # or tasks), gid=1 per-term dictionary partial sums folded
+            # across this task's files. Written as a SIDE FILE under
+            # _partials/ (deterministic per-bin name — retries overwrite
+            # idempotently) and read back with ONE driver pyarrow read:
+            # collecting bins×vocab rows through mapInPandas→toPandas
+            # cost ~0.1-0.3 s of serial driver time per build.
+            # n_terms=('term','size') relies on the one-row-per-
+            # (term, range) invariant of the SPIMI kernel; sum_cf is
+            # computed for real so no column carries placeholder values
+            # a future consumer could misread; dropna=False keeps a
+            # genuinely-NULL term alive (the fused Spark epilogue's
+            # gid-split preserves it too).
+            m = pd.concat(partials, ignore_index=True)
+            man = (m.groupby("range_id", sort=False)
+                   .agg(sum_n=("n", "sum"), sum_cf=("cf", "sum"),
+                        n_terms=("term", "size"),
+                        bytes=("n_bytes", "sum"),
+                        wall_ms=("wall_ms", "max"))
+                   .reset_index())
+            man["gid"] = 2
+            man["term"] = None
+            dic = (m.groupby("term", sort=False, dropna=False)
+                   .agg(sum_n=("n", "sum"), sum_cf=("cf", "sum"))
+                   .reset_index())
+            dic["gid"] = 1
+            dic["range_id"] = -1
+            dic["n_terms"] = 0
+            dic["bytes"] = 0
+            dic["wall_ms"] = 0
+            cols = ["gid", "term", "range_id", "sum_n", "sum_cf",
+                    "n_terms", "bytes", "wall_ms"]
+            folded = pd.concat([man[cols], dic[cols]], ignore_index=True)
+            pq.write_table(
+                pa.Table.from_pandas(folded, preserve_index=False),
+                os.path.join(partials_dir,
+                             f"part-b{min(seen_bins):05d}.parquet"))
+        yield pd.DataFrame({"ok": [1]})
 
     # task granularity: ONE wave of slots. Each mapInPandas task costs a
     # fixed JVM↔worker turnaround (~140 ms measured on this sandbox —
@@ -642,13 +660,32 @@ def _spimi_python_io(spark: SparkSession, paths: IndexPaths,
     # that the Arrow runner warm-up never touches (measured round 6:
     # first-job task lag 1.21s vs 0.20s warm) — a pure constant inside
     # the timed build. The bins list rides in the task closure.
-    meta = (spark.range(0, n_bins, 1, numPartitions=n_bins)
-            .withColumnRenamed("id", "bin")
-            .mapInPandas(task, schema=(
-                "gid int, term string, range_id int, sum_n long, "
-                "sum_cf long, n_terms long, bytes long, wall_ms long"))
-            .toPandas())
-    return meta if collect_meta else True
+    (spark.range(0, n_bins, 1, numPartitions=n_bins)
+     .withColumnRenamed("id", "bin")
+     .mapInPandas(task, schema="ok long")
+     .count())
+    if not collect_meta:
+        return True
+    import glob as _glob
+
+    pfiles = sorted(_glob.glob(os.path.join(partials_dir, "*.parquet")))
+    if pfiles:
+        import pyarrow.parquet as pq
+
+        meta = pq.read_table(pfiles).to_pandas()
+    else:  # empty corpus: no task produced postings
+        meta = pd.DataFrame({
+            "gid": pd.Series(dtype="int64"),
+            "term": pd.Series(dtype=object),
+            "range_id": pd.Series(dtype="int64"),
+            "sum_n": pd.Series(dtype="int64"),
+            "sum_cf": pd.Series(dtype="int64"),
+            "n_terms": pd.Series(dtype="int64"),
+            "bytes": pd.Series(dtype="int64"),
+            "wall_ms": pd.Series(dtype="int64"),
+        })
+    shutil.rmtree(partials_dir, ignore_errors=True)
+    return meta
 
 
 def build_postings(spark: SparkSession, out_dir: str,
@@ -683,89 +720,116 @@ def build_postings(spark: SparkSession, out_dir: str,
 
     paths = IndexPaths(out_dir)
     mode = "append" if completed_ranges else "overwrite"
-    # read docs with NO file splitting and NO file packing: one partition
-    # per docs file = one (or more whole) doc range(s) → the SPIMI stage
-    # needs no repartition — the whole build is SHUFFLE-FREE
-    conf = spark.conf
-    old_mpb = conf.get("spark.sql.files.maxPartitionBytes", None)
-    old_ocb = conf.get("spark.sql.files.openCostInBytes", None)
-    conf.set("spark.sql.files.maxPartitionBytes", str(1 << 40))
-    conf.set("spark.sql.files.openCostInBytes", str(1 << 40))
-    try:
-        docs_tbl = spark.read.parquet(paths.docs)
-        try:
-            m = read_small_table(spark, paths.docs_meta).iloc[0]
-            N, avgdl = int(m["N"]), float(m["avgdl"])
-        except Exception:  # pre-docs_meta layout: one aggregate over docs
-            g = docs_tbl.agg(F.count("*").alias("N"),
-                             F.avg("dl").alias("avgdl")).collect()[0]
-            N, avgdl = int(g["N"]), float(g["avgdl"] or 0.0)
-        docs_per_range = max(1, -(-N // num_ranges))  # ceil (legacy/stats)
-        tick("stats_read")
+    # docs table handles are LAZY (round 6): spark.read.parquet pays a
+    # file-listing + schema job on the driver before any work, and the
+    # pyio path never needs the JVM scan at all — only the JVM fallback
+    # (and the legacy no-docs_meta stats probe) materializes it
+    _docs_tbl: list = [None]
 
-        use_pyio = python_io
-        if use_pyio is None:
-            from .streaming import _bucket_partitioned
-            use_pyio = ("range_id" in docs_tbl.columns
-                        and not (mode == "append"
-                                 and _bucket_partitioned(paths.postings)))
-        # piggy-back the derived-tables partials on the SPIMI job itself
-        # only when the whole index is being (re)built small enough for
-        # the driver-side epilogue — on append/resume the partials would
-        # miss the already-committed ranges.
-        want_meta = (N <= SMALL_DERIVED_DOCS_MAX and mode == "overwrite"
-                     and not completed_ranges)
-        meta_partials = None
-        pyio_done = False
-        if use_pyio:
-            r = _spimi_python_io(spark, paths, n_buckets, mode,
-                                 completed_ranges, collect_meta=want_meta)
-            if r is not False:
-                pyio_done = True
-                if want_meta and isinstance(r, pd.DataFrame):
-                    meta_partials = r
-        if pyio_done:
-            tick("spimi_write")
+    def docs_tbl():
+        if _docs_tbl[0] is None:
+            _docs_tbl[0] = spark.read.parquet(paths.docs)
+        return _docs_tbl[0]
+
+    def docs_columns() -> list[str]:
+        if _is_local_path(paths.docs, spark):
+            import glob as _glob
+
+            p = paths.docs[7:] if paths.docs.startswith("file://") \
+                else paths.docs
+            fs = sorted(_glob.glob(os.path.join(p, "*.parquet")))
+            if fs:
+                import pyarrow.parquet as pq
+
+                return list(pq.ParquetFile(fs[0]).schema_arrow.names)
+        return list(docs_tbl().columns)
+
+    try:
+        m = read_small_table(spark, paths.docs_meta).iloc[0]
+        N, avgdl = int(m["N"]), float(m["avgdl"])
+    except Exception:  # pre-docs_meta layout: one aggregate over docs
+        g = docs_tbl().agg(F.count("*").alias("N"),
+                           F.avg("dl").alias("avgdl")).collect()[0]
+        N, avgdl = int(g["N"]), float(g["avgdl"] or 0.0)
+    docs_per_range = max(1, -(-N // num_ranges))  # ceil (legacy/stats)
+    tick("stats_read")
+
+    use_pyio = python_io
+    if use_pyio is None:
+        from .streaming import _bucket_partitioned
+        use_pyio = ("range_id" in docs_columns()
+                    and not (mode == "append"
+                             and _bucket_partitioned(paths.postings)))
+    # piggy-back the derived-tables partials on the SPIMI job itself
+    # only when the whole index is being (re)built small enough for
+    # the driver-side epilogue — on append/resume the partials would
+    # miss the already-committed ranges.
+    want_meta = (N <= SMALL_DERIVED_DOCS_MAX and mode == "overwrite"
+                 and not completed_ranges)
+    meta_partials = None
+    pyio_done = False
+    if use_pyio:
+        r = _spimi_python_io(spark, paths, n_buckets, mode,
+                             completed_ranges, collect_meta=want_meta)
+        if r is not False:
+            pyio_done = True
+            if want_meta and isinstance(r, pd.DataFrame):
+                meta_partials = r
+    if pyio_done:
+        tick("spimi_write")
+    else:
+        # JVM fallback: read docs with NO file splitting and NO file
+        # packing — one partition per docs file = one (or more whole)
+        # doc range(s), so the SPIMI stage needs no repartition and
+        # the build stays SHUFFLE-FREE
+        conf = spark.conf
+        old_mpb = conf.get("spark.sql.files.maxPartitionBytes", None)
+        old_ocb = conf.get("spark.sql.files.openCostInBytes", None)
+        conf.set("spark.sql.files.maxPartitionBytes", str(1 << 40))
+        conf.set("spark.sql.files.openCostInBytes", str(1 << 40))
+        _docs_tbl[0] = None  # re-read under the no-split conf
+        docs_scan = docs_tbl()
+        if "range_id" in docs_scan.columns:
+            # prepare-assigned ranges: zero-shuffle
+            spimi_in = docs_scan.select("doc_id", "text", "range_id")
         else:
-            if "range_id" in docs_tbl.columns:
-                indexable = docs_tbl  # prepare-assigned ranges: zero-shuffle
-                spimi_in = indexable.select("doc_id", "text", "range_id")
-            else:
-                # legacy docs table without stored ranges: derive fixed-width
-                # ranges from doc_id and shuffle once onto them
-                indexable = docs_tbl.withColumn(
-                    "range_id",
-                    (F.col("doc_id") / F.lit(docs_per_range)).cast("int"))
-                spimi_in = (indexable.select("doc_id", "text", "range_id")
-                            .repartitionByRange(num_ranges, "range_id"))
-            if completed_ranges:
-                spimi_in = spimi_in.filter(
-                    ~F.col("range_id").isin(*[int(r) for r in completed_ranges]))
-            postings = spimi_in.mapInPandas(
-                _spimi_batches(), schema=POSTINGS_SCHEMA)
-            postings = postings.withColumn(
-                "bucket", term_bucket_col(F.col("term"), n_buckets))
-            # flat write, sorted by (bucket, term) within each task: query-time
-            # bucket/term filters prune via parquet row-group min/max stats —
-            # same pruning power as directory partitioning without the dynamic
-            # -partition writer's sort + many-small-files commit cost
-            w = postings.sortWithinPartitions("bucket", "term").write.mode(mode)
-            if mode == "append":
-                from .streaming import _bucket_partitioned
-                if _bucket_partitioned(paths.postings):
-                    # resuming onto a legacy bucket=N/ partitioned index: a
-                    # root-level flat append would be invisible to partition
-                    # discovery — keep the dir's own layout
-                    w = w.partitionBy("bucket")
+            # legacy docs table without stored ranges: derive fixed-width
+            # ranges from doc_id and shuffle once onto them
+            indexable = docs_scan.withColumn(
+                "range_id",
+                (F.col("doc_id") / F.lit(docs_per_range)).cast("int"))
+            spimi_in = (indexable.select("doc_id", "text", "range_id")
+                        .repartitionByRange(num_ranges, "range_id"))
+        if completed_ranges:
+            spimi_in = spimi_in.filter(
+                ~F.col("range_id").isin(*[int(r) for r in completed_ranges]))
+        postings = spimi_in.mapInPandas(
+            _spimi_batches(), schema=POSTINGS_SCHEMA)
+        postings = postings.withColumn(
+            "bucket", term_bucket_col(F.col("term"), n_buckets))
+        # flat write, sorted by (bucket, term) within each task: query-time
+        # bucket/term filters prune via parquet row-group min/max stats —
+        # same pruning power as directory partitioning without the dynamic
+        # -partition writer's sort + many-small-files commit cost
+        w = postings.sortWithinPartitions("bucket", "term").write.mode(mode)
+        if mode == "append":
+            from .streaming import _bucket_partitioned
+            if _bucket_partitioned(paths.postings):
+                # resuming onto a legacy bucket=N/ partitioned index: a
+                # root-level flat append would be invisible to partition
+                # discovery — keep the dir's own layout
+                w = w.partitionBy("bucket")
+        try:
             w.parquet(paths.postings)
-            tick("spimi_write")
-    finally:
-        for key, old in (("spark.sql.files.maxPartitionBytes", old_mpb),
-                         ("spark.sql.files.openCostInBytes", old_ocb)):
-            if old is None:
-                conf.unset(key)
-            else:
-                conf.set(key, old)
+        finally:
+            for key, old in (
+                    ("spark.sql.files.maxPartitionBytes", old_mpb),
+                    ("spark.sql.files.openCostInBytes", old_ocb)):
+                if old is None:
+                    conf.unset(key)
+                else:
+                    conf.set(key, old)
+        tick("spimi_write")
 
     refresh_derived_tables(spark, paths, N=N, avgdl=avgdl,
                            docs_per_range=docs_per_range,
