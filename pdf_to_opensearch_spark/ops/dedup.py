@@ -237,6 +237,56 @@ def minhash_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
     return out
 
 
+def _round6_half_up(x: float) -> float:
+    """Spark ``round(col, 6)`` semantics for DoubleType: shortest-repr
+    decimal, HALF_UP at the 6th place (BigDecimal.valueOf + setScale).
+    Python's builtin round is half-even — NOT equivalent."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(repr(float(x))).quantize(Decimal("1e-6"),
+                                                  rounding=ROUND_HALF_UP))
+
+
+# Driver fast path for candidate-restricted Jaccard verification: at or
+# below these bounds the candidate docs' shingle sets collect to the
+# driver and the pair loop runs in Python sets — one Spark job instead of
+# the ~6-stage join cascade. Same spirit (and same safety argument) as
+# duplicate_clusters' small_max union-find: candidate sets are the
+# near-dup pair neighborhood, tiny relative to the corpus; web-scale
+# candidate sets keep the distributed joins.
+JACCARD_SMALL_PAIRS_MAX = 10_000
+JACCARD_SMALL_DOCS_MAX = 5_000
+
+
+def _jaccard_driver(spark, sh: DataFrame, cand_pdf, threshold: float):
+    """Candidate-pair Jaccard on the driver: ``sh`` is the candidate-
+    restricted (id, shingle) frame (one Spark job to collect), pairs and
+    set ops run in Python. Emits exactly the join path's rows: pairs
+    sharing ≥1 shingle, ``inter / (|A| + |B| − inter) ≥ threshold`` in
+    f64, rounded to 6 dp with Spark's HALF_UP."""
+    sh_pdf = sh.toPandas()
+    sets: dict[int, set] = {}
+    for i, s in zip(sh_pdf["id"].to_numpy(), sh_pdf["shingle"].to_numpy()):
+        sets.setdefault(int(i), set()).add(s)
+    rows = []
+    for a, b in zip(cand_pdf["id_a"].to_numpy(),
+                    cand_pdf["id_b"].to_numpy()):
+        a, b = int(a), int(b)
+        if a >= b:  # the join path only emits canonical id_a < id_b pairs
+            continue
+        sa, sb = sets.get(a), sets.get(b)
+        if not sa or not sb:
+            continue
+        inter = len(sa & sb)
+        if inter == 0:
+            continue
+        j = inter / (len(sa) + len(sb) - inter)
+        if j >= threshold:
+            rows.append((int(a), int(b), _round6_half_up(j)))
+    rows.sort()
+    return spark.createDataFrame(rows, "id_a long, id_b long, jaccard double")
+
+
 def jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text", shingle_n: int = 3,
                   threshold: float = 0.7,
@@ -282,8 +332,26 @@ def jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
         # dedupe whenever the frame is not one WE built distinct: a
         # caller-provided frame may carry duplicates regardless of the
         # flag, and the distinct runs over the candidate subset only
+        # (the driver fast path below dedups implicitly: sets)
         if shingle_df is not None or not shingles_distinct:
             sh = sh.distinct()
+        # DRIVER fast path (round 6): a bounded candidate set verifies in
+        # one collect + a Python set loop — the distributed path costs a
+        # ~6-stage join cascade (self-join by shingle, two size joins, a
+        # pair semi-join) whose scheduling dwarfs the data at pair counts
+        # this small. f64 arithmetic and HALF_UP rounding replicate the
+        # Spark expressions exactly (hash-verified); above the bounds the
+        # join path runs unchanged.
+        n_pairs = candidates.count()
+        if n_pairs <= JACCARD_SMALL_PAIRS_MAX:
+            import pandas as pd
+
+            cand_pdf = candidates.select("id_a", "id_b").toPandas()
+            uniq_ids = pd.concat([cand_pdf["id_a"],
+                                  cand_pdf["id_b"]]).nunique()
+            if uniq_ids <= JACCARD_SMALL_DOCS_MAX:
+                return _jaccard_driver(df.sparkSession, sh, cand_pdf,
+                                       threshold)
         # the candidate-restricted shingle sets feed THREE consumers
         # (sizes, both self-join sides) — persist the tiny frame so the
         # semi-join + distinct over the full shingle table runs once;

@@ -56,6 +56,22 @@ def test_minhash_finds_near_dupes(spark, docs_df):
     assert j01 == 1.0
 
 
+def test_jaccard_driver_path_equals_join_path(spark, docs_df, monkeypatch):
+    """The round-6 bounded driver verification path must emit the exact
+    rows (values included, HALF_UP 6-dp rounding) of the distributed
+    join path; forcing the bound to 0 re-runs the join path."""
+    from pdf_to_opensearch_spark.ops import dedup
+
+    cands = dedup.minhash_candidate_pairs(docs_df)
+    fast = (dedup.jaccard_pairs(docs_df, threshold=0.1, candidates=cands)
+            .toPandas().sort_values(["id_a", "id_b"], ignore_index=True))
+    monkeypatch.setattr(dedup, "JACCARD_SMALL_PAIRS_MAX", 0)
+    slow = (dedup.jaccard_pairs(docs_df, threshold=0.1, candidates=cands)
+            .toPandas().sort_values(["id_a", "id_b"], ignore_index=True))
+    assert len(fast) > 0
+    assert fast.equals(slow)
+
+
 def test_jaccard_matches_python_reference(spark, docs_df):
     from pdf_to_opensearch_spark.analyzer import tokenize_text
     from pdf_to_opensearch_spark.ops.dedup import jaccard_pairs
