@@ -660,10 +660,14 @@ def _spimi_python_io(spark: SparkSession, paths: IndexPaths,
     # that the Arrow runner warm-up never touches (measured round 6:
     # first-job task lag 1.21s vs 0.20s warm) — a pure constant inside
     # the timed build. The bins list rides in the task closure.
+    # action = collect() of the n_bins one-row acks, NOT count(): count
+    # adds a partial/final aggregate pair whose one-row exchange AQE
+    # materializes as an extra query stage — measured ~80 ms of pure
+    # scheduling per job on this sandbox; collect is a single stage
     (spark.range(0, n_bins, 1, numPartitions=n_bins)
      .withColumnRenamed("id", "bin")
      .mapInPandas(task, schema="ok long")
-     .count())
+     .collect())
     if not collect_meta:
         return True
     import glob as _glob
