@@ -21,7 +21,11 @@ try:  # pragma: no cover - trivial import wiring
     import pyarrow  # noqa: F401
     import pyarrow.parquet  # noqa: F401
 
+    import pdf_to_opensearch_spark.boolquery  # noqa: F401
+    import pdf_to_opensearch_spark.hybrid  # noqa: F401
     import pdf_to_opensearch_spark.indexer  # noqa: F401  (analyzer, codec)
+    import pdf_to_opensearch_spark.ops.dedup  # noqa: F401
+    import pdf_to_opensearch_spark.ops.similarity  # noqa: F401
     import pdf_to_opensearch_spark.query  # noqa: F401
 except Exception:  # noqa: BLE001 - preload is best-effort by design
     pass
