@@ -21,11 +21,15 @@ try:  # pragma: no cover - trivial import wiring
     import pyarrow  # noqa: F401
     import pyarrow.parquet  # noqa: F401
 
-    import pdf_to_opensearch_spark.boolquery  # noqa: F401
-    import pdf_to_opensearch_spark.hybrid  # noqa: F401
+    # deliberately ONLY the deep shared import chains (indexer/query pull
+    # analyzer, codec, oracle, numpy/pandas plumbing): the daemon's own
+    # import time is paid when the session's FIRST Python-worker job
+    # triggers the daemon fork — which in a build-then-query session is
+    # inside the timed index build — so each module preloaded here must
+    # save more downstream than it costs there. Leaf task modules
+    # (ops.dedup, ops.similarity, hybrid, boolquery) import in 5-50 ms
+    # once these chains are resident and are left to first use.
     import pdf_to_opensearch_spark.indexer  # noqa: F401  (analyzer, codec)
-    import pdf_to_opensearch_spark.ops.dedup  # noqa: F401
-    import pdf_to_opensearch_spark.ops.similarity  # noqa: F401
     import pdf_to_opensearch_spark.query  # noqa: F401
 except Exception:  # noqa: BLE001 - preload is best-effort by design
     pass
